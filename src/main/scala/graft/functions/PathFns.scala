@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Path / string derivation functions (reference main.go F1-F6 per SURVEY §2.6).
+  *
+  * All are pure `Column` expressions (no UDFs) so they stay inside
+  * whole-stage codegen and Catalyst can constant-fold / push them.
+  *
+  * Semantics follow Go's `path` package on the inputs the reference
+  * actually sees (clean absolute paths): `path.Dir` (main.go:143,290),
+  * `path.Base` (main.go:144,228,280), `path.Join` + versions prefix
+  * (main.go:145).
+  */
+object PathFns {
+
+  /** Prefix marking EOS version folders (reference main.go:21). */
+  val VersionsPrefix = ".sys.v#."
+
+  /** Dirname: strip the last `/component` (Go `path.Dir` on clean abs paths).
+    * `/a/b/c.txt` -> `/a/b`; `/a` -> `/` (root kept).
+    */
+  def pathDirname(c: Column): Column = {
+    val stripped = regexp_replace(c, "/[^/]*$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
+  /** Basename: last path component (Go `path.Base`). */
+  def pathBasename(c: Column): Column = regexp_extract(c, "[^/]*$", 0)
+
+  /** Versions-folder path for a file: `dir/.sys.v#.base` (main.go:143-145). */
+  def versionsPath(c: Column): Column =
+    concat(pathDirname(c), lit("/" + VersionsPrefix), pathBasename(c))
+
+  /** Name of the parent directory (second-to-last component, main.go:278-279). */
+  def parentDirName(c: Column): Column =
+    pathBasename(pathDirname(c))
+
+  /** True when the file's basename marks it as a versions folder (main.go:280). */
+  def isVersionsFolder(path: Column): Column =
+    pathBasename(path).startsWith(VersionsPrefix)
+
+  /** True when the path points INTO a versions folder, i.e. the share
+    * references a version file (main.go:288).
+    */
+  def pointsToVersion(path: Column): Column =
+    parentDirName(path).startsWith(VersionsPrefix)
+
+  /** True when the path lives under the user home prefix (main.go:284). */
+  def underPrefix(path: Column, prefix: String): Column =
+    path.startsWith(prefix)
+
+  // --------------------------------------------------------------------
+  // EOS `file info -m` record parsing (F5/F6, main.go:182-207).
+  // Record shape: "keylength.file=<n> file=<path maybe with spaces> k=v ..."
+  // --------------------------------------------------------------------
+
+  /** Naive space/equals KV tokenization (main.go:184-189). Values containing
+    * spaces are truncated — exactly like the reference; use [[kvFile]] for
+    * the `file` key.
+    */
+  def kvGet(raw: Column, key: String): Column =
+    regexp_extract(raw, java.util.regex.Pattern.quote(key) + "=([^ ]*)", 1)
+
+  /** Length-prefixed extraction of the `file=` value (main.go:191-198):
+    * the payload starts right after `"keylength.file=<n> file="` and runs
+    * for `<n>` characters, surviving embedded spaces.
+    */
+  def kvFile(raw: Column): Column = {
+    val nStr = regexp_extract(raw, "^keylength\\.file=([0-9]+)", 1)
+    // 1-based start = len("keylength.file=") + len(n) + len(" file=") + 1
+    val start = lit(15) + length(nStr) + lit(7)
+    raw.substr(start, nStr.cast("int"))
+  }
+
+  /** Typed projection of a raw EOS record into the Metadata fields
+    * (main.go:200-205): ino/size parsed to long, uid/gid kept as strings.
+    */
+  def kvIno(raw: Column): Column  = kvGet(raw, "ino").cast("long")
+  def kvSize(raw: Column): Column = kvGet(raw, "size").cast("long")
+  def kvUid(raw: Column): Column  = kvGet(raw, "uid")
+  def kvGid(raw: Column): Column  = kvGet(raw, "gid")
+}

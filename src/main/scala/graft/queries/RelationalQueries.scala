@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** General relational operator surface (SURVEY §2.4-§2.5 ABSENT rows + M6):
+  * scans, joins (broadcast/multi/semi/anti), hash aggregation, windows,
+  * rollup, set ops, top-k, having — all Spark builtins so Catalyst plans
+  * pushdown, partial aggregation and join strategy selection.
+  *
+  * Float discipline: double sums are order-dependent across engines, so
+  * every SUM first casts to an exact decimal, then the final value is cast
+  * back to double — bit-identical in Spark and the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  // sum(cast(x as decimal)) cast back to double — exact, engine-agnostic.
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  val entries: Seq[Q] = Seq(
+
+    // TPC-H Q1-style pricing summary: partial agg (map-side combine) then
+    // final — one shuffle on a low-cardinality key; scales linearly.
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_discount <= 0.06
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_discount") <= 0.06)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // S1 twin: filter + projection + sort, all pushed into the parquet scan.
+    Q("q02_scan_filter_project",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // Fact-dim equi-join + group: dim side broadcast (customer << orders).
+    Q("q03_join_agg",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TPC-H Q5-style 5-way join; small dims broadcast, fact tables shuffle
+    // on join keys once each — the shape that must survive 100 TB.
+    Q("q04_multi_join_revenue",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Broadcast dim join on the largest fact table.
+    Q("q05_broadcast_dim_join",
+      """SELECT p_brand,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_size") <= 25)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+
+    // Conditional aggregation (C1-style routing counts, single pass).
+    Q("q06_conditional_agg",
+      """SELECT o_orderstatus,
+        |       SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
+        |       SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS n_low,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").like("1%"), 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority").like("5%"), 1L).otherwise(0L)).as("n_low"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Ranking window: top-3 orders per customer (deterministic tie-break).
+    Q("q07_window_topk_per_group",
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // Analytic window with frame: running revenue per customer.
+    Q("q08_window_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running", sum(col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Global top-k: Spark plans TakeOrderedAndProject — no full sort at scale.
+    Q("q09_global_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    },
+
+    // Set ops: building-segment customers minus open-order customers,
+    // intersected back — exercises EXCEPT + INTERSECT distinct semantics.
+    Q("q10_setops",
+      """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val finished = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val positive = c.where(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      building.except(finished).intersect(positive).orderBy("k")
+    },
+
+    // Exact distinct aggregation (expand + two-phase under the hood).
+    Q("q11_distinct_agg",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP hierarchy totals (grouping-set expansion).
+    Q("q12_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // Semi join (EXISTS): customers with at least one urgent open order.
+    Q("q13_semi_join",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Anti join (NOT EXISTS): customers with no orders at all.
+    Q("q14_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // HAVING: post-aggregation filter.
+    Q("q15_having",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .where(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }
+  )
+}
