@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: runs every registered query against
+  * SPARK_GRAFT_SF_DIR, materializing each result through the `noop` sink
+  * (full execution incl. projections — a bare `.count()` would let Catalyst
+  * prune most of the work). Failures are recorded as value -1 plus an
+  * `errors` map — never silently timed as successes.
+  *
+  * The single JSON result line is printed LAST (after `spark.stop()`, so no
+  * Spark log lines can follow it) for the driver's parser.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    // JVM/codegen/parquet-reader warmup on the smallest sf (untimed)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val names = SparkEntry.all.map(_.name)
+    val fns = SparkEntry.queries
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m.take(200))}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     spark.stop()
+    println(line)
   }
 }

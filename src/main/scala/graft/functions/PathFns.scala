@@ -29,9 +29,15 @@ object PathFns {
   /** Basename: last path component (Go `path.Base`). */
   def pathBasename(c: Column): Column = regexp_extract(c, "[^/]*$", 0)
 
-  /** Versions-folder path for a file: `dir/.sys.v#.base` (main.go:143-145). */
-  def versionsPath(c: Column): Column =
-    concat(pathDirname(c), lit("/" + VersionsPrefix), pathBasename(c))
+  /** Versions-folder path for a file: `dir/.sys.v#.base` (main.go:143-145).
+    * Matches Go `path.Join`: when dir is "/" the separator is not doubled.
+    */
+  def versionsPath(c: Column): Column = {
+    val dir = pathDirname(c)
+    concat(
+      when(dir === "/", lit("/")).otherwise(concat(dir, lit("/"))),
+      lit(VersionsPrefix), pathBasename(c))
+  }
 
   /** Name of the parent directory (second-to-last component, main.go:278-279). */
   def parentDirName(c: Column): Column =
@@ -58,10 +64,12 @@ object PathFns {
 
   /** Naive space/equals KV tokenization (main.go:184-189). Values containing
     * spaces are truncated — exactly like the reference; use [[kvFile]] for
-    * the `file` key.
+    * the `file` key. The token start is anchored (start-of-string or a
+    * space) so `ino` cannot match inside `pino=`, nor `size` inside
+    * `treesize=` — the reference splits on spaces and compares keys exactly.
     */
   def kvGet(raw: Column, key: String): Column =
-    regexp_extract(raw, java.util.regex.Pattern.quote(key) + "=([^ ]*)", 1)
+    regexp_extract(raw, "(?:^| )" + java.util.regex.Pattern.quote(key) + "=([^ ]*)", 1)
 
   /** Length-prefixed extraction of the `file=` value (main.go:191-198):
     * the payload starts right after `"keylength.file=<n> file="` and runs

@@ -17,18 +17,21 @@ object TextFns {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
-  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  /** BPE-ish token count: letter runs, digit runs, single punctuation.
+    * (group index 0 is explicit: Spark's regexp_extract_all defaults to
+    * group 1, which errors on group-free patterns.)
+    */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))).cast("long")
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"))).cast("long")
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** Count of English stopword occurrences (word-boundary matched). */
   def stopwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
-      lit("\\b(the|a|an|and|of|to|in|is|it|that)\\b"))).cast("long")
+      lit("\\b(the|a|an|and|of|to|in|is|it|that)\\b"), lit(0))).cast("long")
 
   /** Per-language stopword hit counts for the lang-ID heuristic. */
   val langStopwords: Seq[(String, String)] = Seq(
@@ -44,7 +47,7 @@ object TextFns {
     */
   def langIdGuess(text: Column): Column = {
     val scores = langStopwords.map { case (lang, re) =>
-      lang -> size(regexp_extract_all(lower(text), lit(re))).cast("long")
+      lang -> size(regexp_extract_all(lower(text), lit(re), lit(0))).cast("long")
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
@@ -52,21 +55,24 @@ object TextFns {
     }
   }
 
-  /** Quality score in [0,1]: rewards mid-length docs, penalizes punctuation
-    * soup, rewards stopword presence. Deterministic: integer arithmetic +
-    * one floor-rounded division (floor avoids HALF_UP-vs-banker ambiguity
-    * between engines).
+  /** Integer quality score in [0,10]: rewards mid-length docs, penalizes
+    * punctuation soup, rewards stopword presence. Pure integer arithmetic —
+    * engine-agnostic by construction; divide by 10 (a single IEEE division)
+    * only at the edge if a [0,1] value is needed.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore10(text: Column): Column = {
     val nTok   = wsTokenCount(text)
     val nPunct = punctCount(text)
     val nStop  = stopwordCount(text)
     val lenOk  = when(length(text).between(100, 2000), lit(1L)).otherwise(lit(0L))
     val punctOk = when(nPunct * 10 <= nTok, lit(1L)).otherwise(lit(0L))
     val stopOk  = when(nStop > 0, lit(1L)).otherwise(lit(0L))
-    val raw = (lenOk * 4 + punctOk * 3 + stopOk * 3).cast("double") / lit(10.0)
-    floor(raw * 10000) / 10000
+    lenOk * 4 + punctOk * 3 + stopOk * 3
   }
+
+  /** Quality score in [0,1]: [[qualityScore10]] / 10 as one IEEE division. */
+  def qualityScore(text: Column): Column =
+    qualityScore10(text).cast("double") / lit(10.0)
 
   /** Normalized-text document fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text. Two docs differing only in case or

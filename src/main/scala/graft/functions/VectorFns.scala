@@ -38,4 +38,34 @@ object VectorFns {
       }),
       lit(0.0),
       (acc, x) => acc + x)
+
+  // --------------------------------------------------------------------
+  // Integer-quantized vector math. Floating-point folds are sequential
+  // and deterministic WITHIN one engine, but cross-engine (oracle) parity
+  // and 100 TB shuffle-order independence both want exact arithmetic:
+  // quantize each component to floor(x * 1000) as a long, then every dot
+  // product / norm is exact integer math (order-free, overflow-safe for
+  // |x| < ~3 at dim <= 4096). This mirrors production int8 quantization
+  // for ANN at scale — smaller shuffles, exact comparisons.
+  // --------------------------------------------------------------------
+
+  /** Quantize `array<float>` to `array<long>` at 3 decimal digits. */
+  def quantize(a: Column, scale: Int = 1000): Column =
+    transform(a, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product over two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact squared L2 norm of a quantized vector. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine similarity over quantized vectors: exact integer dot/norms,
+    * one deterministic sqrt + division at the edge; 0.0 for zero vectors.
+    */
+  def qcosine(a: Column, b: Column): Column = {
+    val n2 = qnorm2(a) * qnorm2(b)
+    when(n2 === 0L, lit(0.0))
+      .otherwise(qdot(a, b).cast("double") / sqrt(n2.cast("double")))
+  }
 }

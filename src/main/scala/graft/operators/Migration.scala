@@ -149,6 +149,63 @@ object Migration {
       .withColumn("file_target", coalesce(col("new_file_target"), col("file_target")))
       .drop("new_item_source", "new_item_target", "new_file_source", "new_file_target")
 
+  /** K1 validation (main.go:232-238): the reference asserts every UPDATE hits
+    * exactly one row and reports "share id does not exist anymore" otherwise.
+    * Functionally that's an anti-join of the change-set against the target
+    * table's primary key: every dangling id becomes an error record.
+    * (≥2-rows-affected cannot happen here: `id` is the PK and the join is on
+    * it — duplicates would surface in `applyChangeset` as a row explosion.)
+    */
+  val ErrorShareDeleted = "ERROR_SHARE_DELETED" // main.go:236 "does not exist anymore"
+  def validateChangeset(cs: DataFrame, target: DataFrame): DataFrame =
+    cs.join(target.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit(ErrorShareDeleted).as("error"))
+
+  /** P7 (main.go:255-258): the reference aborts when the scan yields no rows.
+    * Cheap at any scale: `isEmpty` only evaluates one partition until a row
+    * is found — never a full count.
+    */
+  def requireNonEmpty(scanned: DataFrame): DataFrame = {
+    if (scanned.isEmpty)
+      throw new IllegalStateException("no shares found in the database (main.go:256)")
+    scanned
+  }
+
+  /** C3 (main.go:156-172): retry-with-backoff for external connectors. The
+    * reference hot-loops 5 reads with no sleep; this adds exponential backoff
+    * with a deterministic cap. Used by connector code inside
+    * `foreachPartition` — never on the driver hot path.
+    */
+  def retryWithBackoff[T](maxRetries: Int = 5, initialDelayMs: Long = 100,
+                          maxDelayMs: Long = 5000)(op: () => T): T = {
+    var attempt = 0
+    var delay = initialDelayMs
+    while (true) {
+      try return op()
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** K2 dry-run (main.go:31,219-221): plan-only mode materializes the
+    * change-set (what WOULD be written) and skips the apply — the returned
+    * table is byte-identical to the input.
+    */
+  def run(shares: DataFrame, ns: DataFrame, createdInode: Column,
+          dryRun: Boolean = false,
+          userPrefix: String = "/eos/scratch/user/",
+          user: Option[String] = None): DataFrame = {
+    val resolved = resolvedPipeline(shares, ns, createdInode, userPrefix, user)
+    val cs = changeset(resolved)
+    if (dryRun) shares else applyChangeset(shares, cs)
+  }
+
   /** Whole pipeline: scan -> enrich -> route -> resolve. The three sinks
     * (changeset/audit/errors) all branch from the returned frame; callers
     * should `.cache()` it when materializing more than one sink.

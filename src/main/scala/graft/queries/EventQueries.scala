@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Batch analytics over the `events` stream table: JSON props extraction,
+  * tumbling-window aggregation, and gap-based sessionization. These are the
+  * batch twins of the Structured Streaming pipelines in
+  * `graft.streaming.EventStreams` (same logical transforms; streaming adds
+  * watermarks) — registered here so the semantics are oracle-certified.
+  *
+  * Money/metric sums go through DECIMAL (exact, order-free) and are cast
+  * back to double at the edge.
+  */
+object EventQueries {
+
+  val entries: Seq[Q] = Seq(
+
+    // JSON extraction + per-type aggregate: one scan, shuffle on the
+    // low-cardinality event_type key with map-side partial aggregation.
+    Q("e01_json_agg",
+      """SELECT event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // Tumbling 1-hour windows per event type (the batch shape of a
+    // streaming windowed count; partition-wise partial agg, then one
+    // shuffle on (window, type)).
+    Q("e02_hourly_windows",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Gap-based sessionization (30-min inactivity): lag -> new-session flag
+    // -> running sum = session id, then per-session rollup. Two window
+    // passes over the same (user_id, time) partitioning — one shuffle,
+    // reused by both windows and the final groupBy.
+    Q("e03_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM x
+        |),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |       COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start,
+        |       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("pt", lag(unix_micros(col("ts")), 1).over(byTime))
+        .withColumn("new_session",
+          when(col("pt").isNull || col("t") - col("pt") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          (max(col("t")) - min(col("t"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }
+  )
+}

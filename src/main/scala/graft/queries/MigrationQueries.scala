@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+import graft.operators.{Migration, SyntheticShares}
+
+/** The reference migration pipeline (main.go:241-322) as oracle-checked
+  * queries. Inputs are the deterministic [[SyntheticShares]] fixtures (both
+  * engines rebuild them from the same `orders` parquet), so every stage —
+  * scan, routed audit, change-set, errors, functional apply, K1 validation —
+  * hash-matches a DuckDB twin built from the CTEs below.
+  */
+object MigrationQueries {
+
+  /** Deterministic stand-in for create-if-absent (main.go:152): the inode the
+    * connector's read-back would return, as a pure function of the share id.
+    */
+  private def createdInode = lit(SyntheticShares.CreatedInodeOffset) + col("id")
+
+  private def resolved(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    Migration.resolvedPipeline(
+      SyntheticShares.shares(orders), SyntheticShares.eosNamespace(orders),
+      createdInode)
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: the same pipeline as SQL CTEs (path fns inlined).
+  // ---------------------------------------------------------------------
+
+  /** Go `path.Dir` on clean absolute paths (main.go:143,290). */
+  private def dirSql(c: String): String =
+    s"(CASE WHEN regexp_replace($c, '/[^/]*$$', '') = '' THEN '/' " +
+      s"ELSE regexp_replace($c, '/[^/]*$$', '') END)"
+
+  /** Go `path.Base` (main.go:144,228,280). */
+  private def baseSql(c: String): String = s"regexp_extract($c, '[^/]*$$')"
+
+  /** `path.Join(dir, ".sys.v#." + base)` (main.go:143-145). */
+  private def versionsPathSql(c: String): String =
+    s"(CASE WHEN ${dirSql(c)} = '/' THEN '/.sys.v#.' || ${baseSql(c)} " +
+      s"ELSE ${dirSql(c)} || '/.sys.v#.' || ${baseSql(c)} END)"
+
+  /** Shared CTE pipeline: scan -> enrich -> route -> resolve (+ changeset). */
+  private val ctes: String =
+    s"""WITH ${SyntheticShares.sharesSql},
+       |${SyntheticShares.nsSql},
+       |scanned AS (
+       |  SELECT id, share_type, item_source, item_target, file_source, file_target
+       |  FROM shares WHERE share_type = 3 AND item_type = 'file'
+       |),
+       |enriched AS (
+       |  SELECT s.*, n.ino AS meta_ino, n.file AS meta_path, n.uid AS meta_uid,
+       |         n.gid AS meta_gid, n.size AS meta_size
+       |  FROM scanned s LEFT JOIN ns n ON s.file_source = n.ino
+       |),
+       |routed AS (
+       |  SELECT *,
+       |    CASE WHEN meta_ino IS NULL THEN 'ERROR_MISSING_META'
+       |         WHEN starts_with(${baseSql("meta_path")}, '.sys.v#.') THEN 'ALREADY_MIGRATED'
+       |         WHEN NOT starts_with(meta_path, '/eos/scratch/user/') THEN 'NOT_UNDER_HOME'
+       |         WHEN starts_with(${baseSql(dirSql("meta_path"))}, '.sys.v#.') THEN 'VERSION'
+       |         ELSE 'REGULAR' END AS decision
+       |  FROM enriched
+       |),
+       |keyed AS (
+       |  SELECT *,
+       |    CASE WHEN decision = 'VERSION' THEN ${dirSql("meta_path")}
+       |         WHEN decision = 'REGULAR' THEN ${versionsPathSql("meta_path")}
+       |         ELSE NULL END AS vf_key
+       |  FROM routed
+       |),
+       |resolved AS (
+       |  SELECT k.*,
+       |    CASE WHEN k.decision = 'VERSION' THEN f.ino
+       |         WHEN k.decision = 'REGULAR' THEN COALESCE(f.ino, ${SyntheticShares.CreatedInodeOffset} + k.id)
+       |         ELSE NULL END AS versions_ino,
+       |    CASE WHEN k.decision = 'VERSION' THEN f.file
+       |         WHEN k.decision = 'REGULAR' THEN COALESCE(f.file, k.vf_key)
+       |         ELSE NULL END AS versions_path
+       |  FROM keyed k LEFT JOIN ns f ON k.vf_key = f.file
+       |),
+       |changeset AS (
+       |  SELECT id, CAST(versions_ino AS VARCHAR) AS new_item_source,
+       |         '/' || CAST(versions_ino AS VARCHAR) AS new_item_target,
+       |         versions_ino AS new_file_source,
+       |         '/' || ${baseSql("versions_path")} AS new_file_target
+       |  FROM resolved WHERE versions_ino IS NOT NULL
+       |)""".stripMargin
+
+  val entries: Seq[Q] = Seq(
+
+    // S1/P1-P3 (main.go:86-97): filter + projection + sort, pushed to scan.
+    Q("m01_scan_shares",
+      s"""$ctes
+         |SELECT * FROM scanned ORDER BY id""".stripMargin) { (s, d) =>
+      Migration.scanShares(SyntheticShares.shares(Tables.orders(s, d)))
+    },
+
+    // K3 audit (main.go:277-315): one (id, decision) record per scanned share.
+    Q("m02_route_audit",
+      s"""$ctes
+         |SELECT id, decision FROM resolved ORDER BY id""".stripMargin) { (s, d) =>
+      Migration.audit(resolved(s, d)).orderBy("id")
+    },
+
+    // K1 change-set (main.go:218,228): exact int->string / "/"-prefix formats.
+    Q("m03_changeset",
+      s"""$ctes
+         |SELECT * FROM changeset ORDER BY id""".stripMargin) { (s, d) =>
+      Migration.changeset(resolved(s, d)).orderBy("id")
+    },
+
+    // K4 errors (main.go:273,292-294): lookup misses + vanished folders.
+    Q("m04_errors",
+      s"""$ctes
+         |SELECT id,
+         |       CASE WHEN decision = 'ERROR_MISSING_META' THEN 'ERROR_MISSING_META'
+         |            ELSE 'ERROR_MISSING_VERSIONS_FOLDER' END AS error
+         |FROM resolved
+         |WHERE decision = 'ERROR_MISSING_META'
+         |   OR (decision = 'VERSION' AND versions_ino IS NULL)
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      Migration.errors(resolved(s, d)).orderBy("id")
+    },
+
+    // K1 functional apply (main.go:222-231): PK join-back, column replacement.
+    Q("m05_apply_changeset",
+      s"""$ctes
+         |SELECT s.id, s.share_type, s.uid_owner, s.item_type,
+         |       COALESCE(c.new_item_source, s.item_source) AS item_source,
+         |       COALESCE(c.new_item_target, s.item_target) AS item_target,
+         |       COALESCE(c.new_file_source, s.file_source) AS file_source,
+         |       COALESCE(c.new_file_target, s.file_target) AS file_target
+         |FROM shares s LEFT JOIN changeset c ON s.id = c.id
+         |ORDER BY s.id""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val shares = SyntheticShares.shares(orders)
+      Migration.applyChangeset(shares, Migration.changeset(resolved(s, d)))
+        .select("id", "share_type", "uid_owner", "item_type",
+          "item_source", "item_target", "file_source", "file_target")
+        .orderBy("id")
+    },
+
+    // K1 validation (main.go:232-238): dangling change-set ids -> error rows.
+    // Target simulates concurrently-deleted shares (id % 29 = 0 vanished).
+    Q("m06_changeset_validation",
+      s"""$ctes
+         |SELECT c.id, 'ERROR_SHARE_DELETED' AS error
+         |FROM changeset c
+         |WHERE NOT EXISTS (SELECT 1 FROM shares s
+         |                  WHERE s.id = c.id AND s.id % 29 <> 0)
+         |ORDER BY c.id""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = SyntheticShares.shares(orders).where(col("id") % 29 =!= 0)
+      Migration.validateChangeset(Migration.changeset(resolved(s, d)), target)
+        .orderBy("id")
+    }
+  )
+}

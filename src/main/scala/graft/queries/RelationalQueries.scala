@@ -114,8 +114,8 @@ object RelationalQueries {
     // Conditional aggregation (C1-style routing counts, single pass).
     Q("q06_conditional_agg",
       """SELECT o_orderstatus,
-        |       SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
-        |       SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS n_low,
+        |       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |       CAST(SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |       COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
@@ -234,13 +234,15 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // Anti join (NOT EXISTS): customers with no orders at all.
+    // Anti join (NOT EXISTS): customers with no finished orders.
     Q("q14_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch `events` analytics
+  * (graft.queries.EventQueries): the same logical transforms lifted onto
+  * unbounded input with watermarks bounding state. The reference is
+  * batch-only (SURVEY §2.8) — this is the extension surface.
+  *
+  * State-scale notes: every stateful op below keys its state by a bounded
+  * dimension (window x event_type, event_id within watermark, user_id), and
+  * watermarks let Spark evict state — the properties that keep a stream
+  * job running at 100 TB/day ingest.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark (late data
+    * beyond that is dropped; state for closed windows is evicted).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once style dedup on event_id, bounded by the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user (30-min gap), the streaming twin of
+    * e03_sessionize.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Typed event for custom-state pipelines. */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  /** Per-user running aggregate via custom state. */
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful op (mapGroupsWithState): running per-user counters
+    * with processing-time timeout eviction — the escape hatch when SQL
+    * windows can't express the state machine.
+    */
+  def runningUserStats(spark: SparkSession, events: Dataset[Ev]): Dataset[UserStat] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserStat(userId, n, tot)
+          state.update(next)
+          state.setTimeoutDuration("1 hour")
+          next
+      }
+  }
+
+  /** Convenience: run a streaming query over a memory sink until all
+    * currently-available input is processed; returns the sink table name.
+    */
+  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}
