@@ -51,15 +51,17 @@ object EventStreams {
   /** Per-user running aggregate via custom state. */
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Custom stateful op (mapGroupsWithState): running per-user counters
-    * with processing-time timeout eviction — the escape hatch when SQL
-    * windows can't express the state machine.
+  /** Custom stateful op (mapGroupsWithState): running per-user counters —
+    * the escape hatch when SQL windows can't express the state machine.
+    * (NoTimeout: a processing-time timeout would make the engine schedule
+    * continuous empty timeout-batches; evict via watermark/TTL in real
+    * deployments.)
     */
   def runningUserStats(spark: SparkSession, events: Dataset[Ev]): Dataset[UserStat] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[UserStat]) =>
           val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0))
           var n = prev.n_events
@@ -67,7 +69,6 @@ object EventStreams {
           rows.foreach { e => n += 1; tot += e.value }
           val next = UserStat(userId, n, tot)
           state.update(next)
-          state.setTimeoutDuration("1 hour")
           next
       }
   }

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Structured Streaming extension surface driven through MemoryStream
+  * sources and memory sinks (real micro-batch execution, not batch DF).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def ev(id: Long, min: Int, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Ev(id, ts(min), user, typ, v)
+
+  test("windowed counts with watermark over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(ev(1, 10), ev(2, 20), ev(3, 70), ev(4, 80, typ = "view"))
+    EventStreams.runToMemorySink(
+      EventStreams.hourlyCounts(ms.toDF()), "win_counts", OutputMode.Complete())
+    val rows = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 01:00:00.0", "click", 1L),
+        ("2024-01-01 01:00:00.0", "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(ev(1, 1), ev(1, 2), ev(2, 3), ev(2, 3), ev(3, 4))
+    EventStreams.runToMemorySink(
+      EventStreams.dedupEvents(ms.toDF()), "dedup_events", OutputMode.Append())
+    assert(spark.table("dedup_events").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // user 1: events at 0,10 (one session), then 60 (new session);
+    // advance the watermark far enough to close all sessions
+    ms.addData(ev(1, 0), ev(2, 10), ev(3, 60), ev(4, 300))
+    EventStreams.runToMemorySink(
+      EventStreams.sessionCounts(ms.toDF()), "sessions", OutputMode.Append())
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    assert(rows.take(2).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.runningUserStats(spark, ms.toDS())
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    try {
+      ms.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 3.0), ev(3, 3, user = 9, v = 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(4, 4, user = 7, v = 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("user_stats")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+        org.apache.spark.sql.functions.max("total_value").as("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last(7L) == ((3L, 10.0)))
+    assert(last(9L) == ((1L, 1.0)))
+  }
+}
