@@ -82,6 +82,21 @@ object PathFns {
     raw.substr(start, nStr.cast("int"))
   }
 
+  /** F10 (main.go:277 `strconv.Quote`): double-quoted string with backslash,
+    * quote, and common control-char escapes — the subset Go emits for the
+    * clean file paths the audit line quotes. Literal `replace`, not regex,
+    * so it stays codegen'd and oracle-parity is trivial (DuckDB `replace`).
+    */
+  def quoted(c: Column): Column =
+    concat(lit("\""),
+      replace(replace(replace(replace(
+        c,
+        lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+        lit("\n"), lit("\\n")),
+        lit("\t"), lit("\\t")),
+      lit("\""))
+
   /** Typed projection of a raw EOS record into the Metadata fields
     * (main.go:200-205): ino/size parsed to long, uid/gid kept as strings.
     */

@@ -122,6 +122,25 @@ object Migration {
   def audit(resolved: DataFrame): DataFrame =
     resolved.select(col("id"), col("decision"))
 
+  /** The reference's per-share audit RECORD line (main.go:277), including the
+    * F8 int->string formatting and the F10 `strconv.Quote`d EOS path.
+    * Null-tolerant where the reference's NullInt64/NullString `.Int64`/
+    * `.String` accessors yield zero values ("" / 0).
+    */
+  def auditLine(enriched: DataFrame): DataFrame =
+    enriched
+      .where(col("meta_ino").isNotNull)
+      .select(col("id"), concat(
+        lit("RECORD: "), col("id").cast("string"),
+        lit(" info:file id:"), col("id").cast("string"),
+        lit(" share_type:"), col("share_type").cast("string"),
+        lit(" item_source:"), coalesce(col("item_source"), lit("")),
+        lit(" item_target:"), coalesce(col("item_target"), lit("")),
+        lit(" file_source:"), coalesce(col("file_source"), lit(0L)).cast("string"),
+        lit(" file_target:"), coalesce(col("file_target"), lit("")),
+        lit(" eospath:"), quoted(col("meta_path")),
+        lit(" uid:"), col("meta_uid"), lit(" gid:"), col("meta_gid")).as("line"))
+
   /** K4 error side-output (continue-on-error): lookup misses and VERSION rows
     * whose parent folder vanished. The pipeline never fails for one row.
     */

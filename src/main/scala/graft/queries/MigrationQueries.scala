@@ -143,6 +143,32 @@ object MigrationQueries {
         .orderBy("id")
     },
 
+    // K3/F8/F10 audit RECORD line (main.go:277): exact int->string formatting
+    // + strconv.Quote'd EOS path, one line per enriched share.
+    Q("m07_audit_lines",
+      s"""$ctes
+         |SELECT id,
+         |       'RECORD: ' || id || ' info:file id:' || id
+         |       || ' share_type:' || share_type
+         |       || ' item_source:' || COALESCE(item_source, '')
+         |       || ' item_target:' || COALESCE(item_target, '')
+         |       || ' file_source:' || COALESCE(file_source, 0)
+         |       || ' file_target:' || COALESCE(file_target, '')
+         |       || ' eospath:' || '"' ||
+         |         replace(replace(replace(replace(meta_path,
+         |           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(9), '\\t')
+         |       || '"'
+         |       || ' uid:' || meta_uid || ' gid:' || meta_gid AS line
+         |FROM enriched WHERE meta_ino IS NOT NULL
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      Migration.auditLine(
+        Migration.enrich(
+          Migration.scanShares(SyntheticShares.shares(orders)),
+          SyntheticShares.eosNamespace(orders)))
+        .orderBy("id")
+    },
+
     // K1 validation (main.go:232-238): dangling change-set ids -> error rows.
     // Target simulates concurrently-deleted shares (id % 29 = 0 vanished).
     Q("m06_changeset_validation",
