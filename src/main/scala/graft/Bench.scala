@@ -26,15 +26,33 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Local-iteration filter: SPARK_GRAFT_ONLY="d02,d03" times a subset.
+    // Unset (the driver's case) = every registered query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.all.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     val fns = SparkEntry.queries
-    val results = names.map { name =>
+    def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err =
-        try { fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isDefined) -1.0 else sec, err)
+      try {
+        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          (-1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
+    }
+    // Each query runs `Passes` times and reports the MIN: one noisy-host
+    // scheduling stall must not record a 10x figure for a 2 s query. A
+    // query counts as failed only if every pass fails.
+    val Passes = 2
+    val passes = (1 to Passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    val results = names.map { name =>
+      val rs = passes.map(_(name))
+      val ok = rs.collect { case (sec, None) => sec }
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, -1.0, rs.flatMap(_._2).headOption)
     }
 
     def jstr(s: String): String =

@@ -4,14 +4,26 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection building blocks for training-data pipelines:
-  * word-shingles, MinHash signatures, LSH band keys, SimHash.
+  * word-shingles, MinHash signatures, LSH band keys, SimHash, Hamming.
   *
-  * Everything is a pure Column expression (codegen'd higher-order
-  * functions — no UDFs). Hash parity with the DuckDB oracle is achieved by
-  * using md5 HEX STRINGS as the hash domain: `min(md5(seed|shingle))`
-  * under lexicographic string order is a valid MinHash (md5 is uniform on
-  * the hex alphabet) and both engines agree byte-for-byte, sidestepping
-  * integer-hash implementation differences.
+  * Everything is a pure Column expression — no UDFs, no driver collect.
+  * NOTE on execution: Spark's higher-order functions (`transform` /
+  * `aggregate` / `zip_with`) are INTERPRETED (CodegenFallback), with no
+  * whole-stage codegen and no common-subexpression elimination. Two rules
+  * follow, and this file + its call sites obey both:
+  *   1. one pass per row — tokenize/hash once and carry the result through
+  *      a single `aggregate`, never one HOF tree per bit/band (an
+  *      interpreted tree re-evaluates shared subtrees every time);
+  *   2. stage the results — callers write signatures to a table
+  *      ([[graft.operators.Stage.table]]) before self-joins so the
+  *      interpreted tree runs once per doc, not once per downstream
+  *      operator.
+  *
+  * Hash parity with the DuckDB oracle is achieved by using md5 HEX STRINGS
+  * as the hash domain: `min(md5(seed|shingle))` under lexicographic string
+  * order is a valid MinHash (md5 is uniform on the hex alphabet) and both
+  * engines agree byte-for-byte, sidestepping integer-hash implementation
+  * differences.
   *
   * Scale notes (100 TB): signatures/bands are fixed-width per doc — the
   * LSH self-join shuffles on (band_idx, band_key), which is uniformly
@@ -36,22 +48,53 @@ object DedupFns {
       .otherwise(array(norm))
   }
 
-  /** One MinHash value: lexicographic min of md5("<seed>|" + shingle). */
-  def minhash(shinglesCol: Column, seed: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed|"), s))))
-
-  /** Full signature as `array<string>` of `numHashes` MinHash values. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(minhash(shinglesCol, _)): _*)
-
-  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
-    * hashes, each group collapsed to one md5 key. Two docs collide on a band
-    * iff that band's hashes all match.
+  /** MinHash integer domain: the seed family h_i(x) = (A_i*x + B_i) mod P
+    * over a 28-bit md5-derived base. ONE md5 per shingle total; each seed
+    * hash is then three long ops — two orders of magnitude cheaper in the
+    * interpreted HOF evaluator than one md5 per (shingle, seed), at the
+    * same oracle parity (DuckDB: CAST('0x'||substring(md5(s),1,7) AS
+    * BIGINT) and the same literal A/B/P).
     */
-  def bandKeys(shinglesCol: Column, bands: Int, rowsPerBand: Int): Column =
+  val MinhashPrime = 2147483647L // 2^31-1; A*base+B < 2^59, no overflow
+  def mhA(i: Int): Long = 1103515245L + 2L * i // odd multipliers
+  def mhB(i: Int): Long = 12345L + 7919L * i
+
+  /** 28-bit integer base hash of a shingle: first 7 hex digits of md5. */
+  def shingleBase(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** One MinHash value: min over shingles of (A_seed*base + B_seed) mod P.
+    * Prefer [[minhashSignature]] when more than one value is needed — this
+    * traverses the shingle array once per call.
+    */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol,
+      s => (lit(mhA(seed)) * shingleBase(s) + lit(mhB(seed))) % MinhashPrime))
+
+  /** Full signature as `array<long>` of `numHashes` MinHash values in TWO
+    * array passes: materialize the per-shingle 28-bit bases (one md5
+    * each), then fold a running-min array where each base contributes its
+    * `numHashes` seed hashes as pure long arithmetic. Same values as
+    * `numHashes` calls to [[minhash]].
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    aggregate(
+      transform(shinglesCol, shingleBase(_)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m,
+          ((lit(1103515245L) + i.cast("long") * 2L) * h +
+            (lit(12345L) + i.cast("long") * 7919L)) % MinhashPrime)))
+
+  /** LSH band keys from a precomputed [[minhashSignature]]: `bands` groups
+    * of `rowsPerBand` consecutive signature entries, each collapsed to one
+    * md5 key. Two docs collide on a band iff that band's hashes all match.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => minhash(shinglesCol, b * rowsPerBand + r))
-      md5(concat_ws("|", parts: _*))
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
   /** Exact Jaccard similarity of two DISTINCT shingle arrays. */
@@ -61,19 +104,52 @@ object DedupFns {
     when(uni === 0L, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
-  /** 16-bit SimHash over the doc's DISTINCT tokens, as a '0'/'1' string:
-    * bit j is the majority vote of hex digit j of each token's md5
-    * (digit >= '8' means the nibble's top bit is set).
+  /** Majority-vote SimHash over per-token hex hashes: bit j of the
+    * signature is set iff, summed over tokens, hex digit j of the token's
+    * hash has its top bit set more often than not. One fold carrying a
+    * `bits`-element vote array — tokens are hashed ONCE (the `hashes`
+    * array is materialized before the fold), and each fold step does
+    * `bits` cheap substring tests.
     */
-  def simhash16(text: Column): Column = {
-    val toks = array_distinct(split(normText(text), " "))
-    val bits = (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(substring(md5(t), j + 1, 1) >= "8", 1L).otherwise(-1L))
-      when(vote > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+  private def simhashBits(hashes: Column, bits: Int): Column = {
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => transform(acc, (v, j) =>
+        v + when(h.substr(j + 1, lit(1)) >= "8", 1L).otherwise(-1L)))
+    array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
   }
+
+  /** 16-bit SimHash (one md5 per distinct token) as a '0'/'1' string. */
+  def simhash16(text: Column): Column =
+    simhashBits(transform(array_distinct(split(normText(text), " ")), t => md5(t)), 16)
+
+  /** 64-bit SimHash over the doc's shingle set, as a 64-char '0'/'1'
+    * string. A 16-bit signature space (65,536 buckets) cannot carry a
+    * large corpus — every bucket holds millions of rows at billions of
+    * docs. 64 bits gives 2^64 signatures; near-dup search is then banded
+    * Hamming ([[hamming]] over 4 x 16-bit band keys), mirroring the
+    * MinHash LSH shape.
+    *
+    * Over SHINGLES ([[shingles]]), not bare tokens, deliberately:
+    * template-heavy corpora share most of their vocabulary, so a token-SET
+    * SimHash collapses (measured on the test corpus: top band bucket
+    * 1505 of 5500 docs, 3.3M candidate pairs); shingles carry word order
+    * and keep buckets small (top bucket 5, 1.8k candidates). Each shingle
+    * is hashed twice (md5(s) ++ md5('#'+s) = 64 hex digits), once, before
+    * the vote fold.
+    */
+  def simhash64(shinglesCol: Column): Column =
+    simhashBits(
+      transform(shinglesCol, s => concat(md5(s), md5(concat(lit("#"), s)))), 64)
+
+  /** Hamming distance between two equal-length '0'/'1' signature strings. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, 0L).otherwise(1L)),
+      lit(0L),
+      (acc, x) => acc + x)
 
   /** Polynomial rolling-hash fingerprint over the printable-ASCII
     * projection of the text: acc = (acc*31 + codepoint) mod 1e9+7.

@@ -39,9 +39,21 @@ object PathFns {
       lit(VersionsPrefix), pathBasename(c))
   }
 
-  /** Name of the parent directory (second-to-last component, main.go:278-279). */
+  /** F4 slash normalization, the `path.Clean` subset EOS paths can need:
+    * collapse `//` runs and strip one trailing slash (root stays "/").
+    * Dot segments are out of scope — EOS emits canonical absolute paths
+    * (no "." / ".."), and the reference only Cleans before the parent-dir
+    * split (main.go:278).
+    */
+  def pathCleanSlashes(c: Column): Column =
+    regexp_replace(regexp_replace(c, "/{2,}", "/"), "(.)/$", "$1")
+
+  /** Name of the parent directory (second-to-last component of the CLEANED
+    * path — the reference splits `path.Clean(meta.Path)`, main.go:278-279,
+    * so `/a//b/f` and `/a/b/f` route identically).
+    */
   def parentDirName(c: Column): Column =
-    pathBasename(pathDirname(c))
+    pathBasename(pathDirname(pathCleanSlashes(c)))
 
   /** True when the file's basename marks it as a versions folder (main.go:280). */
   def isVersionsFolder(path: Column): Column =

@@ -4,8 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, as pure Column
-  * expressions (`zip_with` + `aggregate` are codegen'd higher-order
-  * functions — no UDF, no driver collect).
+  * expressions (`zip_with` + `aggregate` higher-order functions — no UDF,
+  * no driver collect). NOTE: Spark evaluates HOFs INTERPRETED
+  * (CodegenFallback, no common-subexpression elimination), so callers must
+  * compute each derived vector column once and stage it
+  * ([[graft.operators.Stage.table]]) rather than leaving the tree to be
+  * inlined into every consumer.
   *
   * All arithmetic is promoted to double and folded sequentially
   * (element order), so results are bit-deterministic and reproducible

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.DataFrame
+
+/** Written-table stage barrier.
+  *
+  * Heavy derived columns (MinHash signatures, SimHash bit votes, quantized
+  * embeddings, the migration pipeline's regex-derived paths) must not be
+  * left as lazy expression trees: Catalyst's projection collapse inlines
+  * them into every downstream operator, so a self-join recomputes the
+  * signature once per side per band key, and the duplicated trees blow up
+  * optimizer/codegen time. `.cache()` also stops the inlining, but it pins
+  * executor memory and is not what a 100 TB pipeline does — there, each
+  * expensive feature pass is WRITTEN as a table (parquet on distributed
+  * storage) and downstream stages scan it, giving a durable, re-scannable,
+  * memory-independent barrier.
+  *
+  * [[table]] is exactly that, pointed at local tmp for the test/bench
+  * sandbox: write the frame as parquet once, hand back a fresh scan of it.
+  * Files live under one per-JVM root that a shutdown hook removes.
+  */
+object Stage {
+
+  private lazy val root: Path = {
+    val dir = Files.createTempDirectory("graft-stage-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    dir
+  }
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Materialize `df` as a written parquet table; return a scan of it. */
+  def table(df: DataFrame, name: String): DataFrame = {
+    val path = root.resolve(s"$name-${seq.incrementAndGet()}").toString
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+}

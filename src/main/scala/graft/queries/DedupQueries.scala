@@ -4,19 +4,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{Q, Tables}
 import graft.functions.{DedupFns, TextFns, VectorFns}
+import graft.operators.Stage
 
 /** Deduplication operator family over the `documents` / `embeddings`
   * tables: exact (normalized-hash groupBy), MinHash+LSH near-dup,
-  * SimHash clustering, embedding-cosine near-dup — each oracle-paired
-  * with a DuckDB twin.
+  * 64-bit SimHash banded-Hamming near-dup, embedding-cosine near-dup —
+  * each oracle-paired with a DuckDB twin.
   *
   * The fixtures inject deterministic duplicates (same construction in both
   * engines) so the dedup paths are actually exercised: every 10th doc /
   * every 50th vector reappears under id+100000.
   *
   * Scale design: every query is a key-partitioned groupBy or a bucketed
-  * self-join (LSH band keys / label cells) — never an all-pairs cross
-  * product — so the plans survive 1000× the rows.
+  * self-join (LSH band keys / SimHash bands / label cells) — never an
+  * all-pairs cross product — so the plans survive 1000x the rows. Heavy
+  * derived columns (shingle arrays, signatures, quantized vectors) are
+  * WRITTEN as stage tables ([[Stage.table]]) before any self-join: Spark's
+  * higher-order functions are interpreted, so leaving them lazy means the
+  * whole tree re-runs once per downstream operator.
   */
 object DedupQueries {
 
@@ -62,16 +67,37 @@ object DedupQueries {
        |            i -> array_to_string(array_slice(string_split($normSql, ' '), i, i + 2), ' ')))
        |     ELSE [$normSql] END""".stripMargin
 
-  /** DuckDB twin of [[DedupFns.minhash]]. */
+  /** DuckDB twin of one [[DedupFns.minhashSignature]] entry: same 28-bit
+    * md5-derived base, same (A_i*x + B_i) mod P family, same literals.
+    */
   private def minhashSql(seed: Int): String =
-    s"list_min(list_transform(sh, s -> md5('$seed|' || s)))"
+    s"list_min(list_transform(sh, s -> (${DedupFns.mhA(seed)} * CAST('0x' || substring(md5(s), 1, 7) AS BIGINT) + ${DedupFns.mhB(seed)}) % ${DedupFns.MinhashPrime}))"
 
   /** DuckDB twin of [[DedupFns.bandKeys]] for band `b` (3 rows per band). */
   private def bandKeySql(b: Int): String =
-    s"md5(${(0 until 3).map(r => minhashSql(b * 3 + r)).mkString(" || '|' || ")})"
+    s"md5(${(0 until 3).map(r => s"CAST(${minhashSql(b * 3 + r)} AS VARCHAR)").mkString(" || '|' || ")})"
 
   val Bands = 3
   val RowsPerBand = 3
+
+  /** SimHash banding: 64-bit signature split into 4 x 16-bit band keys;
+    * colliding pairs verified by full Hamming distance <= [[HammingMax]].
+    */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
+  val HammingMax = 3
+
+  /** DuckDB twin of [[DedupFns.simhash64]] over a per-token hash list
+    * column `hs` (64 CASE'd bits concatenated).
+    */
+  private val simhash64Sql: String =
+    (1 to 64).map(j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+    ).mkString(" || ")
+
+  /** DuckDB twin of [[DedupFns.hamming]] over two sig columns. */
+  private def hammingSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN substring($a, i, 1) <> substring($b, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
 
   val entries: Seq[Q] = Seq(
 
@@ -93,9 +119,11 @@ object DedupQueries {
         .orderBy("fp")
     },
 
-    // MinHash + LSH near-dup: signature -> band keys -> bucket self-join ->
-    // exact Jaccard verification on candidates only. The self-join shuffles
-    // on (band, key); verification re-joins shingle arrays by doc id.
+    // MinHash + LSH near-dup: shingles -> signature -> band keys -> bucket
+    // self-join -> exact Jaccard verification on candidates only. The
+    // shingle and band stages are WRITTEN tables: the self-join and the two
+    // verification joins then scan small parquet instead of re-running the
+    // interpreted shingle/minhash trees once per consumer.
     Q("d02_minhash_lsh",
       s"""WITH $dupDocsSql,
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
@@ -116,17 +144,14 @@ object DedupQueries {
          |WHERE CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
          |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // Persist the signature stage (cache = the local stand-in for writing
-      // signatures to a table, as a 100 TB pipeline would): without the
-      // barrier Catalyst's projection collapse inlines the shingle+minhash
-      // trees into every downstream operator — 9x recompute per side of the
-      // self-join and minutes of optimizer/codegen time on giant trees.
-      val sh = dupDocs(s, d)
-        .select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
-        .cache()
-      val bands = sh.select(col("doc_id"),
-        posexplode(DedupFns.bandKeys(col("sh"), Bands, RowsPerBand)).as(Seq("band", "key")))
-        .cache()
+      val sh = Stage.table(
+        dupDocs(s, d).select(col("doc_id"), DedupFns.shingles(col("text")).as("sh")),
+        "d02_shingles")
+      val bands = Stage.table(
+        sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
+            DedupFns.minhashSignature(col("sh"), Bands * RowsPerBand),
+            Bands, RowsPerBand)).as(Seq("band", "key"))),
+        "d02_bands")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -141,31 +166,62 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash clustering: 16-bit signature groupBy; clusters with >1 doc
-    // are near-dup candidates. Single shuffle on the signature key.
-    Q("d03_simhash_clusters",
+    // 64-bit SimHash near-dup, banded: shingles -> signature -> 4 x 16-bit
+    // band keys -> bucket self-join -> full-Hamming verification on
+    // candidates only (same shape as d02). A 16-bit signature space (2^16
+    // buckets) dies at corpus scale — every bucket holds millions of rows;
+    // 64 bits banded into 16-bit keys keeps bucket collisions rare and
+    // verification exact. Shingle-based (not token-set) signatures keep
+    // template-heavy corpora from collapsing into mega-buckets — see
+    // [[DedupFns.simhash64]] for the measured difference.
+    Q("d03_simhash_neardup",
       s"""WITH $dupDocsSql,
          |t AS (SELECT doc_id,
-         |  list_distinct(string_split($normSql, ' ')) AS toks
+         |  list_transform($shinglesSql,
+         |                 s -> md5(s) || md5('#' || s)) AS hs
          |  FROM dupdocs),
-         |s AS (SELECT doc_id, ${(1 to 16).map(j =>
-             s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN substring(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
-           ).mkString(" || ")} AS simhash FROM t)
-         |SELECT simhash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-         |FROM s GROUP BY simhash HAVING COUNT(*) > 1
-         |ORDER BY simhash""".stripMargin) { (s, d) =>
-      dupDocs(s, d)
-        .select(col("doc_id"), DedupFns.simhash16(col("text")).as("simhash"))
-        .groupBy("simhash")
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
-        .where(col("n_docs") > 1)
-        .orderBy("simhash")
+         |s AS (SELECT doc_id, $simhash64Sql AS sig FROM t),
+         |bands AS (
+         |${(0 until SimhashBands).map(b =>
+             s"  SELECT doc_id, $b AS band, substring(sig, ${b * SimhashBandBits + 1}, $SimhashBandBits) AS key FROM s").mkString(" UNION ALL\n")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                           AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b, ${hammingSql("x.sig", "y.sig")} AS hamming
+         |FROM cand c JOIN s x ON c.doc_a = x.doc_id JOIN s y ON c.doc_b = y.doc_id
+         |WHERE ${hammingSql("x.sig", "y.sig")} <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sig = Stage.table(
+        dupDocs(s, d)
+          .select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
+          .select(col("doc_id"), DedupFns.simhash64(col("sh")).as("sig")),
+        "d03_sig")
+      val bands = sig.select(col("doc_id"), posexplode(
+          array((0 until SimhashBands).map(b =>
+            substring(col("sig"), b * SimhashBandBits + 1, SimhashBandBits)): _*))
+          .as(Seq("band", "key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .withColumn("hamming", DedupFns.hamming(col("sig_a"), col("sig_b")))
+        .where(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup: candidate pairs only WITHIN a label cell
     // (IVF-style bucketing — the 100 TB path: co-partition by cell id,
     // never all-pairs). Integer-quantized cosine for exact cross-engine
-    // parity and order-free aggregation.
+    // parity and order-free aggregation. The quantized feature pass is a
+    // written stage table; both join sides scan it.
     Q("d04_embedding_neardup",
       s"""WITH $dupEmbSql,
          |qv AS (SELECT vec_id, label,
@@ -181,11 +237,11 @@ object DedupQueries {
          |  AND CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
          |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      // quantize + norms once per vector, persisted (feature-table stage)
-      val qv = dupEmb(s, d).select(col("vec_id"), col("label"),
-        VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("n2", VectorFns.qnorm2(col("q")))
-        .cache()
+      val qv = Stage.table(
+        dupEmb(s, d).select(col("vec_id"), col("label"),
+          VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", VectorFns.qnorm2(col("q"))),
+        "d04_qv")
       val a = qv.select(col("vec_id").as("vec_a"), col("label"),
         col("q").as("q_a"), col("n2").as("n2_a"))
       val b = qv.select(col("vec_id").as("vec_b"), col("label"),

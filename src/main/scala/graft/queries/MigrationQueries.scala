@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{Q, Tables}
-import graft.operators.{Migration, SyntheticShares}
+import graft.operators.{Migration, Stage, SyntheticShares}
 
 /** The reference migration pipeline (main.go:241-322) as oracle-checked
   * queries. Inputs are the deterministic [[SyntheticShares]] fixtures (both
@@ -18,11 +18,22 @@ object MigrationQueries {
     */
   private def createdInode = lit(SyntheticShares.CreatedInodeOffset) + col("id")
 
+  /** The resolved pipeline, WRITTEN as a stage table before the side-output
+    * projections branch off it. Without the barrier, Catalyst's projection
+    * collapse inlines the decision-dependent regex trees (dirname /
+    * basename / versionsPath) into every downstream column — the changeset
+    * projection alone carries five copies — and both the optimizer and the
+    * per-row evaluation pay for each copy. A 100 TB run would write
+    * `resolved` to a table for exactly the same reason: many sinks, one
+    * computation.
+    */
   private def resolved(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
-    Migration.resolvedPipeline(
-      SyntheticShares.shares(orders), SyntheticShares.eosNamespace(orders),
-      createdInode)
+    Stage.table(
+      Migration.resolvedPipeline(
+        SyntheticShares.shares(orders), SyntheticShares.eosNamespace(orders),
+        createdInode),
+      "m_resolved")
   }
 
   // ---------------------------------------------------------------------
@@ -167,6 +178,56 @@ object MigrationQueries {
           Migration.scanShares(SyntheticShares.shares(orders)),
           SyntheticShares.eosNamespace(orders)))
         .orderBy("id")
+    },
+
+    // F5/F6 KV-record parse (main.go:182-207): synthesize raw EOS
+    // `file info -m` records from the ns fixture — length-prefixed `file=`
+    // value with an EMBEDDED SPACE (the reason the length prefix exists),
+    // plus pino=/treesize= keys placed BEFORE ino=/size= so an unanchored
+    // key match would capture the wrong field — then parse everything back.
+    Q("m08_kv_parse",
+      s"""WITH ${SyntheticShares.sharesSql},
+         |${SyntheticShares.nsSql},
+         |spaced AS (
+         |  SELECT ino, replace(file, '.dat', ' copy.dat') AS f, uid, gid, size FROM ns
+         |),
+         |raw AS (
+         |  SELECT 'keylength.file=' || CAST(length(f) AS VARCHAR)
+         |         || ' file=' || f
+         |         || ' pino=' || CAST(ino + 1 AS VARCHAR)
+         |         || ' ino=' || CAST(ino AS VARCHAR)
+         |         || ' uid=' || uid || ' gid=' || gid
+         |         || ' treesize=' || CAST(size * 2 AS VARCHAR)
+         |         || ' size=' || CAST(size AS VARCHAR) AS r
+         |  FROM spaced
+         |)
+         |SELECT CAST(regexp_extract(r, '(?:^| )ino=([^ ]*)', 1) AS BIGINT) AS ino,
+         |       substring(r,
+         |                 15 + length(regexp_extract(r, '^keylength\\.file=([0-9]+)', 1)) + 7,
+         |                 CAST(regexp_extract(r, '^keylength\\.file=([0-9]+)', 1) AS INT)) AS file,
+         |       regexp_extract(r, '(?:^| )uid=([^ ]*)', 1) AS uid,
+         |       regexp_extract(r, '(?:^| )gid=([^ ]*)', 1) AS gid,
+         |       CAST(regexp_extract(r, '(?:^| )size=([^ ]*)', 1) AS BIGINT) AS size
+         |FROM raw ORDER BY ino""".stripMargin) { (s, d) =>
+      import graft.functions.PathFns
+      val ns = SyntheticShares.eosNamespace(Tables.orders(s, d))
+      val raw = ns
+        .withColumn("f", replace(col("file"), lit(".dat"), lit(" copy.dat")))
+        .select(concat(
+          lit("keylength.file="), length(col("f")).cast("string"),
+          lit(" file="), col("f"),
+          lit(" pino="), (col("ino") + 1).cast("string"),
+          lit(" ino="), col("ino").cast("string"),
+          lit(" uid="), col("uid"), lit(" gid="), col("gid"),
+          lit(" treesize="), (col("size") * 2).cast("string"),
+          lit(" size="), col("size").cast("string")).as("r"))
+      raw.select(
+          PathFns.kvIno(col("r")).as("ino"),
+          PathFns.kvFile(col("r")).as("file"),
+          PathFns.kvUid(col("r")).as("uid"),
+          PathFns.kvGid(col("r")).as("gid"),
+          PathFns.kvSize(col("r")).as("size"))
+        .orderBy("ino")
     },
 
     // K1 validation (main.go:232-238): dangling change-set ids -> error rows.

@@ -1,19 +1,25 @@
 package graft.queries
 
+import scala.collection.mutable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import graft.{Q, Tables}
 import graft.functions.VectorFns
+import graft.operators.Stage
+
+/** One scored (probe, candidate) pair in the ANN reduce. */
+final case class ScoredNeighbor(probe_id: Long, vec_id: Long, cosine: Double)
 
 /** Approximate-nearest-neighbor surface over the `embeddings` table.
   *
   * v01 is the exact baseline: top-k cosine for a small probe set. The probe
-  * side is tiny and broadcast, so the "cross join" is really a broadcast
-  * nested loop producing |probes| x N rows — at 100 TB this is a single
-  * scan of the vector table with map-side scoring and a per-probe top-k
-  * (TakeOrdered-style partial top-k per partition, k x |probes| rows to the
-  * final reduce; no global sort, no shuffle of the vectors).
+  * side is tiny and broadcast, so scoring is one map-side scan of the
+  * vector table. The reduce side is a PARTIAL top-k: a bounded per-probe
+  * heap inside each partition emits at most k rows per (probe, partition),
+  * so only k x partitions rows ever shuffle — never the full N x |probes|
+  * scored set into |probes| reducer tasks (the 10^9-rows-in-5-tasks
+  * scale-killer a naive ranking window would plan).
   *
   * v02 is the scale path: IVF-style cell-restricted search (cells here are
   * the precomputed `label` assignments; in production, k-means cell ids
@@ -21,25 +27,22 @@ import graft.functions.VectorFns
   * partition-pruned lookups touching 1/|cells| of the data.
   *
   * All scoring uses integer-quantized cosine ([[VectorFns.quantize]]):
-  * exact, order-free, oracle-reproducible.
+  * exact, order-free, oracle-reproducible. The quantized vectors + norms
+  * are a WRITTEN stage table per query ([[Stage.table]] — the feature
+  * table a production pipeline would persist), so the interpreted
+  * quantization pass runs once, not once per consumer.
   */
 object SimilarityQueries {
 
   val K = 10
   val NumProbes = 5 // probe set = vec_id < 5
 
-  /** Quantized vectors + norms, persisted once per session/dir (the
-    * feature-table stage a production pipeline would write out; also keeps
-    * Catalyst from re-inlining the quantization tree into every consumer).
-    */
-  private val qvCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def quantized(s: SparkSession, d: String): DataFrame =
-    qvCache.getOrElseUpdate((s, d),
+    Stage.table(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("n2", VectorFns.qnorm2(col("q")))
-        .cache())
+        .withColumn("n2", VectorFns.qnorm2(col("q"))),
+      "qv")
 
   private val qvSql: String =
     """qv AS (
@@ -54,6 +57,36 @@ object SimilarityQueries {
     """CAST(CAST(list_sum(list_transform(list_zip(p.q, c.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
       |  / sqrt(CAST(p.n2 * c.n2 AS DOUBLE))""".stripMargin
 
+  /** Per-partition partial top-k: one bounded heap per probe (the probe set
+    * is small by construction), emitting at most k rows per (probe,
+    * partition). Total order (cosine desc, vec_id asc) matches the final
+    * ranking, so the union of per-partition top-k is a superset of the
+    * global top-k. This is the justified `mapPartitions` case: a bounded
+    * imperative accumulator Spark's aggregate operators can't express
+    * without shuffling untruncated per-partition lists.
+    */
+  private def partialTopK(scored: Dataset[ScoredNeighbor], k: Int): Dataset[ScoredNeighbor] = {
+    // PriorityQueue dequeues its MAX: order so the max is the WORST entry
+    // (lowest cosine, then highest vec_id) — the one to evict.
+    val worstFirst: Ordering[ScoredNeighbor] =
+      Ordering.by((s: ScoredNeighbor) => (-s.cosine, s.vec_id))
+    scored.mapPartitions { it =>
+      val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[ScoredNeighbor]]
+      it.foreach { s =>
+        val h = heaps.getOrElseUpdate(s.probe_id,
+          mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue(s)
+        else {
+          val w = h.head
+          if (s.cosine > w.cosine || (s.cosine == w.cosine && s.vec_id < w.vec_id)) {
+            h.dequeue(); h.enqueue(s)
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.product[ScoredNeighbor])
+  }
+
   private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
     val qv = quantized(s, d)
     val probes = qv.where(col("vec_id") < NumProbes)
@@ -65,13 +98,16 @@ object SimilarityQueries {
           col("vec_id") =!= col("probe_id"))
       else
         qv.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val scored = joined
+      .where(col("p_n2") > 0 && col("n2") > 0)
+      .select(col("probe_id"), col("vec_id"),
+        (VectorFns.qdot(col("p_q"), col("q")).cast("double") /
+          sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
+      .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
+    // final rank over only k x partitions pre-truncated rows
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    joined
-      .where(col("p_n2") > 0 && col("n2") > 0)
-      .withColumn("cosine",
-        VectorFns.qdot(col("p_q"), col("q")).cast("double") /
-          sqrt((col("p_n2") * col("n2")).cast("double")))
+    partialTopK(scored, K).toDF()
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= K)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cosine"))
@@ -111,7 +147,8 @@ object SimilarityQueries {
     // Centroids are exact integer mean-numerators (sum vectors + counts)
     // per label — no floating accumulation; scoring divides once at the
     // edge. At scale this is one map-side pass against a broadcast
-    // centroid table.
+    // centroid table; the ranking window partitions by vec_id (uniform,
+    // |labels| rows per vector), not by a handful of hot keys.
     Q("v03_nearest_centroid",
       s"""WITH $qvSql,
          |elems AS (

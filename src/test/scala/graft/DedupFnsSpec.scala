@@ -24,11 +24,32 @@ class DedupFnsSpec extends SparkTestBase {
     assert(a != other)
   }
 
+  test("minhashSignature: one-pass fold equals per-seed minhash") {
+    val sig = one(minhashSignature(shingles(lit("a b c d e f g")), 9))
+      .asInstanceOf[scala.collection.Seq[String]]
+    val perSeed = (0 until 9).map(j => one(minhash(shingles(lit("a b c d e f g")), j)))
+    assert(sig == perSeed)
+  }
+
   test("bandKeys: identical docs collide on every band") {
-    val k1 = one(bandKeys(shingles(lit("a b c d e")), 3, 3)).asInstanceOf[scala.collection.Seq[String]]
-    val k2 = one(bandKeys(shingles(lit("a  B c D e")), 3, 3)).asInstanceOf[scala.collection.Seq[String]]
+    def keys(t: String) =
+      one(bandKeys(minhashSignature(shingles(lit(t)), 9), 3, 3))
+        .asInstanceOf[scala.collection.Seq[String]]
+    val k1 = keys("a b c d e")
+    val k2 = keys("a  B c D e")
     assert(k1 == k2) // normalization collapses case/whitespace
     assert(k1.size == 3)
+  }
+
+  test("simhash64: 64 bits, equal for equal shingle sets; hamming 0/positive") {
+    val h = one(simhash64(shingles(lit("cat dog fish bird")))).asInstanceOf[String]
+    assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+    // same shingle sequence modulo case/whitespace
+    assert(one(simhash64(shingles(lit("CAT dog  fish bird")))) == h)
+    assert(one(hamming(lit(h), lit(h))) == 0L)
+    val other = one(simhash64(shingles(lit("totally different words here")))).asInstanceOf[String]
+    assert(one(hamming(lit(h), lit(other))).asInstanceOf[Long] ==
+      h.zip(other).count { case (x, y) => x != y }.toLong)
   }
 
   test("jaccard: exact on distinct arrays, 0 for empty union") {

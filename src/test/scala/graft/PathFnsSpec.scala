@@ -33,6 +33,24 @@ class PathFnsSpec extends SparkTestBase {
     assert(one(parentDirName(lit("/a/.sys.v#.d/v1"))) == ".sys.v#.d")
   }
 
+  test("pathCleanSlashes: collapse // runs, strip trailing slash, keep root (F4)") {
+    assert(one(pathCleanSlashes(lit("/a//b/f.dat"))) == "/a/b/f.dat")
+    assert(one(pathCleanSlashes(lit("/a/b/"))) == "/a/b")
+    assert(one(pathCleanSlashes(lit("/a///b//"))) == "/a/b")
+    assert(one(pathCleanSlashes(lit("/"))) == "/")
+    assert(one(pathCleanSlashes(lit("//"))) == "/")
+    assert(one(pathCleanSlashes(lit("/a/b/f.dat"))) == "/a/b/f.dat") // clean = identity
+  }
+
+  test("parentDirName routes non-clean paths like the reference's path.Clean split") {
+    // Go: strings.Split(path.Clean(p), "/")[len-2]
+    assert(one(parentDirName(lit("/a//b/f.dat"))) == "b")   // Clean -> /a/b/f.dat
+    assert(one(parentDirName(lit("/a/b/"))) == "a")          // Clean -> /a/b
+    assert(one(parentDirName(lit("/u//.sys.v#.d//v1"))) == ".sys.v#.d")
+    // and the router guard built on it
+    assert(one(pointsToVersion(lit("/u//.sys.v#.f.dat//v1"))) == true)
+  }
+
   test("router guards: isVersionsFolder / pointsToVersion / underPrefix") {
     assert(one(isVersionsFolder(lit("/u/.sys.v#.f.dat"))) == true)
     assert(one(isVersionsFolder(lit("/u/f.dat"))) == false)
