@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** Session extension registering the native graft expressions as SQL
+  * functions — the Spark-native way to ship custom Catalyst expressions:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions     // config, or
+  *   SparkSession.builder.withExtensions(new GraftExtensions) // code
+  * }}}
+  *
+  * After which `SELECT graft_long_dot(a, b)` etc. work from SQL and
+  * `call_function` from the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftNative.registrations.foreach(ext.injectFunction)
+}
+
+/** Column API over the native expressions + idempotent per-session
+  * registration for sessions that were not built with [[GraftExtensions]]
+  * (the query builders call [[ensure]] with the session they are given).
+  */
+object GraftNative {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", classOf[MinHashSignatureExpr]),
+      (ch: Seq[Expression]) => ch match {
+        case Seq(sh, Literal(n: Int, IntegerType)) => MinHashSignatureExpr(sh, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(shingles array<string>, numHashes int literal)")
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", classOf[SimHash64Expr]),
+      (ch: Seq[Expression]) => SimHash64Expr(ch.head)),
+    (FunctionIdentifier("graft_long_dot"),
+      info("graft_long_dot", classOf[LongDotProduct]),
+      (ch: Seq[Expression]) => LongDotProduct(ch(0), ch(1))),
+    (FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", classOf[HammingDistance]),
+      (ch: Seq[Expression]) => HammingDistance(ch(0), ch(1))))
+
+  /** Register into an existing session's function registry (idempotent,
+    * cheap: checked by name). Lets any session use the functions, not just
+    * ones built with the extension.
+    */
+  def ensure(spark: SparkSession): Unit = {
+    val fr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registrations.foreach { case (ident, _, builder) =>
+      if (!fr.functionExists(ident))
+        fr.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
+
+  // ---- Column wrappers (callers must have run ensure/extension) --------
+
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", sh, lit(numHashes))
+  def simhash64(sh: Column): Column = call_function("graft_simhash64", sh)
+  def longDot(a: Column, b: Column): Column = call_function("graft_long_dot", a, b)
+  def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
+}

@@ -1,0 +1,197 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/ANN hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * interpreted per ELEMENT — one lambda-evaluator round trip per array
+  * element per enclosing lambda. For signature computations that means
+  * (shingles x hashes) interpreter steps per row. These expressions
+  * evaluate the same math as the Column compositions in [[DedupFns]] /
+  * [[VectorFns]] (asserted equal in DedupFnsSpec/VectorFnsSpec) in one
+  * tight Scala/Java loop per row:
+  *
+  *  - [[LongDotProduct]] and [[HammingDistance]] participate in
+  *    whole-stage codegen (`doGenCode` emits a plain loop);
+  *  - [[MinHashSignatureExpr]] and [[SimHash64Expr]] are CodegenFallback
+  *    (one virtual call per ROW — the per-element interpreter overhead,
+  *    which is the actual cost driver, is gone).
+  *
+  * Registered as SQL functions by [[graft.GraftExtensions]] /
+  * [[graft.GraftNative]].
+  */
+object GraftHash {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def md(): MessageDigest = { val m = mdLocal.get(); m.reset(); m }
+
+  /** First 7 hex nibbles of md5(bytes) as a 28-bit long — identical to
+    * `CAST('0x' || substring(md5(s),1,7) AS BIGINT)` (DuckDB) and
+    * `conv(substring(md5(s),1,7),16,10)` (Spark).
+    */
+  def base28(bytes: Array[Byte]): Long = {
+    val d = md().digest(bytes)
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) | ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+  }
+
+  /** First 16 hex nibbles of md5(bytes) as a 64-bit value (big-endian). */
+  def h64(bytes: Array[Byte]): Long = {
+    val d = md().digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+}
+
+/** MinHash signature over an `array<string>` shingle column: for seed i,
+  * min over shingles of (A_i*base28(s) + B_i) mod P with the [[DedupFns]]
+  * constants — value-identical to [[DedupFns.minhashSignature]], one md5
+  * and `numHashes` long-ops per shingle in a single loop.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = GraftHash.base28(arr.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < numHashes) {
+        val v = ((DedupFns.mhA(k) * h) + DedupFns.mhB(k)) % DedupFns.MinhashPrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an `array<string>` shingle column, as a 64-char
+  * '0'/'1' string: bit j is the majority vote of bit j of each shingle's
+  * [[GraftHash.h64]]. One md5 + 64 shift/adds per shingle.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = GraftHash.h64(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) { out(j) = if (votes(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two `array<long>` columns (quantized
+  * vectors). Whole-stage-codegen'd: the generated code is a plain loop
+  * over the two ArrayDatas — no per-element lambda dispatch. Array
+  * elements must be non-null (quantized vectors are by construction).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance between two equal-length ASCII signature strings:
+  * count of differing byte positions (+ length difference if any).
+  * Whole-stage-codegen'd byte loop.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val n = math.min(x.numBytes(), y.numBytes())
+    var s = math.abs(x.numBytes() - y.numBytes()).toLong
+    var i = 0
+    while (i < n) { if (x.getByte(i) != y.getByte(i)) s += 1L; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+         |long $s = java.lang.Math.abs($a.numBytes() - $b.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}

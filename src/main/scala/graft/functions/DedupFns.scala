@@ -124,24 +124,15 @@ object DedupFns {
   def simhash16(text: Column): Column =
     simhashBits(transform(array_distinct(split(normText(text), " ")), t => md5(t)), 16)
 
-  /** 64-bit SimHash over the doc's shingle set, as a 64-char '0'/'1'
-    * string. A 16-bit signature space (65,536 buckets) cannot carry a
-    * large corpus — every bucket holds millions of rows at billions of
-    * docs. 64 bits gives 2^64 signatures; near-dup search is then banded
-    * Hamming ([[hamming]] over 4 x 16-bit band keys), mirroring the
-    * MinHash LSH shape.
-    *
-    * Over SHINGLES ([[shingles]]), not bare tokens, deliberately:
-    * template-heavy corpora share most of their vocabulary, so a token-SET
-    * SimHash collapses (measured on the test corpus: top band bucket
-    * 1505 of 5500 docs, 3.3M candidate pairs); shingles carry word order
-    * and keep buckets small (top bucket 5, 1.8k candidates). Each shingle
-    * is hashed twice (md5(s) ++ md5('#'+s) = 64 hex digits), once, before
-    * the vote fold.
-    */
-  def simhash64(shinglesCol: Column): Column =
-    simhashBits(
-      transform(shinglesCol, s => concat(md5(s), md5(concat(lit("#"), s)))), 64)
+  // 64-bit SimHash lives in [[SimHash64Expr]] (native Catalyst expression,
+  // exposed as graft.GraftNative.simhash64): a 16-bit signature space
+  // (65,536 buckets) cannot carry a large corpus, and the 64-wide vote
+  // fold is exactly the shape the interpreted HOF evaluator is worst at.
+  // It hashes SHINGLES, not bare tokens, deliberately: template-heavy
+  // corpora share most of their vocabulary, so a token-SET SimHash
+  // collapses (measured on the test corpus: top band bucket 1505 of 5500
+  // docs, 3.3M candidate pairs); shingles carry word order and keep
+  // buckets small (top bucket 5, 1.8k candidates).
 
   /** Hamming distance between two equal-length '0'/'1' signature strings. */
   def hamming(a: Column, b: Column): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.{Q, Tables}
+import graft.{GraftNative, Q, Tables}
 import graft.functions.{DedupFns, TextFns, VectorFns}
 import graft.operators.Stage
 
@@ -87,13 +87,15 @@ object DedupQueries {
   val SimhashBandBits = 16
   val HammingMax = 3
 
-  /** DuckDB twin of [[DedupFns.simhash64]] over a per-token hash list
-    * column `hs` (64 CASE'd bits concatenated).
+  /** DuckDB twin of [[graft.functions.SimHash64Expr]] over a per-shingle
+    * hash-pair list column `hs` (each element = [high32, low32] of the
+    * first 16 md5 hex digits): 64 CASE'd majority-vote bits concatenated.
     */
   private val simhash64Sql: String =
-    (1 to 64).map(j =>
-      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substring(h, $j, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
-    ).mkString(" || ")
+    (0 until 64).map { j =>
+      val bit = if (j < 32) s"((h[1] >> ${31 - j}) & 1)" else s"((h[2] >> ${63 - j}) & 1)"
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN $bit = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   /** DuckDB twin of [[DedupFns.hamming]] over two sig columns. */
   private def hammingSql(a: String, b: String): String =
@@ -144,12 +146,13 @@ object DedupQueries {
          |WHERE CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
          |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
       val sh = Stage.table(
         dupDocs(s, d).select(col("doc_id"), DedupFns.shingles(col("text")).as("sh")),
         "d02_shingles")
       val bands = Stage.table(
         sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
-            DedupFns.minhashSignature(col("sh"), Bands * RowsPerBand),
+            GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
             Bands, RowsPerBand)).as(Seq("band", "key"))),
         "d02_bands")
       val cand = bands.as("a").join(bands.as("b"),
@@ -178,7 +181,8 @@ object DedupQueries {
       s"""WITH $dupDocsSql,
          |t AS (SELECT doc_id,
          |  list_transform($shinglesSql,
-         |                 s -> md5(s) || md5('#' || s)) AS hs
+         |                 s -> [CAST('0x' || substring(md5(s), 1, 8) AS BIGINT),
+         |                       CAST('0x' || substring(md5(s), 9, 8) AS BIGINT)]) AS hs
          |  FROM dupdocs),
          |s AS (SELECT doc_id, $simhash64Sql AS sig FROM t),
          |bands AS (
@@ -194,10 +198,11 @@ object DedupQueries {
          |FROM cand c JOIN s x ON c.doc_a = x.doc_id JOIN s y ON c.doc_b = y.doc_id
          |WHERE ${hammingSql("x.sig", "y.sig")} <= $HammingMax
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
       val sig = Stage.table(
         dupDocs(s, d)
           .select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
-          .select(col("doc_id"), DedupFns.simhash64(col("sh")).as("sig")),
+          .select(col("doc_id"), GraftNative.simhash64(col("sh")).as("sig")),
         "d03_sig")
       val bands = sig.select(col("doc_id"), posexplode(
           array((0 until SimhashBands).map(b =>
@@ -211,7 +216,7 @@ object DedupQueries {
       cand
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .withColumn("hamming", DedupFns.hamming(col("sig_a"), col("sig_b")))
+        .withColumn("hamming", GraftNative.hamming(col("sig_a"), col("sig_b")))
         .where(col("hamming") <= HammingMax)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
@@ -237,10 +242,11 @@ object DedupQueries {
          |  AND CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
          |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
       val qv = Stage.table(
         dupEmb(s, d).select(col("vec_id"), col("label"),
           VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", VectorFns.qnorm2(col("q"))),
+          .withColumn("n2", GraftNative.longDot(col("q"), col("q"))),
         "d04_qv")
       val a = qv.select(col("vec_id").as("vec_a"), col("label"),
         col("q").as("q_a"), col("n2").as("n2_a"))
@@ -250,7 +256,7 @@ object DedupQueries {
         .where(col("vec_a") < col("vec_b"))
         .where(col("n2_a") > 0 && col("n2_b") > 0)
         .withColumn("cosine",
-          VectorFns.qdot(col("q_a"), col("q_b")).cast("double") /
+          GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
             sqrt((col("n2_a") * col("n2_b")).cast("double")))
         .where(col("cosine") >= 0.95)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))

@@ -4,7 +4,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import graft.{Q, Tables}
+import graft.{GraftNative, Q, Tables}
 import graft.functions.VectorFns
 import graft.operators.Stage
 
@@ -37,12 +37,14 @@ object SimilarityQueries {
   val K = 10
   val NumProbes = 5 // probe set = vec_id < 5
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
     Stage.table(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("n2", VectorFns.qnorm2(col("q"))),
+        .withColumn("n2", GraftNative.longDot(col("q"), col("q"))),
       "qv")
+  }
 
   private val qvSql: String =
     """qv AS (
@@ -101,7 +103,7 @@ object SimilarityQueries {
     val scored = joined
       .where(col("p_n2") > 0 && col("n2") > 0)
       .select(col("probe_id"), col("vec_id"),
-        (VectorFns.qdot(col("p_q"), col("q")).cast("double") /
+        (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
           sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
       .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
     // final rank over only k x partitions pre-truncated rows
@@ -190,8 +192,8 @@ object SimilarityQueries {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("score").desc, col("cand_label"))
       qv.join(broadcast(cand))
-        .withColumn("dot_num", VectorFns.qdot(col("q"), col("sq")))
-        .withColumn("cn2_num", VectorFns.qnorm2(col("sq")))
+        .withColumn("dot_num", GraftNative.longDot(col("q"), col("sq")))
+        .withColumn("cn2_num", GraftNative.longDot(col("sq"), col("sq")))
         .where(col("cn2_num") > 0)
         .withColumn("score", col("dot_num").cast("double") / sqrt(col("cn2_num").cast("double")))
         .withColumn("rnk", row_number().over(w))

@@ -41,15 +41,10 @@ class DedupFnsSpec extends SparkTestBase {
     assert(k1.size == 3)
   }
 
-  test("simhash64: 64 bits, equal for equal shingle sets; hamming 0/positive") {
-    val h = one(simhash64(shingles(lit("cat dog fish bird")))).asInstanceOf[String]
-    assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
-    // same shingle sequence modulo case/whitespace
-    assert(one(simhash64(shingles(lit("CAT dog  fish bird")))) == h)
-    assert(one(hamming(lit(h), lit(h))) == 0L)
-    val other = one(simhash64(shingles(lit("totally different words here")))).asInstanceOf[String]
-    assert(one(hamming(lit(h), lit(other))).asInstanceOf[Long] ==
-      h.zip(other).count { case (x, y) => x != y }.toLong)
+  test("hamming: zero on equal strings, counts differing positions") {
+    assert(one(hamming(lit("0101"), lit("0101"))) == 0L)
+    assert(one(hamming(lit("0101"), lit("1101"))) == 1L)
+    assert(one(hamming(lit("0000"), lit("1111"))) == 4L)
   }
 
   test("jaccard: exact on distinct arrays, 0 for empty union") {

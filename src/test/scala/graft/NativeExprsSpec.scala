@@ -1,0 +1,84 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFns, VectorFns}
+
+/** The native Catalyst expressions must compute exactly what their
+  * Column-composition twins (or an independent in-test reimplementation)
+  * compute — they exist for speed, not different semantics.
+  */
+class NativeExprsSpec extends SparkTestBase {
+
+  GraftNative.ensure(spark)
+
+  private def one(c: org.apache.spark.sql.Column): Any = sel(c).get(0)
+
+  test("graft_long_dot equals the HOF qdot (and works from SQL)") {
+    val a = array((1L to 64L).map(lit): _*)
+    val b = array((64L to 1L by -1L).map(lit): _*)
+    assert(one(GraftNative.longDot(a, b)) == one(VectorFns.qdot(a, b)))
+    assert(one(GraftNative.longDot(a, a)) == one(VectorFns.qnorm2(a)))
+    assert(spark.sql("SELECT graft_long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .head().getLong(0) == 32L)
+  }
+
+  test("graft_minhash_sig equals the HOF minhashSignature") {
+    val sh = DedupFns.shingles(lit("the quick brown fox jumps over the lazy dog again and again"))
+    val native = one(GraftNative.minhashSignature(sh, 9))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    val hof = one(DedupFns.minhashSignature(sh, 9))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(native == hof)
+    assert(native.size == 9)
+  }
+
+  test("graft_hamming equals the HOF hamming") {
+    val pairs = Seq(("0101", "0101"), ("0101", "1010"), ("111", "101"))
+    pairs.foreach { case (x, y) =>
+      assert(one(GraftNative.hamming(lit(x), lit(y))) ==
+        one(DedupFns.hamming(lit(x), lit(y))))
+    }
+  }
+
+  test("graft_simhash64 matches an independent MessageDigest reimplementation") {
+    // reference implementation, written from the definition (not the code
+    // under test): bit j = majority vote of bit j of the first 16 md5 hex
+    // digits of each shingle
+    def ref(shingles: Seq[String]): String = {
+      val md = MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (s <- shingles) {
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        var h = 0L
+        for (i <- 0 until 8) h = (h << 8) | (d(i) & 0xffL)
+        for (j <- 0 until 64)
+          if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      }
+      votes.map(v => if (v > 0) '1' else '0').mkString
+    }
+    val text = "pack my box with five dozen liquor jugs for the trip"
+    val shingles = {
+      val toks = text.split(" ").toSeq
+      toks.sliding(3).map(_.mkString(" ")).distinct.toSeq
+    }
+    val native = one(GraftNative.simhash64(DedupFns.shingles(lit(text))))
+      .asInstanceOf[String]
+    assert(native == ref(shingles))
+    assert(native.length == 64 && native.forall(c => c == '0' || c == '1'))
+    // set/normalization invariance
+    assert(one(GraftNative.simhash64(DedupFns.shingles(
+      lit("PACK my  box with five dozen liquor jugs for the trip")))) == native)
+  }
+
+  test("GraftExtensions injects the same functions at session build time") {
+    // The builder path can't be exercised on the already-running shared
+    // session; assert the extension wires every registration by applying
+    // it to a fresh SparkSessionExtensions and checking the names.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builder list is shared
+    assert(GraftNative.registrations.map(_._1.funcName).sorted ==
+      Seq("graft_hamming", "graft_long_dot", "graft_minhash_sig", "graft_simhash64"))
+  }
+}
