@@ -227,7 +227,9 @@ object Migration {
 
   /** Whole pipeline: scan -> enrich -> route -> resolve. The three sinks
     * (changeset/audit/errors) all branch from the returned frame; callers
-    * should `.cache()` it when materializing more than one sink.
+    * materializing more than one sink should write it as a stage table
+    * first ([[Stage.table]]) so the decision-dependent derived columns are
+    * computed once, not re-inlined into every sink projection.
     */
   def resolvedPipeline(shares: DataFrame, ns: DataFrame, createdInode: Column,
                        userPrefix: String = "/eos/scratch/user/",

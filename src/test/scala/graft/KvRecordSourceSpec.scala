@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.functions.PathFns
+import graft.sources.KvParse
+
+/** DSv2 `graft-kv` source: EOS `file info -m` record files as a scannable
+  * table (S2 ingestion), with column pruning reaching the parse.
+  */
+class KvRecordSourceSpec extends SparkTestBase {
+
+  private val records = Seq(
+    "keylength.file=16 file=/a/my file.d at pino=7 ino=42 uid=u1 gid=g1 treesize=99 size=7",
+    "keylength.file=6 file=/a/b.c pino=8 ino=43 uid=u2 gid=g2 treesize=100 size=9",
+    "keylength.file=10 file=/x/y/z.dat pino=9 ino=44 uid=u3 gid=g3 treesize=101 size=11")
+
+  private def writeFixture(): String = {
+    val f = Files.createTempFile("kvrecords", ".txt")
+    Files.writeString(f, records.mkString("\n") + "\n")
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("reads records into the typed schema, length-prefixed file= with spaces") {
+    val df = spark.read.format("graft-kv").load(writeFixture())
+    val rows = df.orderBy("ino").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("ino") == 42L)
+    assert(rows(0).getAs[String]("file") == "/a/my file.d at ") // 16 chars, space kept
+    assert(rows(0).getAs[String]("uid") == "u1")
+    assert(rows(0).getAs[Long]("size") == 7L) // not treesize=99
+    assert(rows(1).getAs[String]("file") == "/a/b.c")
+  }
+
+  test("column pruning reaches the parse (SupportsPushDownRequiredColumns)") {
+    val df = spark.read.format("graft-kv").load(writeFixture()).select("ino")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scans == Seq(Seq("ino")))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L, 44L))
+  }
+
+  test("KvParse equals the Column implementations (kvFile/kvGet)") {
+    records.foreach { raw =>
+      val row = spark.range(1).select(
+        PathFns.kvFile(lit(raw)).as("f"),
+        PathFns.kvIno(lit(raw)).as("i"),
+        PathFns.kvUid(lit(raw)).as("u"),
+        PathFns.kvSize(lit(raw)).as("s")).head()
+      assert(KvParse.file(raw).contains(row.getAs[String]("f")))
+      assert(KvParse.getLong(raw, "ino").contains(row.getAs[Long]("i")))
+      assert(KvParse.get(raw, "uid").contains(row.getAs[String]("u")))
+      assert(KvParse.getLong(raw, "size").contains(row.getAs[Long]("s")))
+    }
+    // misses return None, not garbage
+    assert(KvParse.file("not a record").isEmpty)
+    assert(KvParse.get("a=1", "b").isEmpty)
+  }
+}
