@@ -47,7 +47,12 @@ object Bench {
     // scheduling stall must not record a 10x figure for a 2 s query. A
     // query counts as failed only if every pass fails.
     val Passes = 2
-    val passes = (1 to Passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    val passes = (1 to Passes).map { _ =>
+      // each pass rebuilds shared pipeline stages from scratch — the
+      // min-of-passes numbers never amortize stage builds away
+      graft.operators.Stage.resetShared()
+      names.map(n => n -> runOnce(n)).toMap
+    }
     val results = names.map { name =>
       val rs = passes.map(_(name))
       val ok = rs.collect { case (sec, None) => sec }

@@ -38,6 +38,32 @@ object Stage {
     df.sparkSession.read.parquet(path)
   }
 
+  private val shared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized written stage, keyed by (stage name, input dir): the first
+    * caller writes, later callers scan the same parquet. This is the
+    * reference's actual shape — ONE pipeline run feeds the audit, error,
+    * change-set and apply sinks (main.go:241-322) — so sink queries over
+    * the same inputs share the upstream materialization instead of each
+    * rebuilding it. Unlike caching DataFrames, the map holds only a path
+    * string: no executor memory is pinned and no session is retained.
+    * Whichever query runs first pays the build (the per-suite TOTAL is the
+    * meaningful figure); [[resetShared]] clears the memo so benchmark
+    * passes stay independent.
+    */
+  def sharedTable(spark: org.apache.spark.sql.SparkSession, name: String,
+                  dir: String)(df: => DataFrame): DataFrame = {
+    val path = shared.computeIfAbsent(s"$name|$dir", _ => {
+      val p = root.resolve(s"$name-${seq.incrementAndGet()}").toString
+      df.write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Forget memoized shared stages (files stay until JVM exit). */
+  def resetShared(): Unit = shared.clear()
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

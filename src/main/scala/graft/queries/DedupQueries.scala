@@ -48,6 +48,15 @@ object DedupQueries {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
   }
 
+  /** Shingle feature table over [[dupDocs]], shared by d02 (MinHash) and
+    * d03 (SimHash) — one tokenization pass feeding both signature kinds,
+    * as a production dedup pipeline would write it once.
+    */
+  private def shingleStage(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "dup_shingles", d) {
+      dupDocs(s, d).select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
+    }
+
   private val dupEmbSql: String =
     """dupemb AS (
       |  SELECT vec_id, embedding, label FROM embeddings
@@ -147,9 +156,7 @@ object DedupQueries {
          |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
-      val sh = Stage.table(
-        dupDocs(s, d).select(col("doc_id"), DedupFns.shingles(col("text")).as("sh")),
-        "d02_shingles")
+      val sh = shingleStage(s, d)
       val bands = Stage.table(
         sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
             GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
@@ -200,8 +207,7 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
       val sig = Stage.table(
-        dupDocs(s, d)
-          .select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
+        shingleStage(s, d)
           .select(col("doc_id"), GraftNative.simhash64(col("sh")).as("sig")),
         "d03_sig")
       val bands = sig.select(col("doc_id"), posexplode(

@@ -27,14 +27,13 @@ object MigrationQueries {
     * `resolved` to a table for exactly the same reason: many sinks, one
     * computation.
     */
-  private def resolved(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.orders(s, d)
-    Stage.table(
+  private def resolved(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "m_resolved", d) {
+      val orders = Tables.orders(s, d)
       Migration.resolvedPipeline(
         SyntheticShares.shares(orders), SyntheticShares.eosNamespace(orders),
-        createdInode),
-      "m_resolved")
-  }
+        createdInode)
+    }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle: the same pipeline as SQL CTEs (path fns inlined).

@@ -39,11 +39,11 @@ object SimilarityQueries {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     GraftNative.ensure(s)
-    Stage.table(
+    Stage.sharedTable(s, "qv", d) {
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("n2", GraftNative.longDot(col("q"), col("q"))),
-      "qv")
+        .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+    }
   }
 
   private val qvSql: String =
