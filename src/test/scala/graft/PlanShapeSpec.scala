@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the 100 TB lens, enforced: filters and
+  * projections reach the parquet scan, small dimensions broadcast, global
+  * top-k plans TakeOrderedAndProject, and NOTHING plans a cartesian
+  * product. Run over sf0.001 so planning (with AQE final plans) is cheap.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // materialize so AQE settles on the final physical plan
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("m01 scan: equality filters and 6-column projection are pushed to parquet") {
+    val p = planOf("m01_scan_shares")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
+      s"expected pushed filters in:\n$p")
+    // the shares fixture projects from orders: only the two source columns
+    // the fixture touches should be read
+    assert(p.contains("ReadSchema") && p.contains("o_orderkey"))
+    assert(!p.contains("o_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q03 join + q05 pre-filtered dim join broadcast their small sides") {
+    assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
+    assert(planOf("q05_broadcast_dim_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q09 global top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q09_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("v01 ANN: probes broadcast; partial top-k keeps the big side unshuffled") {
+    val p = planOf("v01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$p")
+  }
+
+  test("no query anywhere plans a CartesianProduct") {
+    SparkEntry.all.foreach { q =>
+      val p = planOf(q.name)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
+    }
+  }
+
+  test("d02/d03 self-joins are key-partitioned (band keys), not nested loops") {
+    Seq("d02_minhash_lsh", "d03_simhash_neardup").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n must join on band/key equality:\n$p")
+    }
+  }
+}
