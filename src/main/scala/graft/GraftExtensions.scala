@@ -50,7 +50,10 @@ object GraftNative {
       (ch: Seq[Expression]) => LongDotProduct(ch(0), ch(1))),
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming", classOf[HammingDistance]),
-      (ch: Seq[Expression]) => HammingDistance(ch(0), ch(1))))
+      (ch: Seq[Expression]) => HammingDistance(ch(0), ch(1))),
+    (FunctionIdentifier("graft_kv_parse"),
+      info("graft_kv_parse", classOf[KvRecordParse]),
+      (ch: Seq[Expression]) => KvRecordParse(ch.head)))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -72,4 +75,5 @@ object GraftNative {
   def simhash64(sh: Column): Column = call_function("graft_simhash64", sh)
   def longDot(a: Column, b: Column): Column = call_function("graft_long_dot", a, b)
   def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
+  def kvParse(raw: Column): Column = call_function("graft_kv_parse", raw)
 }

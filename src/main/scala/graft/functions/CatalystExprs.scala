@@ -1,6 +1,7 @@
 package graft.functions
 
 import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -115,6 +116,44 @@ case class SimHash64Expr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** One-pass parse of an EOS `file info -m` record line into a
+  * `(ino, file, uid, gid, size)` struct — the Column path needs five
+  * separate regexp scans of the same string; this walks it once, using the
+  * same plain-Scala parser as the `graft-kv` DSv2 source
+  * ([[graft.sources.KvParse]]). Missing string keys yield "" and missing/
+  * non-numeric longs yield null, matching `PathFns.kvGet`/`kvIno` exactly
+  * (regexp_extract's no-match result is "" which casts to null).
+  */
+case class KvRecordParse(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = KvRecordParse.Schema
+  override def prettyName: String = "graft_kv_parse"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import graft.sources.KvParse
+    val raw = input.asInstanceOf[UTF8String].toString
+    InternalRow(
+      KvParse.getLong(raw, "ino").map(Long.box).orNull,
+      KvParse.file(raw).map(UTF8String.fromString).orNull,
+      UTF8String.fromString(KvParse.get(raw, "uid").getOrElse("")),
+      UTF8String.fromString(KvParse.get(raw, "gid").getOrElse("")),
+      KvParse.getLong(raw, "size").map(Long.box).orNull)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KvRecordParse =
+    copy(child = newChild)
+}
+
+object KvRecordParse {
+  val Schema: StructType = StructType(Seq(
+    StructField("ino", LongType),
+    StructField("file", StringType),
+    StructField("uid", StringType, nullable = false),
+    StructField("gid", StringType, nullable = false),
+    StructField("size", LongType)))
 }
 
 /** Exact integer dot product of two `array<long>` columns (quantized

@@ -91,7 +91,10 @@ object PathFns {
     val nStr = regexp_extract(raw, "^keylength\\.file=([0-9]+)", 1)
     // 1-based start = len("keylength.file=") + len(n) + len(" file=") + 1
     val start = lit(15) + length(nStr) + lit(7)
-    raw.substr(start, nStr.cast("int"))
+    // regexp_extract misses yield "" — route to null instead of letting
+    // ANSI mode (Spark 4 default) throw on the cast
+    raw.substr(start, when(nStr === "", lit(null).cast("int"))
+      .otherwise(nStr.cast("int")))
   }
 
   /** F10 (main.go:277 `strconv.Quote`): double-quoted string with backslash,
@@ -110,10 +113,15 @@ object PathFns {
       lit("\""))
 
   /** Typed projection of a raw EOS record into the Metadata fields
-    * (main.go:200-205): ino/size parsed to long, uid/gid kept as strings.
+    * (main.go:200-205): ino/size parsed to long (missing key -> null,
+    * ANSI-safe), uid/gid kept as strings.
     */
-  def kvIno(raw: Column): Column  = kvGet(raw, "ino").cast("long")
-  def kvSize(raw: Column): Column = kvGet(raw, "size").cast("long")
+  private def kvLong(raw: Column, key: String): Column = {
+    val v = kvGet(raw, key)
+    when(v === "", lit(null).cast("long")).otherwise(v.cast("long"))
+  }
+  def kvIno(raw: Column): Column  = kvLong(raw, "ino")
+  def kvSize(raw: Column): Column = kvLong(raw, "size")
   def kvUid(raw: Column): Column  = kvGet(raw, "uid")
   def kvGid(raw: Column): Column  = kvGet(raw, "gid")
 }

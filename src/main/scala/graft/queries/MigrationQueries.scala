@@ -208,7 +208,7 @@ object MigrationQueries {
          |       regexp_extract(r, '(?:^| )gid=([^ ]*)', 1) AS gid,
          |       CAST(regexp_extract(r, '(?:^| )size=([^ ]*)', 1) AS BIGINT) AS size
          |FROM raw ORDER BY ino""".stripMargin) { (s, d) =>
-      import graft.functions.PathFns
+      graft.GraftNative.ensure(s)
       val ns = SyntheticShares.eosNamespace(Tables.orders(s, d))
       val raw = ns
         .withColumn("f", replace(col("file"), lit(".dat"), lit(" copy.dat")))
@@ -220,12 +220,13 @@ object MigrationQueries {
           lit(" uid="), col("uid"), lit(" gid="), col("gid"),
           lit(" treesize="), (col("size") * 2).cast("string"),
           lit(" size="), col("size").cast("string")).as("r"))
-      raw.select(
-          PathFns.kvIno(col("r")).as("ino"),
-          PathFns.kvFile(col("r")).as("file"),
-          PathFns.kvUid(col("r")).as("uid"),
-          PathFns.kvGid(col("r")).as("gid"),
-          PathFns.kvSize(col("r")).as("size"))
+      // one-pass native parse (graft_kv_parse) instead of five regexp
+      // scans per record; value-identical to PathFns.kvIno/kvFile/... by
+      // NativeExprsSpec
+      raw.select(graft.GraftNative.kvParse(col("r")).as("kv"))
+        .select(col("kv.ino").as("ino"), col("kv.file").as("file"),
+          col("kv.uid").as("uid"), col("kv.gid").as("gid"),
+          col("kv.size").as("size"))
         .orderBy("ino")
     },
 

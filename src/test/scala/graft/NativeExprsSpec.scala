@@ -72,6 +72,27 @@ class NativeExprsSpec extends SparkTestBase {
       lit("PACK my  box with five dozen liquor jugs for the trip")))) == native)
   }
 
+  test("graft_kv_parse equals the Column kv functions field-by-field") {
+    import graft.functions.PathFns
+    val raws = Seq(
+      "keylength.file=16 file=/a/my file.d at pino=7 ino=42 uid=u1 gid=g1 treesize=99 size=7",
+      "keylength.file=6 file=/a/b.c ino=9 uid=u gid=g size=3",
+      "ino=5 uid=x") // no keylength prefix, missing keys
+    raws.foreach { r =>
+      val row = sel(
+        GraftNative.kvParse(lit(r)).as("kv"),
+        PathFns.kvIno(lit(r)).as("i"), PathFns.kvFile(lit(r)).as("f"),
+        PathFns.kvUid(lit(r)).as("u"), PathFns.kvGid(lit(r)).as("g"),
+        PathFns.kvSize(lit(r)).as("s"))
+      val kv = row.getStruct(0)
+      assert(kv.get(0) == row.get(1), s"ino mismatch on: $r")
+      assert(kv.get(1) == row.get(2), s"file mismatch on: $r")
+      assert(kv.get(2) == row.get(3), s"uid mismatch on: $r")
+      assert(kv.get(3) == row.get(4), s"gid mismatch on: $r")
+      assert(kv.get(4) == row.get(5), s"size mismatch on: $r")
+    }
+  }
+
   test("GraftExtensions injects the same functions at session build time") {
     // The builder path can't be exercised on the already-running shared
     // session; assert the extension wires every registration by applying
@@ -79,6 +100,7 @@ class NativeExprsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
-      Seq("graft_hamming", "graft_long_dot", "graft_minhash_sig", "graft_simhash64"))
+      Seq("graft_hamming", "graft_kv_parse", "graft_long_dot",
+        "graft_minhash_sig", "graft_simhash64"))
   }
 }

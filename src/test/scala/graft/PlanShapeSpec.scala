@@ -12,6 +12,10 @@ class PlanShapeSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   private def planOf(name: String): String = {
+    // other suites cache fixture frames; the session-wide cache manager
+    // would substitute InMemoryRelation into matching fragments and hide
+    // the scan we are asserting on
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, dir)
     // materialize so AQE settles on the final physical plan
     df.write.format("noop").mode("overwrite").save()
