@@ -182,11 +182,11 @@ object SimilarityQueries {
          |SELECT vec_id, cand_label AS nearest_label, score FROM best
          |WHERE rnk = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       val qv = quantized(s, d)
-      // exact integer centroid numerators: element-wise sum per label
-      val dim = 64
+      // exact integer centroid numerators: element-wise vector sum per
+      // label via the typed Aggregator (map-side partial agg; dimension
+      // comes from the data, not a constant)
       val sums = qv.groupBy("label").agg(
-        array((0 until dim).map(i =>
-          sum(element_at(col("q"), i + 1)).as(s"s$i")): _*).as("sq"),
+        graft.functions.VecSumAgg.vecSum(col("q")).as("sq"),
         count(lit(1)).as("cnt"))
       val cand = sums.select(col("label").as("cand_label"), col("sq"), col("cnt"))
       val w = Window.partitionBy("vec_id")
