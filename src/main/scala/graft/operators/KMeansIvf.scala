@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftNative
+import graft.functions.VecSumAgg
+
+/** K-means cell construction for IVF-style ANN (the step that produces
+  * the `cell` assignments v02-style cell-restricted search prunes on; the
+  * test fixtures ship precomputed `label` cells — this operator is how a
+  * pipeline builds them from raw vectors).
+  *
+  * Lloyd's algorithm as pure DataFrame lineage per iteration:
+  *   assign:   one map-side pass over the vectors against a BROADCAST
+  *             centroid table (k centroids are always small), ranking by
+  *             exact-long-arithmetic distance — no shuffle of the vectors;
+  *   update:   groupBy(cell) with the typed [[VecSumAgg]] — map-side
+  *             partial aggregation, k x dim longs shuffled.
+  *
+  * Centroids are carried as exact integer numerators (sum vector + count),
+  * never floating means, so assignment is deterministic and
+  * shuffle-order-free. dist^2(v, s/n) is compared via
+  * n2 - 2*(v.s)/n + (s.s)/n^2 with the dot products exact longs and one
+  * double division at the edge.
+  *
+  * Each iteration's centroid table is tiny (k rows) and collected lineage
+  * is cut by [[Stage.table]] — without the barrier, iteration i's plan
+  * would inline all i-1 previous assignment trees (the classic iterative-
+  * algorithm lineage blowup).
+  */
+object KMeansIvf {
+
+  /** Initial centroids: the k vectors with the smallest ids, as cells
+    * 0..k-1 (deterministic, input-order-free).
+    */
+  def init(qv: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy("vec_id")
+    qv.orderBy("vec_id").limit(k)
+      .withColumn("cell", row_number().over(w) - 1)
+      .select(col("cell"), col("q").as("sq"), lit(1L).as("cnt"))
+  }
+
+  /** Nearest centroid per vector: map-side scoring against broadcast
+    * centroid numerators; ranking window partitions by vec_id (uniform).
+    */
+  def assign(qv: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = qv.sparkSession
+    GraftNative.ensure(spark)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
+    qv.join(broadcast(centroids))
+      .withColumn("dist",
+        col("n2").cast("double")
+          - lit(2.0) * GraftNative.longDot(col("q"), col("sq")).cast("double") / col("cnt")
+          + GraftNative.longDot(col("sq"), col("sq")).cast("double") / (col("cnt") * col("cnt")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cell"))
+  }
+
+  /** `iters` Lloyd iterations; returns the final centroid numerators
+    * (cell, sq, cnt). Empty cells drop out (standard Lloyd behavior).
+    */
+  def fit(qv: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = Stage.table(init(qv, k), "kmeans_c0")
+    var i = 0
+    while (i < iters) {
+      centroids = Stage.table(
+        assign(qv, centroids)
+          .groupBy("cell")
+          .agg(VecSumAgg.vecSum(col("q")).as("sq"), count(lit(1)).as("cnt")),
+        s"kmeans_c${i + 1}")
+      i += 1
+    }
+    centroids
+  }
+
+  /** Final (vec_id, cell) table — the IVF index input. */
+  def cells(qv: DataFrame, centroids: DataFrame): DataFrame =
+    assign(qv, centroids).select("vec_id", "cell")
+}
