@@ -3,7 +3,7 @@ package graft.queries
 import scala.collection.mutable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import graft.{GraftNative, Q, Tables}
 import graft.functions.VectorFns
 import graft.operators.Stage
@@ -116,6 +116,32 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Random-hyperplane LSH: `LshPlanes` fixed ±1 hyperplanes (seeded, the
+    * SAME literal matrix embedded in the Spark plan and the oracle SQL);
+    * bucket = concatenated sign bits of the plane dot products. Cosine-
+    * similar vectors agree on most sign bits, so near neighbors land in
+    * the same bucket and search touches ~N/2^planes of the data — the
+    * hash-based alternative to IVF cells (v02) when no trained centroids
+    * exist. Single-probe (exact-bucket) lookup; production multi-probe
+    * flips low-margin bits to raise recall.
+    */
+  val LshPlanes = 4 // 2^4 buckets: populated even at the smallest test sf;
+                    // at production N, more planes = finer pruning
+  private val planes: Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(LshPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  private def lshBucket(q: Column): Column =
+    concat(planes.map(p =>
+      when(GraftNative.longDot(q, typedlit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def lshBucketSql(q: String): String =
+    planes.map { p =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($q, $lits), s -> s[1] * s[2])) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   private def knnSql(cellPredicate: String): String =
     s"""WITH $qvSql,
        |scored AS (
@@ -143,6 +169,44 @@ object SimilarityQueries {
     // IVF-style: search only the probe's cell (label = coarse centroid id).
     Q("v02_knn_ivf", knnSql("AND c.label = p.label")) { (s, d) =>
       knn(s, d, sameCellOnly = true)
+    },
+
+    // LSH-bucketed: search only the probe's random-hyperplane bucket.
+    Q("v04_knn_lsh",
+      s"""WITH $qvSql,
+         |b AS (SELECT vec_id, label, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.vec_id <> p.vec_id AND c.bucket = p.bucket
+         |  WHERE p.vec_id < $NumProbes AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val qv = quantized(s, d).withColumn("bucket", lshBucket(col("q")))
+      val probes = qv.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      val scored = qv.join(broadcast(probes),
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+        .where(col("p_n2") > 0 && col("n2") > 0)
+        .select(col("probe_id"), col("vec_id"),
+          (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
+            sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
+        .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      partialTopK(scored, K).toDF()
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cosine"))
+        .orderBy("probe_id", "rnk")
     },
 
     // Nearest centroid per vector: the assignment step of IVF/k-means.
