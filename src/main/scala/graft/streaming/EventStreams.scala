@@ -73,6 +73,45 @@ object EventStreams {
       }
   }
 
+  /** The same per-user state machine on Spark 4's arbitrary-state API
+    * (`transformWithState`): explicit named [[org.apache.spark.sql.streaming.ValueState]]
+    * with per-state TTL hooks and timers — the operationally scalable form
+    * (requires the RocksDB state store provider; state lives off-heap and
+    * TTL eviction is per state variable, not per operator).
+    */
+  final class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserStat] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var stat: ValueState[UserStat] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stat = getHandle.getValueState[UserStat]("stat",
+        Encoders.product[UserStat], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserStat] = {
+      val prev = if (stat.exists()) stat.get() else UserStat(user, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserStat(user, n, tot)
+      stat.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserStats]] via `transformWithState`. */
+  def runningUserStatsTws(spark: SparkSession, events: Dataset[Ev]): Dataset[UserStat] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Convenience: run a streaming query over a memory sink until all
     * currently-available input is processed; returns the sink table name.
     */

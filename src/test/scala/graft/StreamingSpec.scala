@@ -57,6 +57,35 @@ class StreamingSpec extends SparkTestBase {
       Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
   }
 
+  test("transformWithState (ValueState + RocksDB store) matches the mapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = EventStreams.runningUserStatsTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("user_stats_tws")
+        .outputMode("update").start()
+      try {
+        ms.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 3.0), ev(3, 3, user = 9, v = 1.0))
+        q.processAllAvailable()
+        ms.addData(ev(4, 4, user = 7, v = 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("user_stats_tws")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("tot"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(7L) == ((3L, 10.0)))
+      assert(last(9L) == ((1L, 1.0)))
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
