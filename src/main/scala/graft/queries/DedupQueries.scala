@@ -130,6 +130,24 @@ object DedupQueries {
         .orderBy("fp")
     },
 
+    // Dedup APPLY: the operator that actually produces the deduplicated
+    // corpus — keep the min-id doc of every fingerprint group. One shuffle
+    // on the uniform md5 key (window partition), map-side filter after.
+    Q("d05_dedup_apply",
+      s"""WITH $dupDocsSql,
+         |f AS (SELECT doc_id, md5($normSql) AS fp FROM dupdocs)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM f
+         |) WHERE doc_id = keeper ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      dupDocs(s, d)
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .withColumn("keeper", min("doc_id").over(w))
+        .where(col("doc_id") === col("keeper"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH near-dup: shingles -> signature -> band keys -> bucket
     // self-join -> exact Jaccard verification on candidates only. The
     // shingle and band stages are WRITTEN tables: the self-join and the two

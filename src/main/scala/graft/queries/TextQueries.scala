@@ -129,6 +129,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // Deterministic stratified train/test split: the assignment must be a
+    // pure function of the doc id (reproducible across runs, engines, and
+    // repartitions — never rand()). First md5 hex digit < 'd' ~ 13/16 ~
+    // 81% train. Reported per (lang, split) — the stratification check.
+    Q("t05_train_test_split",
+      """SELECT lang,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |            THEN 'train' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "d", "train")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
     }
   )
 }
