@@ -94,6 +94,54 @@ object EventQueries {
           min(col("ts")).as("session_start"),
           (max(col("t")) - min(col("t"))).as("duration_us"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Funnel: users who viewed, then clicked within 1h of the first view,
+    // then purchased within 1h of that click. Three conditional-min
+    // aggregations chained by equi-joins — every join and groupBy keys on
+    // user_id, so one hash partitioning serves the whole funnel; no
+    // cross joins, no per-user collect.
+    Q("e04_funnel",
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS v
+        |  FROM ev GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.t) AS c
+        |  FROM ev e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'click' AND u.v IS NOT NULL
+        |    AND e.t > u.v AND e.t <= u.v + 3600000000
+        |  GROUP BY e.user_id
+        |),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.t) AS p
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.t > c.c AND e.t <= c.c + 3600000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(SUM(CASE WHEN u.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(SUM(CASE WHEN c.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |       CAST(SUM(CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+        |FROM u LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin) { (s, d) =>
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val u = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("t"))).as("v"))
+      val c = ev.where(col("event_type") === "click").join(u, "user_id")
+        .where(col("v").isNotNull && col("t") > col("v") && col("t") <= col("v") + HourUs)
+        .groupBy("user_id").agg(min("t").as("c"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("t") > col("c") && col("t") <= col("c") + HourUs)
+        .groupBy("user_id").agg(min("t").as("p"))
+      u.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_view_click_purchase"))
     }
   )
 }
