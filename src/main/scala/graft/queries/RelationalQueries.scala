@@ -258,6 +258,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
         .where(col("n_orders") >= 12)
         .orderBy("o_custkey")
+    },
+
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both linear interpolation; l_quantity is
+    // integral so midpoints are exact in binary — no cross-engine ulp
+    // drift). At scale exact percentile holds the group's values; swap to
+    // approx_percentile (t-digest sketch) when groups outgrow memory.
+    Q("q16_percentile",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       quantile_cont(l_quantity, 0.95) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }
