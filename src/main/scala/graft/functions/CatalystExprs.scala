@@ -69,12 +69,15 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = GraftHash.base28(arr.getUTF8String(i).getBytes)
-      var k = 0
-      while (k < numHashes) {
-        val v = ((DedupFns.mhA(k) * h) + DedupFns.mhB(k)) % DedupFns.MinhashPrime
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      val s = arr.getUTF8String(i)
+      if (s != null) { // null elements are absent, like least()/list_min()
+        val h = GraftHash.base28(s.getBytes)
+        var k = 0
+        while (k < numHashes) {
+          val v = ((DedupFns.mhA(k) * h) + DedupFns.mhB(k)) % DedupFns.MinhashPrime
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
@@ -100,11 +103,14 @@ case class SimHash64Expr(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = GraftHash.h64(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      val s = arr.getUTF8String(i)
+      if (s != null) { // null shingles contribute no votes
+        val h = GraftHash.h64(s.getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

@@ -21,6 +21,9 @@ class VecSumAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] =
     if (b.isEmpty) a.toArray
     else {
+      // explicit failure beats silently truncating a ragged vector
+      require(a.length == b.length,
+        s"vector length mismatch in group: ${a.length} vs ${b.length}")
       var i = 0
       while (i < b.length) { b(i) += a(i); i += 1 }
       b
@@ -30,6 +33,8 @@ class VecSumAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     if (x.isEmpty) y
     else if (y.isEmpty) x
     else {
+      require(x.length == y.length,
+        s"vector length mismatch in group: ${x.length} vs ${y.length}")
       var i = 0
       while (i < x.length) { x(i) += y(i); i += 1 }
       x

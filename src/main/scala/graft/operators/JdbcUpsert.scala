@@ -83,6 +83,13 @@ object JdbcUpsert {
         val conn = factory.connect()
         val stmt = conn.prepare(UpdateSql) // prepared ONCE per partition
         var closed = false
+        def closeOnce(): Unit =
+          if (!closed) { closed = true; stmt.close(); conn.close() }
+        // close on task completion even when the iterator is abandoned
+        // mid-stream (limit/take downstream, task failure) — otherwise the
+        // connection leaks once per partition
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val out = it.map { r =>
           if (debug) System.err.println(s"[graft] $UpdateSql <- ${bind(r)}")
           try {
@@ -101,7 +108,7 @@ object JdbcUpsert {
         new Iterator[UpsertOutcome] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && !closed) { closed = true; stmt.close(); conn.close() }
+            if (!h) closeOnce()
             h
           }
           def next(): UpsertOutcome = out.next()

@@ -39,6 +39,13 @@ object MigrationQueries {
   // DuckDB oracle: the same pipeline as SQL CTEs (path fns inlined).
   // ---------------------------------------------------------------------
 
+  /** DuckDB twin of [[graft.functions.PathFns.pathCleanSlashes]] (the
+    * `path.Clean` subset the router applies before the parent-dir split,
+    * main.go:278): collapse `//` runs, strip one trailing slash.
+    */
+  private def cleanSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '/{2,}', '/', 'g'), '(.)/$$', '\\1')"
+
   /** Go `path.Dir` on clean absolute paths (main.go:143,290). */
   private def dirSql(c: String): String =
     s"(CASE WHEN regexp_replace($c, '/[^/]*$$', '') = '' THEN '/' " +
@@ -70,7 +77,7 @@ object MigrationQueries {
        |    CASE WHEN meta_ino IS NULL THEN 'ERROR_MISSING_META'
        |         WHEN starts_with(${baseSql("meta_path")}, '.sys.v#.') THEN 'ALREADY_MIGRATED'
        |         WHEN NOT starts_with(meta_path, '/eos/scratch/user/') THEN 'NOT_UNDER_HOME'
-       |         WHEN starts_with(${baseSql(dirSql("meta_path"))}, '.sys.v#.') THEN 'VERSION'
+       |         WHEN starts_with(${baseSql(dirSql(cleanSql("meta_path")))}, '.sys.v#.') THEN 'VERSION'
        |         ELSE 'REGULAR' END AS decision
        |  FROM enriched
        |),

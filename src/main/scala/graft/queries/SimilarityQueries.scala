@@ -89,24 +89,17 @@ object SimilarityQueries {
     }(Encoders.product[ScoredNeighbor])
   }
 
-  private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
-    val qv = quantized(s, d)
-    val probes = qv.where(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
-        col("q").as("p_q"), col("n2").as("p_n2"))
-    val joined =
-      if (sameCellOnly)
-        qv.join(broadcast(probes), col("label") === col("p_label") &&
-          col("vec_id") =!= col("probe_id"))
-      else
-        qv.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+  /** Score the joined (vectors x broadcast probes) frame and reduce it
+    * through partial top-k + a final rank over k x partitions rows — the
+    * shared tail of v01/v02/v04.
+    */
+  private def scoreAndRank(joined: DataFrame): DataFrame = {
     val scored = joined
       .where(col("p_n2") > 0 && col("n2") > 0)
       .select(col("probe_id"), col("vec_id"),
         (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
           sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
       .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
-    // final rank over only k x partitions pre-truncated rows
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     partialTopK(scored, K).toDF()
@@ -114,6 +107,19 @@ object SimilarityQueries {
       .where(col("rnk") <= K)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cosine"))
       .orderBy("probe_id", "rnk")
+  }
+
+  private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
+    val qv = quantized(s, d)
+    val probes = qv.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("q").as("p_q"), col("n2").as("p_n2"))
+    scoreAndRank(
+      if (sameCellOnly)
+        qv.join(broadcast(probes), col("label") === col("p_label") &&
+          col("vec_id") =!= col("probe_id"))
+      else
+        qv.join(broadcast(probes), col("vec_id") =!= col("probe_id")))
   }
 
   /** Random-hyperplane LSH: `LshPlanes` fixed ±1 hyperplanes (seeded, the
@@ -193,20 +199,8 @@ object SimilarityQueries {
       val probes = qv.where(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
           col("q").as("p_q"), col("n2").as("p_n2"))
-      val scored = qv.join(broadcast(probes),
-          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
-        .where(col("p_n2") > 0 && col("n2") > 0)
-        .select(col("probe_id"), col("vec_id"),
-          (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
-            sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
-        .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      partialTopK(scored, K).toDF()
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= K)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cosine"))
-        .orderBy("probe_id", "rnk")
+      scoreAndRank(qv.join(broadcast(probes),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
     },
 
     // Nearest centroid per vector: the assignment step of IVF/k-means.

@@ -78,10 +78,19 @@ class KvRecordSource extends TableProvider with DataSourceRegister {
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val multi = Option(options.get("paths")).toSeq.flatMap(parsePathsOption)
     (single ++ multi).distinct
   }
+
+  /** Spark serializes a multi-path `load(p1, p2, ...)` as a JSON string
+    * array under the `paths` option; accept that plus a plain
+    * comma-separated form for hand-written options.
+    */
+  private def parsePathsOption(v: String): Seq[String] =
+    if (v.trim.startsWith("[")) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readValue(v, classOf[Array[String]]).toSeq
+    } else v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
 object KvRecordSource {

@@ -25,13 +25,13 @@ class BucketingSpec extends SparkTestBase {
 
       val joined = spark.table("graft_bucket_l")
         .join(spark.table("graft_bucket_r"), "k")
-      joined.write.format("noop").mode("overwrite").save()
+      // execute THIS df so its AQE plan finalizes before inspection
+      assert(joined.collect().length == 1000 * 10) // 50 keys x 20 left x 10 right
       val plan = joined.queryExecution.executedPlan.toString
-
+      assert(!plan.contains("isFinalPlan=false"), s"plan did not finalize:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"co-bucketed join must not shuffle:\n$plan")
-      assert(joined.count() == 1000L * 10) // 50 keys x 20 left x 10 right
     } finally {
       spark.conf.set(bcastKey, prev)
       spark.sql("DROP TABLE IF EXISTS graft_bucket_l")

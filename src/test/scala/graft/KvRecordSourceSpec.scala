@@ -34,6 +34,12 @@ class KvRecordSourceSpec extends SparkTestBase {
     assert(rows(1).getAs[String]("file") == "/a/b.c")
   }
 
+  test("multi-path load() reads every file (Spark passes paths as a JSON array)") {
+    val df = spark.read.format("graft-kv").load(writeFixture(), writeFixture())
+    assert(df.count() == 6)
+    assert(df.select("ino").distinct().count() == 3)
+  }
+
   test("column pruning reaches the parse (SupportsPushDownRequiredColumns)") {
     val df = spark.read.format("graft-kv").load(writeFixture()).select("ino")
     val scans = df.queryExecution.executedPlan.collect {

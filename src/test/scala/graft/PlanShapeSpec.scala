@@ -17,9 +17,13 @@ class PlanShapeSpec extends SparkTestBase {
     // the scan we are asserting on
     spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, dir)
-    // materialize so AQE settles on the final physical plan
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    // execute THIS df (a noop write would execute a cloned QueryExecution,
+    // leaving df's own AdaptiveSparkPlanExec unexecuted and its toString
+    // showing the pre-AQE initial plan)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"), s"$name plan did not finalize")
+    plan
   }
 
   test("m01 scan: equality filters and 6-column projection are pushed to parquet") {
