@@ -53,7 +53,14 @@ object GraftNative {
       (ch: Seq[Expression]) => HammingDistance(ch(0), ch(1))),
     (FunctionIdentifier("graft_kv_parse"),
       info("graft_kv_parse", classOf[KvRecordParse]),
-      (ch: Seq[Expression]) => KvRecordParse(ch.head)))
+      (ch: Seq[Expression]) => KvRecordParse(ch.head)),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", classOf[WordShingles]),
+      (ch: Seq[Expression]) => ch match {
+        case Seq(norm, Literal(n: Int, IntegerType)) => WordShingles(norm, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(normalized text, n int literal)")
+      }))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -76,4 +83,6 @@ object GraftNative {
   def longDot(a: Column, b: Column): Column = call_function("graft_long_dot", a, b)
   def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
   def kvParse(raw: Column): Column = call_function("graft_kv_parse", raw)
+  def shingles(normText: Column, n: Int = 3): Column =
+    call_function("graft_shingles", normText, lit(n))
 }

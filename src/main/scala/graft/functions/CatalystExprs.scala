@@ -124,6 +124,48 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of an already-NORMALIZED text (single
+  * spaces, lowercased — [[DedupFns.normText]], which stays a codegen'd
+  * regexp Column). Value-identical to [[DedupFns.shingles]]'s HOF form:
+  * first-occurrence order (array_distinct semantics), whole text as the
+  * single shingle when shorter than n words.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.split(" ")
+    if (toks.length >= n) {
+      val seen = new java.util.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** One-pass parse of an EOS `file info -m` record line into a
   * `(ino, file, uid, gid, size)` struct — the Column path needs five
   * separate regexp scans of the same string; this walks it once, using the

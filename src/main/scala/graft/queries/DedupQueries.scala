@@ -52,10 +52,15 @@ object DedupQueries {
     * d03 (SimHash) — one tokenization pass feeding both signature kinds,
     * as a production dedup pipeline would write it once.
     */
-  private def shingleStage(s: SparkSession, d: String): DataFrame =
+  private def shingleStage(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
     Stage.sharedTable(s, "dup_shingles", d) {
-      dupDocs(s, d).select(col("doc_id"), DedupFns.shingles(col("text")).as("sh"))
+      // normText stays a codegen'd regexp Column; the n-gram build is the
+      // native expression (value-identical to DedupFns.shingles)
+      dupDocs(s, d).select(col("doc_id"),
+        GraftNative.shingles(DedupFns.normText(col("text"))).as("sh"))
     }
+  }
 
   private val dupEmbSql: String =
     """dupemb AS (

@@ -72,6 +72,19 @@ class NativeExprsSpec extends SparkTestBase {
       lit("PACK my  box with five dozen liquor jugs for the trip")))) == native)
   }
 
+  test("graft_shingles equals the HOF shingles (order, distinct, short-doc fallback)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d c d a b c", // repeated shingles -> distinct keeps first
+      "  two   words ",     // short doc -> whole normalized text
+      "one")
+    texts.foreach { t =>
+      val native = one(GraftNative.shingles(DedupFns.normText(lit(t))))
+      val hof = one(DedupFns.shingles(lit(t)))
+      assert(native == hof, s"shingle mismatch on: '$t'")
+    }
+  }
+
   test("graft_kv_parse equals the Column kv functions field-by-field") {
     import graft.functions.PathFns
     val raws = Seq(
@@ -101,6 +114,6 @@ class NativeExprsSpec extends SparkTestBase {
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
       Seq("graft_hamming", "graft_kv_parse", "graft_long_dot",
-        "graft_minhash_sig", "graft_simhash64"))
+        "graft_minhash_sig", "graft_shingles", "graft_simhash64"))
   }
 }
