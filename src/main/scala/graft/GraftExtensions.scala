@@ -60,7 +60,13 @@ object GraftNative {
         case Seq(norm, Literal(n: Int, IntegerType)) => WordShingles(norm, n)
         case _ => throw new IllegalArgumentException(
           "graft_shingles(normalized text, n int literal)")
-      }))
+      }),
+    (FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp", classOf[RollingFingerprint]),
+      (ch: Seq[Expression]) => RollingFingerprint(ch.head)),
+    (FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats", classOf[TextStats]),
+      (ch: Seq[Expression]) => TextStats(ch.head)))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -85,4 +91,7 @@ object GraftNative {
   def kvParse(raw: Column): Column = call_function("graft_kv_parse", raw)
   def shingles(normText: Column, n: Int = 3): Column =
     call_function("graft_shingles", normText, lit(n))
+  def rollingFingerprint(text: Column): Column =
+    call_function("graft_rolling_fp", text)
+  def textStats(text: Column): Column = call_function("graft_text_stats", text)
 }

@@ -166,6 +166,158 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Polynomial rolling-hash fingerprint over the printable-ASCII projection
+  * of the text: acc = (acc*31 + codepoint) mod 1e9+7 — value-identical to
+  * [[DedupFns.rollingFingerprint]], whose HOF form interprets one lambda
+  * per CHARACTER. One byte loop per row; non-printable/non-ASCII bytes are
+  * skipped, which equals the regex projection `[^ -~]` -> "" because UTF-8
+  * continuation/lead bytes all fall outside 0x20..0x7e.
+  */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b >= 0x20 && b <= 0x7e) acc = (acc * 31 + b) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** Single-pass text statistics, value-identical to the regex-based
+  * [[TextFns]] counters (asserted in NativeExprsSpec):
+  *
+  *  - `ws_tokens`: Java-split(`\s+`-after-space-trim) token count — i.e.
+  *    non-ws runs, plus one leading empty token when the space-trimmed
+  *    text starts with other whitespace (Java split keeps leading
+  *    empties), 0 for blank text;
+  *  - `bpe_tokens`: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`;
+  *  - `n_punct`: code points outside ASCII alnum and ASCII whitespace;
+  *  - `n_stop`, `s_en/s_de/s_fr/s_es`: `\b`-bounded stopword occurrences
+  *    over the lowercased text (every match of the word-alternation regex
+  *    is exactly a full `\w`-run equal to a set member).
+  *
+  * The regex forms make 5+ full passes with Java-regex machinery per row;
+  * this walks the text twice (raw + lowercased) with byte/char tests.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import TextStats._
+
+  override def dataType: DataType = Schema
+  override def prettyName: String = "graft_text_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // pass 1: raw text — ws tokens, bpe tokens, punct
+    var ws = 0L; var bpe = 0L; var punct = 0L
+    val trimmed = trimSpaces(raw)
+    if (trimmed.nonEmpty && isWs(trimmed.codePointAt(0))) ws += 1 // leading empty token
+    var i = 0
+    var inNonWs = false
+    while (i < trimmed.length) {
+      val cp = trimmed.codePointAt(i)
+      if (isWs(cp)) inNonWs = false
+      else { if (!inNonWs) ws += 1; inNonWs = true }
+      i += Character.charCount(cp)
+    }
+    if (trimmed.isEmpty) ws = 0
+    i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      if (isAsciiLetter(cp)) {
+        bpe += 1
+        while (i < raw.length && isAsciiLetter(raw.codePointAt(i))) i += 1
+      } else if (isAsciiDigit(cp)) {
+        bpe += 1
+        while (i < raw.length && isAsciiDigit(raw.codePointAt(i))) i += 1
+      } else {
+        if (!isWs(cp)) { bpe += 1; punct += 1 }
+        i += Character.charCount(cp)
+      }
+    }
+    // pass 2: lowercased text — \w-run stopword counts per set
+    val low = raw.toLowerCase(java.util.Locale.ROOT)
+    var nStop = 0L
+    val lang = new Array[Long](LangSets.length)
+    i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= low.length) {
+      val isWord = i < low.length && isWordChar(low.codePointAt(i))
+      if (isWord) sb.appendCodePoint(low.codePointAt(i))
+      else if (sb.length > 0) {
+        val tok = sb.toString
+        if (QualitySet.contains(tok)) nStop += 1
+        var l = 0
+        while (l < LangSets.length) {
+          if (LangSets(l).contains(tok)) lang(l) += 1
+          l += 1
+        }
+        sb.setLength(0)
+      }
+      i += (if (i < low.length) Character.charCount(low.codePointAt(i)) else 1)
+    }
+    InternalRow(ws, bpe, punct, nStop,
+      lang(0), lang(1), lang(2), lang(3))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("s_en", LongType, nullable = false),
+    StructField("s_de", LongType, nullable = false),
+    StructField("s_fr", LongType, nullable = false),
+    StructField("s_es", LongType, nullable = false)))
+
+  /** Stopword set of [[TextFns.stopwordCount]] (quality scoring). */
+  val QualitySet: Set[String] =
+    Set("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Per-language sets, same order as [[TextFns.langStopwords]]. */
+  val LangSets: Array[Set[String]] = Array(
+    Set("the", "and", "of", "to", "is", "that", "with", "for"),
+    Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    Set("le", "la", "les", "et", "est", "une", "pour", "dans"),
+    Set("el", "la", "los", "y", "es", "una", "por", "para"))
+
+  // Java/RE2 \s — ASCII whitespace only
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+  private def isAsciiLetter(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+  private def isAsciiDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+  // Java/RE2 \w — ASCII word chars only
+  private def isWordChar(cp: Int): Boolean =
+    isAsciiLetter(cp) || isAsciiDigit(cp) || cp == '_'
+  // Spark trim() strips 0x20 spaces only
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+}
+
 /** One-pass parse of an EOS `file info -m` record line into a
   * `(ino, file, uid, gid, size)` struct — the Column path needs five
   * separate regexp scans of the same string; this walks it once, using the

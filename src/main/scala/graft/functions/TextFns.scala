@@ -80,4 +80,27 @@ object TextFns {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  // ---- variants over a precomputed graft_text_stats struct -------------
+  // (GraftNative.textStats: one native pass instead of 5+ regex passes;
+  // value-identical counters, asserted in NativeExprsSpec)
+
+  /** [[qualityScore10]] from a stats struct + the text (length only). */
+  def qualityScore10From(stats: Column, text: Column): Column = {
+    val lenOk = when(length(text).between(100, 2000), lit(1L)).otherwise(lit(0L))
+    val punctOk = when(stats.getField("n_punct") * 10 <= stats.getField("ws_tokens"),
+      lit(1L)).otherwise(lit(0L))
+    val stopOk = when(stats.getField("n_stop") > 0, lit(1L)).otherwise(lit(0L))
+    lenOk * 4 + punctOk * 3 + stopOk * 3
+  }
+
+  /** [[langIdGuess]] from a stats struct (same order + tie-break). */
+  def langIdGuessFrom(stats: Column): Column = {
+    val scores = Seq("en" -> "s_en", "de" -> "s_de", "fr" -> "s_fr", "es" -> "s_es")
+      .map { case (lang, f) => lang -> stats.getField(f) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(best > 0 && sc === best, lit(lang)).otherwise(acc)
+    }
+  }
 }

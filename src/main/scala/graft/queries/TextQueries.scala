@@ -58,13 +58,16 @@ object TextQueries {
          |       CAST(SUM(CASE WHEN $langGuessSql = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
          |FROM documents
          |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin) { (s, d) =>
+      graft.GraftNative.ensure(s)
       Tables.documents(s, d)
-        .withColumn("lang_guess", TextFns.langIdGuess(col("text")))
+        .withColumn("st", graft.GraftNative.textStats(col("text")))
+        .select(col("lang"), col("text"), col("st"),
+          TextFns.langIdGuessFrom(col("st")).as("lang_guess"))
         .groupBy("lang_guess")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(TextFns.qualityScore10(col("text"))).as("sum_quality10"),
-          sum(when(TextFns.langIdGuess(col("text")) === col("lang"), 1L).otherwise(0L)).as("n_match"))
+          sum(TextFns.qualityScore10From(col("st"), col("text"))).as("sum_quality10"),
+          sum(when(col("lang_guess") === col("lang"), 1L).otherwise(0L)).as("n_match"))
         .orderBy("lang_guess")
     },
 
@@ -80,16 +83,18 @@ object TextQueries {
          |       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
          |       $rollingSql AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.GraftNative.ensure(s)
       Tables.documents(s, d)
+        .withColumn("st", graft.GraftNative.textStats(col("text")))
         .select(
           col("doc_id"),
-          TextFns.wsTokenCount(col("text")).as("ws_tokens"),
-          TextFns.bpeTokenCount(col("text")).as("bpe_tokens"),
-          TextFns.punctCount(col("text")).as("n_punct"),
-          TextFns.stopwordCount(col("text")).as("n_stop"),
-          TextFns.qualityScore10(col("text")).cast("long").as("quality10"),
+          col("st.ws_tokens").as("ws_tokens"),
+          col("st.bpe_tokens").as("bpe_tokens"),
+          col("st.n_punct").as("n_punct"),
+          col("st.n_stop").as("n_stop"),
+          TextFns.qualityScore10From(col("st"), col("text")).cast("long").as("quality10"),
           TextFns.fingerprint(col("text")).as("fp"),
-          DedupFns.rollingFingerprint(col("text")).as("rolling_fp"))
+          graft.GraftNative.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")
     },
 
@@ -101,7 +106,8 @@ object TextQueries {
          |       CAST(SUM(CASE WHEN $quality10Sql >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       CAST(SUM(CASE WHEN $quality10Sql >= 7 THEN length(text) ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val q10 = TextFns.qualityScore10(col("text"))
+      graft.GraftNative.ensure(s)
+      val q10 = TextFns.qualityScore10From(graft.GraftNative.textStats(col("text")), col("text"))
       Tables.documents(s, d)
         .groupBy("source")
         .agg(

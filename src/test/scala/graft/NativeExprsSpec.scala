@@ -85,6 +85,45 @@ class NativeExprsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_rolling_fp equals the HOF rollingFingerprint (incl. non-ASCII)") {
+    Seq("abc", "cba", "a中bc", "", "hello world! \t tab", "é mixé utf8 ñ")
+      .foreach { t =>
+        assert(one(GraftNative.rollingFingerprint(lit(t))) ==
+          one(DedupFns.rollingFingerprint(lit(t))), s"mismatch on: '$t'")
+      }
+  }
+
+  test("graft_text_stats equals the regex counters and the derived lang/quality") {
+    import graft.functions.TextFns
+    val texts = Seq(
+      "The quick brown fox; and the lazy dog, of course!",
+      "der die das und ist ein test",
+      "le la les et est une pour dans",
+      "el los y es una por para si",
+      "punct!!! soup??? ###",
+      "",
+      "   ",
+      "\tleading tab",
+      "mixed 123 abc42 under_score the-end",
+      "unicode: éàü 中文 text the end")
+    texts.foreach { t =>
+      val row = sel(
+        GraftNative.textStats(lit(t)).as("st"),
+        TextFns.wsTokenCount(lit(t)), TextFns.bpeTokenCount(lit(t)),
+        TextFns.punctCount(lit(t)), TextFns.stopwordCount(lit(t)),
+        TextFns.langIdGuess(lit(t)), TextFns.qualityScore10(lit(t)),
+        TextFns.langIdGuessFrom(GraftNative.textStats(lit(t))),
+        TextFns.qualityScore10From(GraftNative.textStats(lit(t)), lit(t)))
+      val st = row.getStruct(0)
+      assert(st.getLong(0) == row.getLong(1), s"ws_tokens mismatch on '$t'")
+      assert(st.getLong(1) == row.getLong(2), s"bpe_tokens mismatch on '$t'")
+      assert(st.getLong(2) == row.getLong(3), s"n_punct mismatch on '$t'")
+      assert(st.getLong(3) == row.getLong(4), s"n_stop mismatch on '$t'")
+      assert(row.getString(7) == row.getString(5), s"lang guess mismatch on '$t'")
+      assert(row.getLong(8) == row.getLong(6), s"quality mismatch on '$t'")
+    }
+  }
+
   test("graft_kv_parse equals the Column kv functions field-by-field") {
     import graft.functions.PathFns
     val raws = Seq(
@@ -114,6 +153,7 @@ class NativeExprsSpec extends SparkTestBase {
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
       Seq("graft_hamming", "graft_kv_parse", "graft_long_dot",
-        "graft_minhash_sig", "graft_shingles", "graft_simhash64"))
+        "graft_minhash_sig", "graft_rolling_fp", "graft_shingles",
+        "graft_simhash64", "graft_text_stats"))
   }
 }
