@@ -101,6 +101,11 @@ object DedupQueries {
   val SimhashBandBits = 16
   val HammingMax = 3
 
+  /** d06 document-frequency cap: shingles in more docs than this are
+    * treated as boilerplate and never index candidates.
+    */
+  val NgramMaxDf = 20
+
   /** DuckDB twin of [[graft.functions.SimHash64Expr]] over a per-shingle
     * hash-pair list column `hs` (each element = [high32, low32] of the
     * first 16 md5 hex digits): 64 CASE'd majority-vote bits concatenated.
@@ -248,6 +253,56 @@ object DedupQueries {
         .withColumn("hamming", GraftNative.hamming(col("sig_a"), col("sig_b")))
         .where(col("hamming") <= HammingMax)
         .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // N-gram Jaccard near-dup via an inverted shingle index: explode
+    // shingles -> keep only "discriminative" shingles (2 <= document
+    // frequency <= MaxDf) -> self-join on the shingle key -> exact Jaccard
+    // on the candidate pairs. Unlike d02's LSH this is deterministic (no
+    // probabilistic misses among pairs sharing a rare shingle); the df cap
+    // is the scale guard — it bounds each shingle bucket to
+    // MaxDf*(MaxDf-1)/2 pairs, pruning template boilerplate that would
+    // otherwise make the self-join quadratic. Trade-off (documented, same
+    // as prefix filtering in set-similarity joins): pairs sharing ONLY
+    // ubiquitous shingles are not candidates.
+    Q("d06_ngram_jaccard",
+      s"""WITH $dupDocsSql,
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM inv GROUP BY shingle
+         |         HAVING COUNT(*) BETWEEN 2 AND $NgramMaxDf),
+         |idx AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+         |       / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+         |       AS jaccard
+         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |WHERE CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+         |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val sh = shingleStage(s, d)
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val rare = inv.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, NgramMaxDf))
+        .select("shingle")
+      val idx = Stage.table(inv.join(rare, Seq("shingle")), "d06_idx")
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", DedupFns.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
 
