@@ -199,15 +199,16 @@ case class RollingFingerprint(child: Expression)
 /** Single-pass text statistics, value-identical to the regex-based
   * [[TextFns]] counters (asserted in NativeExprsSpec):
   *
-  *  - `ws_tokens`: Java-split(`\s+`-after-space-trim) token count — i.e.
-  *    non-ws runs, plus one leading empty token when the space-trimmed
-  *    text starts with other whitespace (Java split keeps leading
-  *    empties), 0 for blank text;
+  *  - `ws_tokens`: Spark-split(`\s+`-after-space-trim, limit=-1) token
+  *    count — i.e. non-ws runs, plus one empty token at each end where the
+  *    space-trimmed text starts/ends with OTHER whitespace (limit=-1 keeps
+  *    both leading and trailing empties), 0 for blank text;
   *  - `bpe_tokens`: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`;
   *  - `n_punct`: code points outside ASCII alnum and ASCII whitespace;
   *  - `n_stop`, `s_en/s_de/s_fr/s_es`: `\b`-bounded stopword occurrences
   *    over the lowercased text (every match of the word-alternation regex
-  *    is exactly a full `\w`-run equal to a set member).
+  *    is exactly a full Unicode-word run — Java `\b` boundary chars —
+  *    equal to a set member).
   *
   * The regex forms make 5+ full passes with Java-regex machinery per row;
   * this walks the text twice (raw + lowercased) with byte/char tests.
@@ -226,6 +227,7 @@ case class TextStats(child: Expression)
     var ws = 0L; var bpe = 0L; var punct = 0L
     val trimmed = trimSpaces(raw)
     if (trimmed.nonEmpty && isWs(trimmed.codePointAt(0))) ws += 1 // leading empty token
+    if (trimmed.nonEmpty && isWs(trimmed.charAt(trimmed.length - 1))) ws += 1 // trailing
     var i = 0
     var inNonWs = false
     while (i < trimmed.length) {
@@ -306,9 +308,11 @@ object TextStats {
   private def isAsciiLetter(cp: Int): Boolean =
     (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
   private def isAsciiDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
-  // Java/RE2 \w — ASCII word chars only
+  // Java \b boundary chars (Pattern.Bound): Unicode letter/digit or '_' —
+  // NOT the ASCII \w class; Java's \b is Unicode-aware even when \w is not,
+  // so "and" inside "ñandú" has no boundary and must not count.
   private def isWordChar(cp: Int): Boolean =
-    isAsciiLetter(cp) || isAsciiDigit(cp) || cp == '_'
+    cp == '_' || Character.isLetterOrDigit(cp)
   // Spark trim() strips 0x20 spaces only
   private def trimSpaces(s: String): String = {
     var a = 0; var b = s.length

@@ -124,6 +124,43 @@ class NativeExprsSpec extends SparkTestBase {
     }
   }
 
+  test("property: graft_text_stats/rolling_fp equal the regex twins on fuzzed text") {
+    import org.scalacheck.Gen
+    import graft.functions.{DedupFns, TextFns}
+    // mix of word-ish tokens (incl. stopwords of every language set), digits,
+    // punctuation, unicode, and whitespace runs
+    val token: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf(TextStatsTestWords.all),
+      3 -> Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString),
+      1 -> Gen.oneOf("!", "?!", "##", ",", "...", "_", "a_b", "42x"),
+      1 -> Gen.oneOf("é", "中文", "ñandú", "ü42"))
+    val ws: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n, ws)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val texts = Gen.listOfN(200, text).sample.getOrElse(fail("generator exhausted"))
+    import spark.implicits._
+    val bad = texts.toDF("t")
+      .select(GraftNative.textStats(col("t")).as("st"), col("t"),
+        TextFns.wsTokenCount(col("t")).as("r_ws"),
+        TextFns.bpeTokenCount(col("t")).as("r_bpe"),
+        TextFns.punctCount(col("t")).as("r_punct"),
+        TextFns.stopwordCount(col("t")).as("r_stop"))
+      .where(
+        col("st.ws_tokens") =!= TextFns.wsTokenCount(col("t")) ||
+        col("st.bpe_tokens") =!= TextFns.bpeTokenCount(col("t")) ||
+        col("st.n_punct") =!= TextFns.punctCount(col("t")) ||
+        col("st.n_stop") =!= TextFns.stopwordCount(col("t")) ||
+        TextFns.langIdGuessFrom(col("st")) =!= TextFns.langIdGuess(col("t")) ||
+        TextFns.qualityScore10From(col("st"), col("t")) =!= TextFns.qualityScore10(col("t")) ||
+        GraftNative.rollingFingerprint(col("t")) =!= DedupFns.rollingFingerprint(col("t")))
+      .collect()
+    assert(bad.isEmpty, s"native/regex mismatch on: ${bad.take(3).mkString("; ")}")
+  }
+
   test("graft_kv_parse equals the Column kv functions field-by-field") {
     import graft.functions.PathFns
     val raws = Seq(
@@ -156,4 +193,13 @@ class NativeExprsSpec extends SparkTestBase {
         "graft_minhash_sig", "graft_rolling_fp", "graft_shingles",
         "graft_simhash64", "graft_text_stats"))
   }
+}
+
+/** Word pool for the text-stats property: every stopword of every set,
+  * so the language/quality counters are actually exercised.
+  */
+private object TextStatsTestWords {
+  val all: Seq[String] =
+    (graft.functions.TextStats.QualitySet ++
+      graft.functions.TextStats.LangSets.flatten).toSeq.sorted
 }
