@@ -142,6 +142,54 @@ object EventQueries {
           sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
           sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
           sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_view_click_purchase"))
+    },
+
+    // As-of join (backward, inclusive): each purchase joins the most recent
+    // click at-or-before it by the same user — the time-series join Spark
+    // has no builtin for (DuckDB: ASOF JOIN). Composition, not a per-key
+    // loop: tag both sides, union, then ONE shuffle on user_id and one
+    // in-partition sort; last(_, ignoreNulls) over (t, side) carries the
+    // latest click forward into each purchase row. Clicks are first deduped
+    // to one per (user, t) — max event_id, mirroring ASOF's tie rule need —
+    // so the window order is total where it matters. This is the scale
+    // shape: no range join, no per-user collect, one exchange.
+    Q("e05_asof_join",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+        |)
+        |SELECT p.p_id, p.user_id, p.t AS t_purchase,
+        |       c.c_id, c.t AS t_click,
+        |       CAST(p.t - c.t AS BIGINT) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+        |ORDER BY p_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), lit(1).as("side"),
+          col("event_id").as("p_id"), lit(null).cast("long").as("c_id"))
+      val c = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "t").agg(max("event_id").as("c_id"))
+        .select(col("user_id"), col("t"), lit(0).as("side"),
+          lit(null).cast("long").as("p_id"), col("c_id"))
+      // clicks (side=0) sort before purchases (side=1) at equal t => the
+      // join is inclusive (p.t >= c.t), matching ASOF's default
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(c)
+        .withColumn("last_c_id", last(col("c_id"), ignoreNulls = true).over(w))
+        .withColumn("last_c_t",
+          last(when(col("c_id").isNotNull, col("t")), ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("p_id"), col("user_id"), col("t").as("t_purchase"),
+          col("last_c_id").as("c_id"), col("last_c_t").as("t_click"),
+          (col("t") - col("last_c_t")).as("gap_us"))
+        .orderBy("p_id")
     }
   )
 }

@@ -15,6 +15,9 @@ import graft.{Q, Tables}
   */
 object RelationalQueries {
 
+  /** q18 sketch size: 64 k-min values per group. */
+  val KmvK = 64
+
   // sum(cast(x as decimal)) cast back to double — exact, engine-agnostic.
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
@@ -277,6 +280,93 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
           percentile(col("l_quantity"), lit(0.95)).as("p95_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Range (band) join, bucketized: pairs of same-brand parts whose retail
+    // prices lie within 1.0 of each other. The naive form is an inequality
+    // join (nested-loop at any scale); the scale-safe form is an equi-join
+    // on (brand, integer price bucket) with each left row exploded into its
+    // bucket and the next one down, then an exact band refine. floor() on
+    // doubles is bit-exact in both engines, so bucket keys agree; max() is
+    // order-free so the double aggregate is exact cross-engine.
+    Q("q17_band_join",
+      """WITH b AS (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |         CAST(floor(p_retailprice) AS BIGINT) AS bucket
+        |  FROM part
+        |),
+        |pairs AS (
+        |  SELECT x.p_brand, x.p_partkey AS key_a, y.p_partkey AS key_b,
+        |         abs(x.p_retailprice - y.p_retailprice) AS gap
+        |  FROM b x JOIN b y ON x.p_brand = y.p_brand
+        |                   AND y.bucket BETWEEN x.bucket - 1 AND x.bucket + 1
+        |                   AND x.p_partkey < y.p_partkey
+        |  WHERE abs(x.p_retailprice - y.p_retailprice) <= 1.0
+        |)
+        |SELECT p_brand, COUNT(*) AS n_pairs, MAX(gap) AS max_gap
+        |FROM pairs GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val b = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          floor(col("p_retailprice")).cast("long").as("bucket"))
+      // explode the LEFT side into (bucket, bucket+1) so each candidate
+      // pair meets in exactly the right bucket of an equi-join: a pair with
+      // |gap| <= 1 has b.bucket - a.bucket in {-1, 0, 1}; probing from
+      // a.bucket-1..a.bucket+1 is the same set seen from the right side's
+      // own bucket. Equi-keys (brand, bucket) -> hash join, never BNLJ.
+      val left = b.select(col("p_brand"), col("p_partkey").as("key_a"),
+          col("p_retailprice").as("price_a"),
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+            .as("bucket"))
+      val right = b.select(col("p_brand"), col("p_partkey").as("key_b"),
+        col("p_retailprice").as("price_b"), col("bucket"))
+      left.join(right, Seq("p_brand", "bucket"))
+        .where(col("key_a") < col("key_b"))
+        .withColumn("gap", abs(col("price_a") - col("price_b")))
+        .where(col("gap") <= 1.0)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_pairs"), max("gap").as("max_gap"))
+        .orderBy("p_brand")
+    },
+
+    // KMV distinct sketch: per-group cardinality estimate from the k
+    // smallest md5-derived 28-bit hashes ([[graft.functions.KmvSketch]]).
+    // Unlike approx_count_distinct (HLL, engine-specific) the sketch is
+    // deterministic and engine-independent, so the oracle certifies the
+    // ESTIMATE bit-for-bit. The typed Aggregator runs with map-side
+    // partials: k longs per group per partition shuffle, independent of
+    // row count. n_exact is alongside to show the estimate is close.
+    Q("q18_kmv_distinct",
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |         CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7) AS BIGINT) AS h
+         |  FROM lineitem
+         |),
+         |s AS (
+         |  SELECT l_returnflag, list_sort(list(h))[:${KmvK}] AS kmv
+         |  FROM h GROUP BY l_returnflag
+         |),
+         |e AS (
+         |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT e.l_returnflag, e.n_exact,
+         |       CASE WHEN len(s.kmv) < ${KmvK} THEN CAST(len(s.kmv) AS DOUBLE)
+         |            ELSE ${KmvK - 1} * 268435456.0 / CAST(s.kmv[${KmvK}] AS DOUBLE)
+         |       END AS est_distinct
+         |FROM e JOIN s ON e.l_returnflag = s.l_returnflag
+         |ORDER BY e.l_returnflag""".stripMargin) { (s, d) =>
+      import graft.functions.KmvSketch
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          KmvSketch.kmv(col("h"), KmvK).as("kmv"))
+        .select(col("l_returnflag"), col("n_exact"),
+          KmvSketch.estimate(col("kmv"), KmvK).as("est_distinct"))
         .orderBy("l_returnflag")
     }
   )
