@@ -148,11 +148,12 @@ object EventQueries {
     // click at-or-before it by the same user — the time-series join Spark
     // has no builtin for (DuckDB: ASOF JOIN). Composition, not a per-key
     // loop: tag both sides, union, then ONE shuffle on user_id and one
-    // in-partition sort; last(_, ignoreNulls) over (t, side) carries the
-    // latest click forward into each purchase row. Clicks are first deduped
-    // to one per (user, t) — max event_id, mirroring ASOF's tie rule need —
-    // so the window order is total where it matters. This is the scale
-    // shape: no range join, no per-user collect, one exchange.
+    // in-partition sort; last(_, ignoreNulls) over (t, side, c_id) carries
+    // the latest click forward into each purchase row. Ordering clicks by
+    // c_id within equal t makes the carried click the max-event_id one —
+    // the oracle's per-(user, t) MAX(event_id) dedup — without a separate
+    // groupBy shuffle. This is the scale shape: no range join, no per-user
+    // collect, ONE exchange (plus the output sort).
     Q("e05_asof_join",
       """WITH p AS (
         |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS t
@@ -174,12 +175,12 @@ object EventQueries {
         .select(col("user_id"), col("t"), lit(1).as("side"),
           col("event_id").as("p_id"), lit(null).cast("long").as("c_id"))
       val c = ev.where(col("event_type") === "click")
-        .groupBy("user_id", "t").agg(max("event_id").as("c_id"))
         .select(col("user_id"), col("t"), lit(0).as("side"),
-          lit(null).cast("long").as("p_id"), col("c_id"))
+          lit(null).cast("long").as("p_id"), col("event_id").as("c_id"))
       // clicks (side=0) sort before purchases (side=1) at equal t => the
-      // join is inclusive (p.t >= c.t), matching ASOF's default
-      val w = Window.partitionBy("user_id").orderBy(col("t"), col("side"))
+      // join is inclusive (p.t >= c.t), matching ASOF's default; c_id in
+      // the order makes equal-t click ties resolve to the max event_id
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("side"), col("c_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       p.unionByName(c)
         .withColumn("last_c_id", last(col("c_id"), ignoreNulls = true).over(w))

@@ -52,6 +52,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe side must broadcast:\n$p")
   }
 
+  test("q17 band join: bucketized equi-join plans a hash/merge join, never a nested loop") {
+    val p = planOf("q17_band_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a nested loop:\n$p")
+  }
+
+  test("e05 as-of join: one user_id exchange feeds the window; no join operator at all") {
+    val p = planOf("e05_asof_join")
+    assert(!p.contains("Join"), s"as-of composition must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected window carry in:\n$p")
+    // exactly one hashpartitioning exchange on user_id (union -> window);
+    // the final orderBy adds a rangepartitioning, which is fine
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges >= 1 && userExchanges <= 2,
+      s"expected 1-2 user_id exchanges (union sides), got $userExchanges in:\n$p")
+  }
+
   test("no query anywhere plans a CartesianProduct") {
     SparkEntry.all.foreach { q =>
       val p = planOf(q.name)
