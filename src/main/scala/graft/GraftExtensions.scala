@@ -66,7 +66,13 @@ object GraftNative {
       (ch: Seq[Expression]) => RollingFingerprint(ch.head)),
     (FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats", classOf[TextStats]),
-      (ch: Seq[Expression]) => TextStats(ch.head)))
+      (ch: Seq[Expression]) => TextStats(ch.head)),
+    (FunctionIdentifier("graft_overlap"),
+      info("graft_overlap", classOf[ArrayOverlapCount]),
+      (ch: Seq[Expression]) => ArrayOverlapCount(ch(0), ch(1))),
+    (FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", classOf[JaccardSimilarity]),
+      (ch: Seq[Expression]) => JaccardSimilarity(ch(0), ch(1))))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -94,4 +100,11 @@ object GraftNative {
   def rollingFingerprint(text: Column): Column =
     call_function("graft_rolling_fp", text)
   def textStats(text: Column): Column = call_function("graft_text_stats", text)
+  def overlap(a: Column, b: Column): Column = call_function("graft_overlap", a, b)
+
+  /** Exact Jaccard of two distinct-element arrays as one native pass —
+    * see [[graft.functions.JaccardSimilarity]] for why this must be a
+    * single expression, not a composition over [[overlap]].
+    */
+  def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
 }

@@ -322,6 +322,76 @@ object TextStats {
   }
 }
 
+/** Intersection size of two string arrays whose elements are DISTINCT
+  * within each array (shingle sets): hash-probe from the smaller side —
+  * O(n+m) with two tight loops, vs `size(array_intersect(a, b))` which is
+  * an interpreted per-element expression. Value-identical for distinct
+  * inputs (asserted in NativeExprsSpec); the Jaccard verification of the
+  * dedup candidate joins is built on it.
+  */
+case class ArrayOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, big) = if (x.numElements <= y.numElements) (x, y) else (y, x)
+    val set = new java.util.HashSet[UTF8String](small.numElements * 2)
+    var i = 0
+    while (i < small.numElements) { set.add(small.getUTF8String(i)); i += 1 }
+    var c = 0L
+    i = 0
+    while (i < big.numElements) {
+      if (set.contains(big.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard similarity of two distinct-element string arrays as ONE
+  * expression. The Column composition (`inter / (|a| + |b| - inter)` with
+  * a guard) mentions the intersection subtree FOUR times, and interpreted
+  * projections have no common-subexpression elimination — the candidate
+  * verification of the dedup joins was paying 4 hash-probe passes per
+  * pair. Value-identical to [[DedupFns.jaccard]] (asserted in
+  * NativeExprsSpec): integer intersection/union then one double divide.
+  */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, big) = if (x.numElements <= y.numElements) (x, y) else (y, x)
+    val set = new java.util.HashSet[UTF8String](small.numElements * 2)
+    var i = 0
+    while (i < small.numElements) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    i = 0
+    while (i < big.numElements) {
+      if (set.contains(big.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    val uni = x.numElements.toLong + y.numElements.toLong - inter
+    if (uni == 0L) 0.0 else inter.toDouble / uni.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass parse of an EOS `file info -m` record line into a
   * `(ino, file, uid, gid, size)` struct — the Column path needs five
   * separate regexp scans of the same string; this walks it once, using the

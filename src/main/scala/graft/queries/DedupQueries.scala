@@ -198,7 +198,7 @@ object DedupQueries {
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", DedupFns.jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -300,7 +300,7 @@ object DedupQueries {
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", DedupFns.jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

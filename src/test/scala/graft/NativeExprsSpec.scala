@@ -161,6 +161,23 @@ class NativeExprsSpec extends SparkTestBase {
     assert(bad.isEmpty, s"native/regex mismatch on: ${bad.take(3).mkString("; ")}")
   }
 
+  test("graft_overlap equals size(array_intersect) on distinct arrays; jaccard matches") {
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x y z", "y z w"), Seq("y z w", "z w v", "q")))
+    cases.foreach { case (a, b) =>
+      val (ca, cb) = (array(a.map(lit): _*), array(b.map(lit): _*))
+      assert(one(GraftNative.overlap(ca, cb)) ==
+        one(size(array_intersect(ca, cb)).cast("long")), s"overlap mismatch on $a / $b")
+      assert(one(GraftNative.jaccard(ca, cb)) == one(DedupFns.jaccard(ca, cb)),
+        s"jaccard mismatch on $a / $b")
+    }
+  }
+
   test("graft_kv_parse equals the Column kv functions field-by-field") {
     import graft.functions.PathFns
     val raws = Seq(
@@ -189,9 +206,10 @@ class NativeExprsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
-      Seq("graft_hamming", "graft_kv_parse", "graft_long_dot",
-        "graft_minhash_sig", "graft_rolling_fp", "graft_shingles",
-        "graft_simhash64", "graft_text_stats"))
+      Seq("graft_hamming", "graft_jaccard", "graft_kv_parse",
+        "graft_long_dot", "graft_minhash_sig", "graft_overlap",
+        "graft_rolling_fp", "graft_shingles", "graft_simhash64",
+        "graft_text_stats"))
   }
 }
 
