@@ -106,6 +106,12 @@ object DedupQueries {
     */
   val NgramMaxDf = 20
 
+  /** d07 contamination threshold: shared distinct shingles with one
+    * benchmark doc (3 fires at every test scale; real pipelines tune it
+    * to the eval suite's n-gram length).
+    */
+  val DecontamMinShared = 3
+
   /** DuckDB twin of [[graft.functions.SimHash64Expr]] over a per-shingle
     * hash-pair list column `hs` (each element = [high32, low32] of the
     * first 16 md5 hex digits): 64 CASE'd majority-vote bits concatenated.
@@ -304,6 +310,41 @@ object DedupQueries {
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Benchmark decontamination: flag corpus docs sharing >= MinShared
+    // 3-gram shingles with any single "benchmark" doc (every 100th doc
+    // stands in for an eval set) — the training-data hygiene step that
+    // keeps test sets out of the corpus. Scale shape: the benchmark side
+    // is small by construction, so its inverted shingle index BROADCASTS;
+    // the corpus explodes once, hash-joins against the broadcast index
+    // with no shuffle of the corpus, and aggregates on (doc, bench) keys.
+    Q("d07_decontaminate",
+      s"""WITH bench AS (
+         |  SELECT doc_id AS bench_id, unnest($shinglesSql) AS shingle
+         |  FROM documents WHERE doc_id % 100 = 0
+         |),
+         |corpus AS (
+         |  SELECT doc_id, unnest($shinglesSql) AS shingle
+         |  FROM documents WHERE doc_id % 100 <> 0
+         |)
+         |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |FROM corpus c JOIN bench b ON c.shingle = b.shingle
+         |GROUP BY c.doc_id, b.bench_id
+         |HAVING COUNT(*) >= $DecontamMinShared
+         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val docs = Tables.documents(s, d)
+      def inv(df: DataFrame, idCol: String) = df
+        .select(col("doc_id").as(idCol),
+          explode(GraftNative.shingles(DedupFns.normText(col("text")))).as("shingle"))
+      val bench = inv(docs.where(col("doc_id") % 100 === 0), "bench_id")
+      val corpus = inv(docs.where(col("doc_id") % 100 =!= 0), "doc_id")
+      corpus.join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= DecontamMinShared)
+        .orderBy("doc_id", "bench_id")
     },
 
     // Embedding-cosine near-dup: candidate pairs only WITHIN a label cell

@@ -12,7 +12,13 @@ import graft.functions.{DedupFns, TextFns}
   */
 object TextQueries {
 
+  /** t07 token budget per packed training sequence. */
+  val PackBudget = 4096
+
   // ---- DuckDB twins of TextFns ----------------------------------------
+
+  /** DuckDB twin of [[DedupFns.normText]] over the `text` column. */
+  private val normDocSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   private val wsTokSql = "len(regexp_extract_all(trim(text), '\\S+'))"
   private val bpeTokSql = """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
@@ -156,6 +162,94 @@ object TextQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("lang", "split")
+    },
+
+    // Within-document repetition signals (the Gopher/C4-style quality
+    // rules): most-frequent-token share and duplicate-2-gram share, with a
+    // keep flag at the classic 0.2 thresholds. Per-token counts are an
+    // explode + (doc_id, tok) groupBy — uniform keys, map-side partials —
+    // joined back on doc_id; the 2-gram share is a pure per-row pass.
+    Q("t06_repetition",
+      s"""WITH t AS (SELECT doc_id, string_split($normDocSql, ' ') AS toks FROM documents),
+         |tc AS (
+         |  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_toks
+         |  FROM (SELECT doc_id, tok, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |        GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS total2,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN len(list_distinct(list_transform(
+         |                     generate_series(1, len(toks) - 1),
+         |                     i -> toks[i] || ' ' || toks[i + 1])))
+         |              ELSE 0 END AS distinct2
+         |  FROM t
+         |)
+         |SELECT doc_id, n_toks, top_tok_frac, dup_2gram_frac,
+         |       (top_tok_frac <= 0.2 AND dup_2gram_frac <= 0.2) AS keep
+         |FROM (
+         |  SELECT tc.doc_id, tc.n_toks,
+         |         CAST(tc.top_c AS DOUBLE) / CAST(tc.n_toks AS DOUBLE) AS top_tok_frac,
+         |         CASE WHEN g.total2 > 0
+         |              THEN 1.0 - CAST(g.distinct2 AS DOUBLE) / CAST(g.total2 AS DOUBLE)
+         |              ELSE 0.0 END AS dup_2gram_frac
+         |  FROM tc JOIN g ON tc.doc_id = g.doc_id
+         |)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(DedupFns.normText(col("text")), " ")
+      val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
+      val tc = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_toks"))
+      val grams = transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))
+      val g = docs.select(col("doc_id"),
+        when(size(col("toks")) >= 2, size(col("toks")) - 1).otherwise(0).as("total2"),
+        when(size(col("toks")) >= 2, size(array_distinct(grams))).otherwise(0).as("distinct2"))
+      tc.join(g, "doc_id")
+        .select(col("doc_id"), col("n_toks"),
+          (col("top_c").cast("double") / col("n_toks").cast("double")).as("top_tok_frac"),
+          when(col("total2") > 0,
+            lit(1.0) - col("distinct2").cast("double") / col("total2").cast("double"))
+            .otherwise(lit(0.0)).as("dup_2gram_frac"))
+        .withColumn("keep", col("top_tok_frac") <= 0.2 && col("dup_2gram_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing (concat-and-chunk): assign docs, in deterministic
+    // (source, doc_id) order, to fixed token-budget training sequences by
+    // the exclusive running token count — the GPT-style "concatenate the
+    // corpus, cut every 4096 tokens" layout. One shuffle (partition by
+    // source), one in-partition running sum, then a per-sequence rollup.
+    Q("t07_pack_sequences",
+      s"""WITH w AS (
+         |  SELECT source, doc_id, $wsTokSql AS ws,
+         |         SUM($wsTokSql) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents
+         |)
+         |SELECT source,
+         |       CAST(floor((cum - ws) / $PackBudget.0) AS BIGINT) AS seq_id,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(ws) AS BIGINT) AS sum_tokens
+         |FROM w GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin) { (s, d) =>
+      graft.GraftNative.ensure(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          graft.GraftNative.textStats(col("text")).getField("ws_tokens").as("ws"))
+        .withColumn("cum", sum("ws").over(w))
+        .groupBy(col("source"),
+          floor((col("cum") - col("ws")) / lit(PackBudget.toDouble)).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("sum_tokens"))
+        .orderBy("source", "seq_id")
     }
   )
 }
