@@ -71,6 +71,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected 1-2 user_id exchanges (union sides), got $userExchanges in:\n$p")
   }
 
+  test("d07 decontamination: the benchmark shingle index broadcasts") {
+    val p = planOf("d07_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark index must broadcast (no corpus shuffle before the join):\n$p")
+  }
+
   test("no query anywhere plans a CartesianProduct") {
     SparkEntry.all.foreach { q =>
       val p = planOf(q.name)
