@@ -86,6 +86,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming LSH near-dup flags duplicates against earlier batches") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    import graft.streaming.DedupStreams.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Doc]
+      val q = DedupStreams.nearDupCandidates(spark, ms.toDS())
+        .writeStream.format("memory").queryName("near_dup")
+        .outputMode("append").start()
+      val base = "the quick brown fox jumps over the lazy dog near the river bank"
+      try {
+        // batch 1: three distinct docs, no candidates expected among them
+        ms.addData(Doc(1, base),
+          Doc(2, "completely different text about spark catalyst optimizer internals and more"),
+          Doc(3, "a third unrelated document mentioning kmv sketches and asof joins today"))
+        q.processAllAvailable()
+        // batch 2: two exact copies of doc 1 arrive later
+        ms.addData(Doc(101, base), Doc(102, base.toUpperCase))
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.table("near_dup")
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // normalization makes 102 identical too; both match the batch-1 claimant
+      assert(pairs == Set((101L, 1L), (102L, 1L)), s"got $pairs")
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
