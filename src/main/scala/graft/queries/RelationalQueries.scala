@@ -357,13 +357,18 @@ object RelationalQueries {
          |FROM e JOIN s ON e.l_returnflag = s.l_returnflag
          |ORDER BY e.l_returnflag""".stripMargin) { (s, d) =>
       import graft.functions.KmvSketch
+      // pre-distinct the (group, key) pairs once: count(*) over them IS the
+      // exact distinct count, and the sketch is insensitive to duplicates —
+      // this avoids the Expand a countDistinct-next-to-another-agg plans
       Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_partkey"),
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
+        .withColumn("h",
           conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
-            .cast("long").as("h"))
+            .cast("long"))
         .groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("n_exact"),
+          count(lit(1)).as("n_exact"),
           KmvSketch.kmv(col("h"), KmvK).as("kmv"))
         .select(col("l_returnflag"), col("n_exact"),
           KmvSketch.estimate(col("kmv"), KmvK).as("est_distinct"))
