@@ -109,6 +109,16 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  /** The v04 LSH-bucketed search (shared with the v05 recall eval). */
+  private def lshKnn(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d).withColumn("bucket", lshBucket(col("q")))
+    val probes = qv.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+        col("q").as("p_q"), col("n2").as("p_n2"))
+    scoreAndRank(qv.join(broadcast(probes),
+      col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
+  }
+
   private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
     val qv = quantized(s, d)
     val probes = qv.where(col("vec_id") < NumProbes)
@@ -195,12 +205,57 @@ object SimilarityQueries {
          |)
          |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
          |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
-      val qv = quantized(s, d).withColumn("bucket", lshBucket(col("q")))
-      val probes = qv.where(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
-          col("q").as("p_q"), col("n2").as("p_n2"))
-      scoreAndRank(qv.join(broadcast(probes),
-        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
+      lshKnn(s, d)
+    },
+
+    // ANN quality evaluation: recall@K of the LSH index (v04) against the
+    // exact brute-force top-k (v01) — "measure, don't guess" for the
+    // approximate path, certified by the oracle computing the same two
+    // rankings and the same intersection. The exact side is the expensive
+    // one and exists only at evaluation time (sampled probes); production
+    // monitors recall on a probe sample exactly like this.
+    Q("v05_ann_recall",
+      s"""WITH $qvSql,
+         |b AS (SELECT vec_id, label, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |exact_scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, $cosineSql AS cosine
+         |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NumProbes AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |exact_rank AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM exact_scored) WHERE rnk <= $K
+         |),
+         |lsh_scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.vec_id <> p.vec_id AND c.bucket = p.bucket
+         |  WHERE p.vec_id < $NumProbes AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |lsh_rank AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM lsh_scored) WHERE rnk <= $K
+         |)
+         |SELECT e.probe_id,
+         |       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(l.neighbor_id) AS DOUBLE) / $K.0 AS recall
+         |FROM exact_rank e LEFT JOIN lsh_rank l
+         |  ON e.probe_id = l.probe_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin) { (s, d) =>
+      val exact = knn(s, d, sameCellOnly = false)
+        .select(col("probe_id"), col("neighbor_id"))
+      val approx = lshKnn(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
+        .orderBy("probe_id")
     },
 
     // Nearest centroid per vector: the assignment step of IVF/k-means.
