@@ -224,6 +224,31 @@ object RelationalQueries {
         .orderBy("rflag", "lstatus")
     },
 
+    // CUBE: all 2^2 grouping combinations in one pass (rollup's sibling —
+    // Spark expands grouping sets before the hash aggregate, so this is
+    // still one shuffle). COALESCE folds the grouping nulls exactly as in
+    // q12 so the oracle compare is unambiguous.
+    Q("q19_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(CAST(ship_year AS VARCHAR), 'ALL') AS syear,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM (SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year, l_quantity
+        |      FROM lineitem)
+        |GROUP BY CUBE(l_returnflag, ship_year)
+        |ORDER BY rflag, syear""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"),
+          col("l_quantity"))
+        .cube("l_returnflag", "ship_year")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("ship_year").cast("string"), lit("ALL")).as("syear"),
+          col("sum_qty"), col("n"))
+        .orderBy("rflag", "syear")
+    },
+
     // Semi join (EXISTS): customers with at least one urgent open order.
     Q("q13_semi_join",
       """SELECT c_custkey, c_mktsegment FROM customer
