@@ -249,6 +249,30 @@ object RelationalQueries {
         .orderBy("rflag", "syear")
     },
 
+    // Explicit GROUPING SETS (the third §2.5 grouping form, via Spark 4's
+    // Dataset.groupingSets): per-returnflag and per-linestatus marginals in
+    // ONE pass/shuffle — the form rollup/cube can't express (no grand
+    // total, no cross combination).
+    Q("q20_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
     // Semi join (EXISTS): customers with at least one urgent open order.
     Q("q13_semi_join",
       """SELECT c_custkey, c_mktsegment FROM customer
