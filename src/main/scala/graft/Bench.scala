@@ -19,6 +19,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts nanos
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,21 +44,54 @@ object Bench {
           (-1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
-    // Each query runs `Passes` times and reports the MIN: one noisy-host
-    // scheduling stall must not record a 10x figure for a 2 s query. A
-    // query counts as failed only if every pass fails.
-    val Passes = 2
-    val passes = (1 to Passes).map { _ =>
-      // each pass rebuilds shared pipeline stages from scratch — the
-      // min-of-passes numbers never amortize stage builds away
-      graft.operators.Stage.resetShared()
-      names.map(n => n -> runOnce(n)).toMap
+    // Each query runs at least `MinPasses` times and reports the MIN: one
+    // noisy-host scheduling stall must not record a 10x figure for a 2 s
+    // query. A query counts as failed only if every pass fails.
+    //
+    // Host-load robustness: if any query's two fastest times disagree by
+    // more than 40% (+150 ms absolute slack for job-floor-sized queries),
+    // that min is suspect — the host was likely contended during one of the
+    // passes — so the WHOLE pass repeats (up to MaxPasses). Whole-pass
+    // retries keep shared-stage amortization identical across passes: each
+    // pass rebuilds shared pipeline stages from scratch, so the
+    // min-of-passes numbers never amortize stage builds away. Sustained
+    // uniform contention is undetectable from inside the JVM; the loadavg
+    // stamps in the output JSON make such a run self-identifying.
+    val MinPasses = 2
+    val MaxPasses = 4
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def stableMin(ts: Seq[Double]): Boolean = ts.sorted match {
+      case Seq(a, b, _*) => b <= a * 1.4 + 0.15
+      case _             => false
     }
+    val loadStart = loadavg1m()
+    var passes = Vector.empty[Map[String, (Double, Option[String])]]
+    while (passes.size < MinPasses || (passes.size < MaxPasses && {
+      val unstable = names.exists { n =>
+        val ok = passes.map(_(n)).collect { case (sec, None) => sec }
+        ok.nonEmpty && !stableMin(ok)
+      }
+      unstable
+    })) {
+      graft.operators.Stage.resetShared()
+      passes :+= names.map(n => n -> runOnce(n)).toMap
+    }
+    val loadEnd = loadavg1m()
     val results = names.map { name =>
       val rs = passes.map(_(name))
       val ok = rs.collect { case (sec, None) => sec }
       if (ok.nonEmpty) (name, ok.min, None)
       else (name, -1.0, rs.flatMap(_._2).headOption)
+    }
+    // First-pass (cold) times: recorded alongside the mins so a reader can
+    // see both the no-warm-cache figure and the best stable figure.
+    val cold = names.map { name =>
+      name -> (passes.head(name) match {
+        case (sec, None) => sec
+        case _           => -1.0
+      })
     }
 
     def jstr(s: String): String =
@@ -66,11 +100,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,""" +
+        s""""errors":$errs,"passes":${passes.size},"loadavg_start":$loadStart,""" +
+        s""""loadavg_end":$loadEnd,"sf":${jstr(sfDir)}}"""
     spark.stop()
     println(line)
   }

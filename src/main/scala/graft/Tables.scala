@@ -26,12 +26,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses natively: read the nanos as long (legacy conf) and truncate to
-    * microsecond TimestampType (integer DIV — a double division would lose
-    * precision above 2^53 ns).
+    * refuses natively: the session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test bases
+    * all do — the loader itself is pure and never mutates session conf);
+    * the long nanos are then truncated to microsecond TimestampType
+    * (integer DIV — a double division would lose precision above 2^53 ns).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet uses TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -349,7 +349,8 @@ object DedupQueries {
 
     // Embedding-cosine near-dup: candidate pairs only WITHIN a label cell
     // (IVF-style bucketing — the 100 TB path: co-partition by cell id,
-    // never all-pairs). Integer-quantized cosine for exact cross-engine
+    // never all-pairs), with a cell-size quadratic guard (see
+    // [[embeddingPairs]]). Integer-quantized cosine for exact cross-engine
     // parity and order-free aggregation. The quantized feature pass is a
     // written stage table; both join sides scan it.
     Q("d04_embedding_neardup",
@@ -358,11 +359,15 @@ object DedupQueries {
          |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |       FROM dupemb),
          |n AS (SELECT vec_id, label, q,
-         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv)
+         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+         |cs AS (SELECT label, COUNT(*) AS csz FROM n GROUP BY label),
+         |k AS (SELECT n.*, CASE WHEN cs.csz <= $EmbMaxCell THEN '0'
+         |                       ELSE ${SimilarityQueries.lshBucketSql("n.q")} END AS sub
+         |      FROM n JOIN cs ON n.label = cs.label)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          |       CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
          |         / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM k a JOIN k b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
          |WHERE a.n2 > 0 AND b.n2 > 0
          |  AND CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
          |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.95
@@ -373,19 +378,48 @@ object DedupQueries {
           VectorFns.quantize(col("embedding")).as("q"))
           .withColumn("n2", GraftNative.longDot(col("q"), col("q"))),
         "d04_qv")
-      val a = qv.select(col("vec_id").as("vec_a"), col("label"),
-        col("q").as("q_a"), col("n2").as("n2_a"))
-      val b = qv.select(col("vec_id").as("vec_b"), col("label"),
-        col("q").as("q_b"), col("n2").as("n2_b"))
-      a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .where(col("n2_a") > 0 && col("n2_b") > 0)
-        .withColumn("cosine",
-          GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
-            sqrt((col("n2_a") * col("n2_b")).cast("double")))
+      embeddingPairs(qv, EmbMaxCell)
         .where(col("cosine") >= 0.95)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy("vec_a", "vec_b")
     }
   )
+
+  /** d04 quadratic guard: label cells larger than this many vectors are
+    * sub-bucketed by [[SimilarityQueries.lshBucket]] before pairing. The
+    * test fixtures sit far below the cap (so the exact all-pairs-in-cell
+    * oracle holds bit-for-bit); at 100 TB a hot cell means the clustering
+    * key is too coarse, and the guard bounds its fan-out to
+    * ~(csz/2^planes)² pairs per sub-bucket instead of csz² — same role as
+    * [[NgramMaxDf]] in d06. Trade-off (documented, mirrored in the oracle
+    * SQL): inside an oversized cell, a >=0.95-cosine pair lands in the
+    * same 4-plane sign bucket with p ~ (1 - theta/pi)^4 ~ 0.66; production
+    * raises that with multiple bands (as d02 does for MinHash), identical
+    * duplicates are always caught (equal vectors share every sign bit).
+    */
+  val EmbMaxCell = 4096
+
+  /** Within-cell candidate pairs + quantized cosine for d04: exact
+    * all-pairs inside cells of size <= `maxCell`, lshBucket-sub-bucketed
+    * pairs above it. Cell sizes come from a tiny groupBy (one row per
+    * label) broadcast back onto the vectors — no extra shuffle of the big
+    * side beyond the (label, sub) pairing join itself.
+    */
+  def embeddingPairs(qv: DataFrame, maxCell: Long): DataFrame = {
+    val cs = qv.groupBy("label").agg(count(lit(1)).as("csz"))
+    val keyed = qv.join(broadcast(cs), Seq("label"))
+      .withColumn("sub",
+        when(col("csz") <= maxCell, lit("0"))
+          .otherwise(SimilarityQueries.lshBucket(col("q"))))
+    val a = keyed.select(col("vec_id").as("vec_a"), col("label"), col("sub"),
+      col("q").as("q_a"), col("n2").as("n2_a"))
+    val b = keyed.select(col("vec_id").as("vec_b"), col("label"), col("sub"),
+      col("q").as("q_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("label", "sub"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(col("n2_a") > 0 && col("n2_b") > 0)
+      .withColumn("cosine",
+        GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
+          sqrt((col("n2_a") * col("n2_b")).cast("double")))
+  }
 }

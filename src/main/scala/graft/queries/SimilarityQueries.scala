@@ -148,11 +148,11 @@ object SimilarityQueries {
     Seq.fill(LshPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
 
-  private def lshBucket(q: Column): Column =
+  private[queries] def lshBucket(q: Column): Column =
     concat(planes.map(p =>
       when(GraftNative.longDot(q, typedlit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  private def lshBucketSql(q: String): String =
+  private[queries] def lshBucketSql(q: String): String =
     planes.map { p =>
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(list_zip($q, $lits), s -> s[1] * s[2])) >= 0 THEN '1' ELSE '0' END)"

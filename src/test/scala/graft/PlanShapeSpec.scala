@@ -91,4 +91,34 @@ class PlanShapeSpec extends SparkTestBase {
         s"$n must join on band/key equality:\n$p")
     }
   }
+
+  test("d04 pair join keys on (label, sub) — never label alone") {
+    val p = planOf("d04_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d04 must equi-join:\n$p")
+    assert(p.contains("sub#"),
+      s"pair join must include the cell sub-bucket key in:\n$p")
+  }
+
+  test("d04 quadratic guard: an oversized cell is sub-bucketed, never all-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftNative.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 32).map { i =>
+      (i.toLong, 1, Array.fill(64)(if (rnd.nextBoolean()) 1000L else -1000L))
+    }
+    val rows = base :+ ((100L, 1, base(3)._3)) // one exact duplicate of vec 3
+    val qv = rows.toDF("vec_id", "label", "q")
+      .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+    val bounded = graft.queries.DedupQueries.embeddingPairs(qv, maxCell = 4)
+    val n = bounded.count()
+    val allPairs = 33L * 32 / 2
+    assert(n < allPairs, s"oversized cell still paired all-pairs ($n)")
+    // identical vectors agree on every sign bit, so exact dups are always kept
+    val dup = bounded.where(col("vec_a") === 3 && col("vec_b") === 100).collect()
+    assert(dup.length == 1 && math.abs(dup(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    // under the cap the same helper is the exact all-pairs join
+    assert(graft.queries.DedupQueries.embeddingPairs(qv, maxCell = 100).count() == allPairs)
+  }
 }
