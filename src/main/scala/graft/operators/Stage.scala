@@ -17,23 +17,35 @@ import org.apache.spark.sql.DataFrame
   * storage) and downstream stages scan it, giving a durable, re-scannable,
   * memory-independent barrier.
   *
-  * [[table]] is exactly that, pointed at local tmp for the test/bench
-  * sandbox: write the frame as parquet once, hand back a fresh scan of it.
-  * Files live under one per-JVM root that a shutdown hook removes.
+  * [[table]] is exactly that: write the frame as parquet once, hand back a
+  * fresh scan of it. The stage root comes from `spark.graft.stageDir`
+  * ([[StageDirKey]]) — on a cluster, point it at distributed storage
+  * (`hdfs://…`, `s3a://…`; the writes go through Spark's normal committer,
+  * so any supported scheme works). Unset, it falls back to one per-JVM
+  * local tmp root that a shutdown hook removes (the test/bench sandbox;
+  * configured dirs are the caller's to manage — a production pipeline
+  * keeps its stage tables).
   */
 object Stage {
 
-  private lazy val root: Path = {
+  /** Session conf key for the stage-table root directory. */
+  val StageDirKey = "spark.graft.stageDir"
+
+  private lazy val tmpRoot: Path = {
     val dir = Files.createTempDirectory("graft-stage-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir
   }
 
+  private def rootFor(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption(StageDirKey).filter(_.nonEmpty)
+      .getOrElse(tmpRoot.toString)
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Materialize `df` as a written parquet table; return a scan of it. */
   def table(df: DataFrame, name: String): DataFrame = {
-    val path = root.resolve(s"$name-${seq.incrementAndGet()}").toString
+    val path = s"${rootFor(df.sparkSession)}/$name-${seq.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
@@ -53,8 +65,9 @@ object Stage {
     */
   def sharedTable(spark: org.apache.spark.sql.SparkSession, name: String,
                   dir: String)(df: => DataFrame): DataFrame = {
-    val path = shared.computeIfAbsent(s"$name|$dir", _ => {
-      val p = root.resolve(s"$name-${seq.incrementAndGet()}").toString
+    val root = rootFor(spark) // memo key includes it: a re-pointed stageDir
+    val path = shared.computeIfAbsent(s"$root|$name|$dir", _ => { // rebuilds
+      val p = s"$root/$name-${seq.incrementAndGet()}"
       df.write.mode("overwrite").parquet(p)
       p
     })

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Stage
+
+/** Stage-table root configuration: `spark.graft.stageDir` routes stage
+  * writes (the knob a 100 TB deployment points at distributed storage);
+  * unset falls back to the per-JVM tmp root.
+  */
+class StageSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stage tables land under spark.graft.stageDir when set") {
+    val dir = Files.createTempDirectory("graft-stagedir-test-").toString
+    spark.conf.set(Stage.StageDirKey, dir)
+    try {
+      val staged = Stage.table(spark.range(10).toDF("id"), "conf_probe")
+      assert(staged.count() == 10)
+      val children = new java.io.File(dir).listFiles()
+      assert(children != null && children.exists(_.getName.startsWith("conf_probe-")),
+        s"no conf_probe-* under $dir")
+
+      // sharedTable memoizes per (root, name, dir): same key scans, not rewrites
+      var builds = 0
+      def build = { builds += 1; spark.range(5).toDF("id") }
+      val a = Stage.sharedTable(spark, "conf_shared", "x")(build)
+      val b = Stage.sharedTable(spark, "conf_shared", "x")(build)
+      assert(a.count() == 5 && b.count() == 5 && builds == 1)
+      assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("conf_shared-")))
+    } finally {
+      spark.conf.unset(Stage.StageDirKey)
+      Stage.resetShared()
+    }
+  }
+
+  test("unset stageDir falls back to tmp root and queries stay green") {
+    // a Stage-using query end-to-end with the default root
+    val out = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
+    assert(out.count() > 0)
+  }
+
+  test("a Stage-using oracle query is green with a non-default stageDir") {
+    val dir = Files.createTempDirectory("graft-stagedir-q-").toString
+    spark.conf.set(Stage.StageDirKey, dir)
+    Stage.resetShared() // drop memo entries built under the default root
+    try {
+      val out = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      assert(out.count() > 0)
+      assert(new java.io.File(dir).listFiles().nonEmpty, s"no stage files under $dir")
+    } finally {
+      spark.conf.unset(Stage.StageDirKey)
+      Stage.resetShared()
+    }
+  }
+}
