@@ -1,28 +1,33 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import graft.GraftNative
 import graft.functions.DedupFns
 import graft.queries.DedupQueries
 
-/** Streaming MinHash-LSH near-duplicate DETECTION — the streaming twin of
-  * the batch d02 pipeline: each incoming doc is shingled, minhashed, and
-  * banded with the exact same expressions as the batch query; the stream
-  * is then keyed by LSH bucket (band index + band key) and a tiny per-
-  * bucket state — the first doc that claimed the bucket — turns every
-  * later arrival into a candidate pair. Candidates are exactly the pairs
-  * the batch bucket self-join would produce against all previously seen
-  * docs, emitted incrementally.
-  *
-  * Scale notes: state is ONE long per occupied bucket (not the docs
-  * themselves), keyed uniformly by hash — the shape that holds at
-  * 100 TB/day ingest; in a real deployment the ValueState carries a TTL
-  * (dedup horizon) so buckets evict, and candidates flow into an exact
+/** Streaming MinHash-LSH near-duplicate detection + verification — the
+  * streaming twin of the batch d02 pipeline. Each incoming doc is
+  * shingled, minhashed, and banded with the exact same expressions as the
+  * batch query; the stream is keyed by LSH bucket (band index + band key)
+  * and a bounded per-bucket list of previously seen doc ids turns every
+  * arrival into candidate pairs against ALL earlier same-bucket docs —
+  * exactly the pairs the batch bucket self-join produces, emitted
+  * incrementally. Candidates then flow through [[verifyPairs]], the exact
   * Jaccard verification join against a doc store (batch d02's verify
-  * stage) — verification needs the texts, which deliberately do NOT ride
-  * the banded stream (9x amplification).
+  * stage), wired per micro-batch by [[verifiedNearDups]].
+  *
+  * Scale notes: state is a doc-id list per occupied bucket, keyed
+  * uniformly by hash and CAPPED at [[MaxBucketDocs]] — an overflowing
+  * bucket means template boilerplate (the same pathology d06's df cap
+  * prunes), and capping it bounds both state size and pair fan-out to
+  * cap² per bucket; in a real deployment the state carries a TTL (dedup
+  * horizon) so buckets evict. Verification needs the shingle sets, which
+  * deliberately do NOT ride the banded stream (9x amplification) — they
+  * come from the doc-store table the batch pipeline maintains (the
+  * written shingle stage).
   */
 object DedupStreams {
 
@@ -30,37 +35,47 @@ object DedupStreams {
   final case class BandHit(bucket: String, doc_id: Long)
   final case class DupCand(doc_id: Long, dup_of: Long, bucket: String)
 
-  /** Per-bucket claim state: first doc_id wins; later docs emit
-    * candidates against it. Within a micro-batch, rows are folded in
-    * doc_id order so emission is deterministic under shuffle.
+  /** Per-bucket pair fan-out / state cap: buckets that accumulate more
+    * docs than this stop emitting (and remembering) — at that occupancy
+    * the bucket is boilerplate, not near-duplication, and its all-pairs
+    * output would be quadratic. Batch d02 has no cap (its fixtures are
+    * tiny); the streaming operator must bound state growth up front.
+    */
+  val MaxBucketDocs = 64
+
+  /** Per-bucket seen-docs state: each newcomer emits a candidate pair
+    * against every doc already in the bucket, then joins it — so the
+    * emitted pairs are precisely the batch bucket self-join's pairs,
+    * arriving incrementally. Within a micro-batch, rows fold in doc_id
+    * order so emission is deterministic under shuffle.
     */
   final class LshBucketProcessor
       extends StatefulProcessor[String, BandHit, DupCand] {
 
-    @transient private var first: ValueState[Long] = _
+    @transient private var seen: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      first = getHandle.getValueState[Long]("first", Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(bucket: String, rows: Iterator[BandHit],
                                  timerValues: TimerValues): Iterator[DupCand] = {
-      val sorted = rows.toSeq.sortBy(_.doc_id)
-      var claimant = if (first.exists()) Some(first.get()) else None
+      val earlier = mutable.ArrayBuffer[Long](seen.get().toSeq: _*)
       val out = Seq.newBuilder[DupCand]
-      sorted.foreach { r =>
-        claimant match {
-          case None => claimant = Some(r.doc_id)
-          case Some(f) if r.doc_id != f => out += DupCand(r.doc_id, f, bucket)
-          case _ => ()
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!earlier.contains(r.doc_id) && earlier.size < MaxBucketDocs) {
+          earlier.foreach(f => out += DupCand(r.doc_id, f, bucket))
+          earlier += r.doc_id
+          seen.appendValue(r.doc_id)
         }
       }
-      claimant.foreach(first.update)
       out.result().iterator
     }
   }
 
   /** The banded stream: doc -> (bucket, doc_id) rows, one per LSH band,
-    * with the batch d02 expressions (native shingles + minhash).
+    * with the batch d02 expressions (native shingles + minhash). Works on
+    * batch Datasets too — the batch twin in tests goes through the same
+    * code.
     */
   def bandHits(spark: SparkSession, docs: Dataset[Doc]): Dataset[BandHit] = {
     import spark.implicits._
@@ -83,4 +98,50 @@ object DedupStreams {
       .groupByKey(_.bucket)
       .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** A shingled doc store from a (doc_id, text) frame — the shape the
+    * batch pipeline's written shingle stage persists; verification joins
+    * against it by doc_id.
+    */
+  def shingleStore(docs: DataFrame): DataFrame = {
+    GraftNative.ensure(docs.sparkSession)
+    docs.select(col("doc_id"),
+      GraftNative.shingles(DedupFns.normText(col("text"))).as("sh"))
+  }
+
+  /** Batch d02's verify stage applied to a (micro-)batch of candidates:
+    * normalize pairs to (doc_a < doc_b), dedup across bands, join both
+    * sides against the doc store's shingle sets, keep pairs with exact
+    * Jaccard >= `threshold`.
+    */
+  def verifyPairs(cands: DataFrame, docStore: DataFrame,
+                  threshold: Double): DataFrame = {
+    val pairs = cands.select(
+        least(col("doc_id"), col("dup_of")).as("doc_a"),
+        greatest(col("doc_id"), col("dup_of")).as("doc_b"))
+      .distinct()
+    pairs
+      .join(docStore.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docStore.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The full streaming near-dup pipeline: detection (transformWithState
+    * candidates) + per-micro-batch verification against `docStore`.
+    * `sink` receives each micro-batch's VERIFIED pairs — call `.start()`
+    * on the returned writer (foreachBatch is the documented pattern for
+    * joining a stream against batch tables that Structured Streaming's
+    * stream-static join can't re-read per batch with arbitrary
+    * post-aggregation).
+    */
+  def verifiedNearDups(spark: SparkSession, docs: Dataset[Doc], docStore: DataFrame,
+                       threshold: Double = 0.5)(sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[DupCand] =
+    nearDupCandidates(spark, docs).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[DupCand], batchId: Long) =>
+        sink(verifyPairs(batch.toDF(), docStore, threshold), batchId)
+      }
 }

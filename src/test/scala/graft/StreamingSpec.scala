@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Ev
@@ -114,8 +115,63 @@ class StreamingSpec extends SparkTestBase {
       val pairs = spark.table("near_dup")
         .select("doc_id", "dup_of").distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // normalization makes 102 identical too; both match the batch-1 claimant
-      assert(pairs == Set((101L, 1L), (102L, 1L)), s"got $pairs")
+      // normalization makes 102 identical too; each newcomer pairs with ALL
+      // earlier same-bucket docs (batch self-join parity), so the two
+      // late copies also pair with each other
+      assert(pairs == Set((101L, 1L), (102L, 1L), (102L, 101L)), s"got $pairs")
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
+  test("streaming verified near-dups match the batch pipeline on the same slice") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    import graft.streaming.DedupStreams.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val slice = Seq(
+        Doc(1, base),
+        Doc(2, "completely different text about spark catalyst optimizer internals and more"),
+        Doc(3, "a third unrelated document mentioning kmv sketches and asof joins today"),
+        Doc(101, base), // exact dup of 1, later batch
+        Doc(102, base + " extra words"), // near dup of 1/101 (collides in a band; jaccard ~0.857)
+        Doc(4, "yet another standalone document that matches nothing else at all"))
+      // the doc store the batch pipeline maintains: shingle sets by doc_id
+      val store = DedupStreams.shingleStore(slice.toDF("doc_id", "text"))
+
+      val verified = scala.collection.mutable.Set[(Long, Long, Double)]()
+      val ms = MemoryStream[Doc]
+      val q = DedupStreams.verifiedNearDups(spark, ms.toDS(), store) { (df, _) =>
+        verified ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }.start()
+      try {
+        ms.addData(slice.take(3): _*)
+        q.processAllAvailable()
+        ms.addData(slice.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // batch twin: the SAME banding code in batch mode -> bucket self-join
+      // -> the SAME verify stage
+      val hits = DedupStreams.bandHits(spark, slice.toDS()).toDF()
+      val cand = hits.as("a").join(hits.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("dup_of"))
+      val batchPairs = DedupStreams.verifyPairs(cand, store, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(verified.toSet == batchPairs, s"streaming $verified vs batch $batchPairs")
+      // the near-dup (not exact) pair survived verification with a real
+      // jaccard in (0.5, 1), and the all-earlier emission covered the
+      // late-arrival pair (101, 102)
+      assert(batchPairs.exists(p => p._3 > 0.5 && p._3 < 1.0), s"no partial-jaccard pair in $batchPairs")
+      assert(verified.map(p => (p._1, p._2)).contains((101L, 102L)), s"missing late-late pair in $verified")
     } finally {
       prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
     }
