@@ -119,6 +119,37 @@ object SimilarityQueries {
       col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
   }
 
+  /** A bucket plus its `LshPlanes` Hamming-1 neighbors (each sign bit
+    * flipped once) — the multi-probe set. Because every vector lives in
+    * exactly one bucket, the probed buckets are disjoint and no candidate
+    * is scored twice.
+    */
+  private[queries] def probeBuckets(bucket: Column): Column =
+    array((bucket +: (0 until LshPlanes).map { i =>
+      concat(substring(bucket, 1, i),
+        when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucket, i + 2, LshPlanes - i - 1))
+    }): _*)
+
+  /** Multi-probe LSH search: each probe searches its own bucket AND the
+    * `LshPlanes` buckets one sign-flip away — the standard recall fix for
+    * hyperplane LSH (a near neighbor that disagrees on exactly one
+    * low-margin plane lands one bit away). The probe side stays tiny
+    * (x(planes+1) rows before broadcast), so the scan side still does one
+    * map-side pass; search now touches (planes+1)/2^planes of the data
+    * instead of 1/2^planes — recall rises at a linear, bounded cost,
+    * measured against single-probe by the v06 oracle query.
+    */
+  private def lshKnnMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d).withColumn("bucket", lshBucket(col("q")))
+    val probes = qv.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"),
+        explode(probeBuckets(col("bucket"))).as("p_bucket"),
+        col("q").as("p_q"), col("n2").as("p_n2"))
+    scoreAndRank(qv.join(broadcast(probes),
+      col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
+  }
+
   private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
     val qv = quantized(s, d)
     val probes = qv.where(col("vec_id") < NumProbes)
@@ -138,8 +169,9 @@ object SimilarityQueries {
     * similar vectors agree on most sign bits, so near neighbors land in
     * the same bucket and search touches ~N/2^planes of the data — the
     * hash-based alternative to IVF cells (v02) when no trained centroids
-    * exist. Single-probe (exact-bucket) lookup; production multi-probe
-    * flips low-margin bits to raise recall.
+    * exist. v04 is the single-probe (exact-bucket) lookup;
+    * [[lshKnnMultiProbe]] probes the Hamming-1 neighbor buckets too, and
+    * v06 measures the recall gain over v05's single-probe.
     */
   val LshPlanes = 4 // 2^4 buckets: populated even at the smallest test sf;
                     // at production N, more planes = finer pruning
@@ -157,6 +189,15 @@ object SimilarityQueries {
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(list_zip($q, $lits), s -> s[1] * s[2])) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** DuckDB twin of the multi-probe bucket match: Hamming distance between
+    * two `LshPlanes`-char sign-bit strings is <= 1 (own bucket or one
+    * plane flipped).
+    */
+  private def bucketHamLe1Sql(a: String, b: String): String =
+    "(" + (1 to LshPlanes).map(i =>
+      s"(CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ") + ") <= 1"
 
   private def knnSql(cellPredicate: String): String =
     s"""WITH $qvSql,
@@ -250,6 +291,55 @@ object SimilarityQueries {
       val exact = knn(s, d, sameCellOnly = false)
         .select(col("probe_id"), col("neighbor_id"))
       val approx = lshKnn(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
+        .orderBy("probe_id")
+    },
+
+    // Multi-probe recall: the same recall@K evaluation with the ±1-bit
+    // neighbor buckets probed as well — certifying that multi-probe
+    // strictly improves on v05's single-probe at equal planes (a
+    // MultiProbeSpec test asserts the strict inequality on the fixture).
+    Q("v06_ann_recall_multiprobe",
+      s"""WITH $qvSql,
+         |b AS (SELECT vec_id, label, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |exact_scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, $cosineSql AS cosine
+         |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NumProbes AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |exact_rank AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM exact_scored) WHERE rnk <= $K
+         |),
+         |lsh_scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.vec_id <> p.vec_id
+         |                   AND ${bucketHamLe1Sql("p.bucket", "c.bucket")}
+         |  WHERE p.vec_id < $NumProbes AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |lsh_rank AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                              ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM lsh_scored) WHERE rnk <= $K
+         |)
+         |SELECT e.probe_id,
+         |       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(l.neighbor_id) AS DOUBLE) / $K.0 AS recall
+         |FROM exact_rank e LEFT JOIN lsh_rank l
+         |  ON e.probe_id = l.probe_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin) { (s, d) =>
+      val exact = knn(s, d, sameCellOnly = false)
+        .select(col("probe_id"), col("neighbor_id"))
+      val approx = lshKnnMultiProbe(s, d)
         .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
       exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
         .groupBy("probe_id")
