@@ -130,6 +130,39 @@ object JdbcUpsert {
     Seq(r.new_item_source, r.new_item_target, r.new_file_source, r.new_file_target, r.id)
 }
 
+/** The real-JDBC implementation of the connection seam: one
+  * `java.sql.Connection` per partition via `DriverManager`, statements
+  * compiled once per partition through `prepareStatement` and re-executed
+  * per row with positional binds. Serializable by construction — it
+  * carries only the URL and properties; every executor partition opens
+  * its own connection (the reference opens ONE process-wide MySQL
+  * connection, main.go:81-86; partition-scoped connections are the
+  * cluster-parallel equivalent). Works against any JDBC driver on the
+  * executor classpath — MySQL in the reference deployment, embedded
+  * Derby in this sandbox's tests (JdbcUpsertSpec).
+  */
+final class DriverManagerUpsertFactory(url: String,
+                                       props: Map[String, String] = Map.empty)
+    extends UpsertConnectionFactory {
+
+  override def connect(): UpsertConnection = new UpsertConnection {
+    private val conn = {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      java.sql.DriverManager.getConnection(url, p)
+    }
+    override def prepare(sql: String): PreparedUpsert = new PreparedUpsert {
+      private val ps = conn.prepareStatement(sql)
+      override def executeUpdate(params: Seq[Any]): Int = {
+        params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+        ps.executeUpdate()
+      }
+      override def close(): Unit = ps.close()
+    }
+    override def close(): Unit = conn.close()
+  }
+}
+
 /** In-JVM fake database for tests/local runs: a shared id-keyed table per
   * `storeId`. `executeUpdate` affects 1 row when the id exists, 0 when it
   * does not (the reference's deleted-share case), and throws for ids in

@@ -71,6 +71,52 @@ class JdbcUpsertSpec extends SparkTestBase {
     assert(prepared >= 1 && prepared <= 4, s"prepared $prepared times for 4 partitions")
   }
 
+  // --- real JDBC path: embedded Derby (from the Spark jars dir) ---------
+
+  private val derbyUrl = "jdbc:derby:memory:graftupsert;create=true"
+
+  private def derbyAvailable: Boolean =
+    try { java.sql.DriverManager.getConnection(derbyUrl).close(); true }
+    catch {
+      case _: Exception =>
+        try { // Derby >=10.15 autoloads via this class; force-register then retry
+          Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+          java.sql.DriverManager.getConnection(derbyUrl).close(); true
+        } catch { case _: Throwable => false }
+    }
+
+  test("DriverManagerUpsertFactory against embedded Derby: real prepared statements + affected rows") {
+    assume(derbyAvailable, "Derby driver not on classpath")
+    val setup = java.sql.DriverManager.getConnection(derbyUrl)
+    try {
+      val st = setup.createStatement()
+      try st.execute("DROP TABLE oc_share") catch { case _: java.sql.SQLException => () }
+      st.execute("""CREATE TABLE oc_share(
+        id BIGINT PRIMARY KEY, item_source VARCHAR(64), item_target VARCHAR(64),
+        file_source BIGINT, file_target VARCHAR(64))""")
+      val ins = setup.prepareStatement("INSERT INTO oc_share VALUES (?, '', '', 0, '')")
+      (1L to 10L).foreach { i => ins.setLong(1, i); ins.executeUpdate() }
+      ins.close(); st.close()
+    } finally setup.close()
+
+    // multiple partitions = multiple concurrent embedded connections
+    val out = JdbcUpsert.write(changeset(1L to 12L).repartition(3),
+      new DriverManagerUpsertFactory(derbyUrl)).collect().sortBy(_.id)
+    assert(out.count(o => o.affected == 1 && o.error.isEmpty) == 10)
+    assert(out.filter(_.id > 10).forall(o =>
+      o.affected == 0 && o.error.contains(JdbcUpsert.ErrShareDeleted)))
+
+    // the database holds the written values
+    val check = java.sql.DriverManager.getConnection(derbyUrl)
+    try {
+      val rs = check.createStatement().executeQuery(
+        "SELECT item_source, item_target, file_source, file_target FROM oc_share WHERE id = 7")
+      assert(rs.next())
+      assert((rs.getString(1), rs.getString(2), rs.getLong(3), rs.getString(4)) ==
+        (("7", "/7", 7L, "/f7.dat")))
+    } finally check.close()
+  }
+
   test("continue-on-error: a failing id becomes an error row, the rest commit") {
     val store = "t-fail"
     FakeJdbcStore.reset(store)
