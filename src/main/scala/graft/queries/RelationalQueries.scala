@@ -332,6 +332,24 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // The approx escape hatch for q16: approx_percentile (Greenwald-Khanna
+    // sketch, mergeable map-side partials) holds O(1/accuracy) state per
+    // group instead of the group's values — the form that survives groups
+    // that outgrow executor memory. Rank error is bounded by
+    // n/accuracy (~6 of 60k rows here). No SQL oracle: DuckDB's
+    // approx_quantile is a different sketch (t-digest) and cannot
+    // value-match; the driver records the rows/schema check and
+    // PercentileApproxSpec asserts the bounded error against exact q16.
+    Q.noOracle("q21_percentile_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty_approx"),
+          approx_percentile(col("l_quantity"), lit(0.95), lit(10000)).as("p95_qty_approx"))
+        .orderBy("l_returnflag")
+    },
+
     // Range (band) join, bucketized: pairs of same-brand parts whose retail
     // prices lie within 1.0 of each other. The naive form is an inequality
     // join (nested-loop at any scale); the scale-safe form is an equi-join
