@@ -396,9 +396,10 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   * `(ino, file, uid, gid, size)` struct — the Column path needs five
   * separate regexp scans of the same string; this walks it once, using the
   * same plain-Scala parser as the `graft-kv` DSv2 source
-  * ([[graft.sources.KvParse]]). Missing string keys yield "" and missing/
-  * non-numeric longs yield null, matching `PathFns.kvGet`/`kvIno` exactly
-  * (regexp_extract's no-match result is "" which casts to null).
+  * ([[graft.sources.KvParse]]). Missing keys yield null (the shared
+  * convention of `PathFns.kvGet`, this struct, and the DSv2 reader;
+  * non-numeric longs are null too), and a present-but-empty value
+  * (`key= `) yields "".
   */
 case class KvRecordParse(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -412,8 +413,8 @@ case class KvRecordParse(child: Expression)
     InternalRow(
       KvParse.getLong(raw, "ino").map(Long.box).orNull,
       KvParse.file(raw).map(UTF8String.fromString).orNull,
-      UTF8String.fromString(KvParse.get(raw, "uid").getOrElse("")),
-      UTF8String.fromString(KvParse.get(raw, "gid").getOrElse("")),
+      KvParse.get(raw, "uid").map(UTF8String.fromString).orNull,
+      KvParse.get(raw, "gid").map(UTF8String.fromString).orNull,
       KvParse.getLong(raw, "size").map(Long.box).orNull)
   }
 
@@ -425,8 +426,8 @@ object KvRecordParse {
   val Schema: StructType = StructType(Seq(
     StructField("ino", LongType),
     StructField("file", StringType),
-    StructField("uid", StringType, nullable = false),
-    StructField("gid", StringType, nullable = false),
+    StructField("uid", StringType),
+    StructField("gid", StringType),
     StructField("size", LongType)))
 }
 

@@ -79,9 +79,17 @@ object PathFns {
     * the `file` key. The token start is anchored (start-of-string or a
     * space) so `ino` cannot match inside `pino=`, nor `size` inside
     * `treesize=` — the reference splits on spaces and compares keys exactly.
+    *
+    * Missing key -> null (the convention every KV surface shares: this
+    * Column form, the native `graft_kv_parse` struct, and the `graft-kv`
+    * DSv2 reader); a present-but-empty value (`key= `) -> "" — regexp
+    * alone can't tell the two apart, hence the anchored presence guard.
     */
-  def kvGet(raw: Column, key: String): Column =
-    regexp_extract(raw, "(?:^| )" + java.util.regex.Pattern.quote(key) + "=([^ ]*)", 1)
+  def kvGet(raw: Column, key: String): Column = {
+    val pat = "(?:^| )" + java.util.regex.Pattern.quote(key) + "=([^ ]*)"
+    when(raw.rlike(pat), regexp_extract(raw, pat, 1))
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** Length-prefixed extraction of the `file=` value (main.go:191-198):
     * the payload starts right after `"keylength.file=<n> file="` and runs

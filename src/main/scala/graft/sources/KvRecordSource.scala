@@ -126,32 +126,49 @@ final class KvScan(paths: Seq[String], required: StructType) extends Scan with B
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => KvInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames)
+    // Capture the session's Hadoop conf at planning time (driver) and ship
+    // it serialized — executors resolve each path's FileSystem from it, so
+    // credentials/filesystem settings flow exactly like the built-in file
+    // sources'.
+    new KvReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class KvInputPartition(path: String) extends InputPartition
 
-final class KvReaderFactory(fields: Array[String])
+final class KvReaderFactory(fields: Array[String],
+                            conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].path, fields)
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].path, fields,
+      conf.value)
 }
 
-final class KvPartitionReader(path: String, fields: Array[String])
+/** Reads one record file through the Hadoop FileSystem API, so any
+  * Spark-supported scheme works (local, hdfs://, s3a://, ...) — record
+  * dumps on a 100 TB deployment live on distributed storage.
+  */
+final class KvPartitionReader(path: String, fields: Array[String],
+                              hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-  private val it = lines.iterator()
+  private val reader = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(hadoopConf).open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val raw = it.next()
+    var raw = reader.readLine()
+    while (raw != null) {
       if (raw.nonEmpty) { row = parse(raw); return true }
+      raw = reader.readLine()
     }
     false
   }
   override def get(): InternalRow = row
-  override def close(): Unit = lines.close()
+  override def close(): Unit = reader.close()
 
   /** Only the pruned-in fields are parsed. */
   private def parse(raw: String): InternalRow = {
