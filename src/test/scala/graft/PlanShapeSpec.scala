@@ -52,6 +52,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe side must broadcast:\n$p")
   }
 
+  test("v06 multi-probe ANN: the exploded probe set still broadcasts (bucket equi-join)") {
+    val p = planOf("v06_ann_recall_multiprobe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe side must broadcast:\n$p")
+  }
+
   test("q17 band join: bucketized equi-join plans a hash/merge join, never a nested loop") {
     val p = planOf("q17_band_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
