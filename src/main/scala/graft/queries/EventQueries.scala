@@ -191,6 +191,42 @@ object EventQueries {
           col("last_c_id").as("c_id"), col("last_c_t").as("t_click"),
           (col("t") - col("last_c_t")).as("gap_us"))
         .orderBy("p_id")
+    },
+
+    // Cohort retention: each user's cohort = first active day; retention
+    // cell (cohort_day, day_offset) counts distinct users from that cohort
+    // active offset days later — the standard engagement matrix, and the
+    // shape of "which training-data snapshot did a doc first appear in".
+    // Scale shape: one map-side day projection of the event scan, a
+    // (user, day) distinct (uniform keys), a user-keyed aggregate for the
+    // cohort map (|users| rows, << events — AQE broadcasts it or
+    // co-shuffles both sides on user_id), then a (cohort, offset) agg over
+    // |users| x |days| rows at most. No window over the full event table.
+    Q("e06_cohort_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+        |  FROM events
+        |),
+        |cohort AS (
+        |  SELECT user_id, MIN(active_day) AS cohort_day FROM act GROUP BY user_id
+        |)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', c.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("active_day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("active_day").as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        // a date column would round-trip as Timestamp through the oracle's
+        // pandas compare; an ISO string is type-stable cross-engine
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 }

@@ -206,6 +206,25 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // The sketch escape hatch for q11's exact COUNT(DISTINCT): HyperLogLog++
+    // (approx_count_distinct) carries a fixed-size register set per group
+    // with mergeable map-side partials — one shuffle of sketch bytes, no
+    // per-key distinct expansion — the form that survives billions of
+    // distinct keys. Completes the distinct-count family: exact (q11),
+    // deterministic KMV (q18), HLL (q22). No SQL oracle: DuckDB's
+    // approx_count_distinct is a different HLL build and cannot
+    // value-match; DistinctApproxSpec asserts bounded relative error vs
+    // exact q11.
+    Q.noOracle("q22_distinct_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_suppkey")).as("n_supp_approx"),
+          approx_count_distinct(col("l_partkey")).as("n_part_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ROLLUP hierarchy totals (grouping-set expansion).
     Q("q12_rollup",
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,

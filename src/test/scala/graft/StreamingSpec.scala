@@ -177,6 +177,38 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming change-set drains into the keyed upsert sink per micro-batch") {
+    import spark.implicits._
+    import graft.operators.{FakeJdbcFactory, FakeJdbcStore, JdbcUpsert, UpsertRow}
+    import graft.streaming.UpsertStreams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = "t-stream-upsert"
+    FakeJdbcStore.reset(store)
+    (1L to 8L).foreach(FakeJdbcStore.seed(store, _))
+
+    val outcomes = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Option[String])]()
+    val ms = MemoryStream[UpsertRow]
+    val q = UpsertStreams.writeStream(ms.toDS(), new FakeJdbcFactory(store)) { (o, id) =>
+      outcomes ++= o.collect().map(r => (id, r.id, r.affected, r.error))
+    }.start()
+    def row(i: Long) = UpsertRow(i, i.toString, s"/$i", i, s"/f$i.dat")
+    try {
+      ms.addData(row(1), row(2), row(3))
+      q.processAllAvailable()
+      ms.addData(row(4), row(99)) // 99 was never seeded: deleted-share path
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = outcomes.map(o => o._2 -> o).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => byId(i)._3 == 1 && byId(i)._4.isEmpty))
+    assert(byId(99L)._3 == 0 && byId(99L)._4.contains(JdbcUpsert.ErrShareDeleted))
+    // batch ids separate the two micro-batches
+    assert(outcomes.filter(_._1 == 0).map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(outcomes.filter(_._1 == 1).map(_._2).toSet == Set(4L, 99L))
+    // the store holds the written values
+    assert(FakeJdbcStore.rows(store)(3L) == Vector("3", "/3", 3L, "/f3.dat"))
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
