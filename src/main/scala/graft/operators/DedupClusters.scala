@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair/edge list — the step that
+  * turns pairwise near-duplicate matches into duplicate GROUPS (a~b and
+  * b~c put a, b, c in one component even though (a, c) was never a
+  * candidate pair). Component id = the minimum vertex id reachable, so
+  * "keep the min-id representative per component" is a plain filter.
+  *
+  * Algorithm: iterative min-label propagation. Each round, every vertex's
+  * label flows across the (symmetrized) edges and each vertex keeps the
+  * minimum label seen — a fixpoint in O(component diameter) rounds. Each
+  * round is one equi-join (edges x labels, both key-partitioned) plus one
+  * groupBy-min; the label table is WRITTEN per round ([[Stage.table]]) to
+  * cut lineage growth, and convergence is checked with a scalar count —
+  * per-round driver actions are inherent to iterative graph algorithms
+  * (the loop condition is data-dependent), not a per-row collect.
+  *
+  * Scale notes: near-dup components are overwhelmingly tiny (pairs,
+  * triples), so the diameter bound keeps rounds in the low single digits
+  * at any corpus size; pathological long chains are bounded by `maxIter`
+  * (a chain longer than that is template spam, not duplication). The
+  * O(log n)-round alternative for adversarial graphs is alternating
+  * large-star/small-star contraction (Kiveris et al., "Connected
+  * Components in MapReduce"), which swaps diameter rounds for more joins
+  * per round — not worth it below millions of vertices per component.
+  */
+object DedupClusters {
+
+  /** Components of the graph given by `pairs` rows (aCol, bCol): returns
+    * (doc_id, component) for every vertex that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = Stage.table(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct(),
+      "cc_edges")
+    var labels = Stage.table(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")),
+      "cc_labels")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = Stage.table(
+        labels.unionByName(propagated)
+          .groupBy("id").agg(min("component").as("component")),
+        "cc_labels")
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
+        .where(col("component") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+}

@@ -126,6 +126,55 @@ object DedupQueries {
   private def hammingSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN substring($a, i, 1) <> substring($b, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
 
+  /** The d02 MinHash+LSH pipeline up to verified pairs (doc_a, doc_b,
+    * jaccard >= 0.5) — shared by d02 (pair listing) and d08 (connected
+    * components over the pairs).
+    */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val sh = shingleStage(s, d)
+    val bands = Stage.table(
+      sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
+          GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
+          Bands, RowsPerBand)).as(Seq("band", "key"))),
+      "d02_bands")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB twin of [[minhashPairs]] as a reusable WITH-clause body (no
+    * leading WITH, no trailing SELECT): ends with a `pairs` CTE.
+    */
+  private val minhashPairsSql: String =
+    s"""$dupDocsSql,
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+       |bands AS (
+       |${(0 until Bands).map(b =>
+           s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sh").mkString(" UNION ALL\n")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |                           AND a.doc_id < b.doc_id
+       |),
+       |pairs0 AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+       |         / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
+       |         AS jaccard
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |),
+       |pairs AS (SELECT * FROM pairs0 WHERE jaccard >= 0.5)""".stripMargin
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -170,44 +219,37 @@ object DedupQueries {
     // verification joins then scan small parquet instead of re-running the
     // interpreted shingle/minhash trees once per consumer.
     Q("d02_minhash_lsh",
-      s"""WITH $dupDocsSql,
-         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
-         |bands AS (
-         |${(0 until Bands).map(b =>
-             s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sh").mkString(" UNION ALL\n")}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |                           AND a.doc_id < b.doc_id
-         |)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |       / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |       AS jaccard
-         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |WHERE CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
+      s"""WITH $minhashPairsSql
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val sh = shingleStage(s, d)
-      val bands = Stage.table(
-        sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
-            GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
-            Bands, RowsPerBand)).as(Seq("band", "key"))),
-        "d02_bands")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Dedup CLUSTERS: connected components over the verified near-dup
+    // pairs — pairwise matches alone don't say which docs form one
+    // duplicate group (a~b, b~c => {a,b,c}); the component id (min doc id
+    // reachable) is the group key a pipeline keeps one representative of.
+    // Spark side: iterative min-label propagation over the edge list
+    // ([[graft.operators.DedupClusters]]); oracle: DuckDB recursive CTE
+    // computing the same min-reachable-label fixpoint.
+    Q("d08_dedup_clusters",
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM v
+         |  UNION
+         |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+         |)
+         |SELECT id AS doc_id, MIN(label) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.DedupClusters
+        .connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
+        .orderBy("doc_id")
     },
 
     // 64-bit SimHash near-dup, banded: shingles -> signature -> 4 x 16-bit

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.DedupClusters
+
+/** Min-label-propagation connected components on hand-built graphs. */
+class DedupClustersSpec extends SparkTestBase {
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupClusters.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, triangle, and pair resolve to min-id components") {
+    // chain 1-2-3-4 (diameter > 1: needs propagation rounds),
+    // triangle 10-11-12 (+ redundant edge), isolated pair 20-21
+    val got = components(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges within maxIter (propagation, not one-hop)") {
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 10L).toSet)
+  }
+}
