@@ -250,6 +250,62 @@ object TextQueries {
           floor((col("cum") - col("ws")) / lit(PackBudget.toDouble)).as("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum("ws").as("sum_tokens"))
         .orderBy("source", "seq_id")
+    },
+
+    // Top distinctive terms per document, TF-IDF style: tf from a
+    // (doc, token) aggregate, df from a vocab-keyed aggregate, score =
+    // tf * (N - df + 1) / df — an integer-ratio rare-term weighting chosen
+    // over ln(N/df) deliberately: one integer product and one IEEE
+    // division are bit-exact across engines, while libm ln is
+    // implementation-defined and would make ranking ties flap. Scale
+    // shape: tf and df are both uniform-key aggregates (no doc is a hot
+    // key; vocab is zipf but df caps at N), the tf-df join is vocab-keyed,
+    // and N rides a one-row broadcast — the per-doc top-3 then reduces
+    // through a doc-partitioned rank window.
+    Q("t08_tfidf_topterms",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok2 GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok2 GROUP BY token),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         CAST(tf.tf * (n.n_docs - df.df + 1) AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, token) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, tf, df, score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d)
+        .agg(countDistinct(col("doc_id")).as("n_docs")).withColumn("j", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .withColumn("j", lit(1))
+        .join(broadcast(n), Seq("j")) // one-row N: broadcast equi-join, not a cross
+        .withColumn("score",
+          (col("tf") * (col("n_docs") - col("df") + 1)).cast("double") /
+            col("df").cast("double"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id", "token")
     }
   )
 }
