@@ -298,7 +298,10 @@ object TextQueries {
         .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
       tf.join(df, Seq("token"))
         .withColumn("j", lit(1))
-        .join(broadcast(n), Seq("j")) // one-row N: broadcast equi-join, not a cross
+        // Catalyst folds the constant key, so this plans a 1-row
+        // BroadcastNestedLoopJoin — i.e. a scalar broadcast of N, the
+        // right shape (never a shuffle; the big side streams through)
+        .join(broadcast(n), Seq("j"))
         .withColumn("score",
           (col("tf") * (col("n_docs") - col("df") + 1)).cast("double") /
             col("df").cast("double"))
