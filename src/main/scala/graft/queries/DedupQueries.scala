@@ -304,6 +304,38 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Cluster APPLY: the deduplicated corpus given the d08 components —
+    // keep every doc that either appears in no near-dup component or is
+    // its component's min-id representative. The component table is tiny
+    // relative to the corpus (only docs that matched something), so the
+    // exclusion set broadcasts and the corpus never shuffles: one
+    // broadcast anti join.
+    Q("d09_clusters_apply",
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM v
+         |  UNION
+         |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+         |drop_ids AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |SELECT d.doc_id FROM dupdocs d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val comp = graft.operators.DedupClusters
+        .connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
+      val dropIds = comp.where(col("doc_id") =!= col("component")).select("doc_id")
+      dupDocs(s, d).select("doc_id")
+        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // N-gram Jaccard near-dup via an inverted shingle index: explode
     // shingles -> keep only "discriminative" shingles (2 <= document
     // frequency <= MaxDf) -> self-join on the shingle key -> exact Jaccard
