@@ -227,6 +227,36 @@ object EventQueries {
           datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly 2 windows (window/slide = 2x row expansion,
+    // then the same uniform (window, type) keyed aggregate as e02; the
+    // expansion factor, not the data, sets the cost — never materialize
+    // overlapping windows wider than the slide ratio). Batch twin of
+    // streaming `window(ts, "1 hour", "30 minutes")`; DuckDB enumerates
+    // the two containing window starts per event explicitly.
+    Q("e07_hopping_windows",
+      """SELECT window_start, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events
+        |)
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
     }
   )
 }
