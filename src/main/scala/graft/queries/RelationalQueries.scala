@@ -459,6 +459,31 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("n_exact"),
           KmvSketch.estimate(col("kmv"), KmvK).as("est_distinct"))
         .orderBy("l_returnflag")
+    },
+
+    // Skew-salted equi-join ([[graft.operators.Skew]]): lineitem x supplier
+    // with the fact side salted 8 ways and the dimension replicated once
+    // per salt, so a hot supplier key spreads over 8 reducer tasks instead
+    // of pinning one. The dim side carries a shuffle_hash hint — the
+    // premise of salting is a dimension too big to broadcast, and without
+    // the hint AQE would just broadcast it at this SF and hide the shape
+    // under test. Results are identical to the unsalted join (each fact
+    // row matches exactly one replica), which is what the oracle certifies.
+    Q("q23_salted_join",
+      """SELECT s_nationkey,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      import graft.operators.Skew
+      val facts = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice")
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .hint("shuffle_hash")
+      Skew.saltedJoin(facts, dim, Seq("l_suppkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("s_nationkey")
     }
   )
 }

@@ -83,6 +83,14 @@ class PlanShapeSpec extends SparkTestBase {
       s"benchmark index must broadcast (no corpus shuffle before the join):\n$p")
   }
 
+  test("q23 salted join: shuffled hash join on (key, salt), dim not broadcast") {
+    val p = planOf("q23_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must plan the hinted shuffle join (broadcast would hide the shape):\n$p")
+    assert(p.contains("__graft_salt"),
+      s"join keys must include the salt column in:\n$p")
+  }
+
   test("no query anywhere plans a CartesianProduct") {
     SparkEntry.all.foreach { q =>
       val p = planOf(q.name)
