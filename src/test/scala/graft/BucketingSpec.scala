@@ -1,41 +1,75 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import graft.operators.Bucketing
 
-/** Bucketed co-located joins — the no-shuffle join path for recurring big
-  * joins (SURVEY §2.4): two tables bucketed by the join key into the same
-  * bucket count join WITHOUT an Exchange on either side. At 100 TB this
-  * is the difference between shuffling both fact tables per query and
-  * shuffling neither, amortizing the layout cost at write time.
+/** Bucketed layout: the join/agg shuffle is paid at write time, after
+  * which equi-joins and aggregations on the bucket keys plan ZERO
+  * exchanges — the repeated-big-join lever for 100 TB tables.
   */
 class BucketingSpec extends SparkTestBase {
 
-  test("join of co-bucketed tables plans no exchange on either side") {
-    import spark.implicits._
-    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(bcastKey)
-    spark.conf.set(bcastKey, "-1") // force a non-broadcast join for the demo
-    try {
-      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
-      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
-      (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
-        .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_l")
-      (1 to 500).map(i => (i.toLong % 50, s"r$i")).toDF("k", "name")
-        .write.bucketBy(8, "k").saveAsTable("graft_bucket_r")
+  private val dir = "/root/testdata/sf0.001"
 
-      val joined = spark.table("graft_bucket_l")
-        .join(spark.table("graft_bucket_r"), "k")
-      // execute THIS df so its AQE plan finalizes before inspection
-      assert(joined.collect().length == 1000 * 10) // 50 keys x 20 left x 10 right
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("isFinalPlan=false"), s"plan did not finalize:\n$plan")
-      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"co-bucketed join must not shuffle:\n$plan")
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"), s"plan did not finalize:\n$p")
+    p
+  }
+
+  test("co-bucketed tables join and aggregate with zero exchanges") {
+    val tmp = Files.createTempDirectory("graft-bucketing-").toString
+    try {
+      Bucketing.writeBucketed(Tables.orders(spark, dir),
+        "orders_bkt", s"$tmp/orders", Seq("o_custkey"), numBuckets = 8)
+      Bucketing.writeBucketed(Tables.customer(spark, dir),
+        "customer_bkt", s"$tmp/customer", Seq("c_custkey"), numBuckets = 8)
+
+      withNoBroadcast {
+        val joined = spark.table("orders_bkt")
+          .join(spark.table("customer_bkt"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        val p = executedPlan(joined)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a non-broadcast equi-join:\n$p")
+        // the join itself is exchange-free: both scans already report
+        // HashPartitioning on the bucket key. The only exchange allowed is
+        // the one for the low-cardinality mktsegment aggregation.
+        val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+          .findAllMatchIn(p).map(_.group(1)).toList
+        assert(!exchanges.exists(c => c == "o_custkey" || c == "c_custkey"),
+          s"bucketed join still shuffles on the bucket key:\n$p")
+
+        // same result as the plain parquet join
+        val expected = Tables.orders(spark, dir)
+          .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == expected)
+      }
+
+      // aggregation keyed on the bucket column: no exchange at all
+      val agg = spark.table("orders_bkt")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val pAgg = executedPlan(agg)
+      assert(!pAgg.contains("Exchange hashpartitioning"),
+        s"bucket-keyed aggregation must not shuffle:\n$pAgg")
     } finally {
-      spark.conf.set(bcastKey, prev)
-      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
-      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
 }
