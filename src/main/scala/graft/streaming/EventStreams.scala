@@ -44,6 +44,31 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's page views in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds purchase_ts to [view_ts, view_ts + 1h],
+    * so the state store holds only one hour of either stream per user —
+    * the two properties (watermark + time-range predicate) that make a
+    * stream-stream join's state finite. Without the range bound Spark
+    * would buffer both streams forever.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Typed event for custom-state pipelines. */
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)

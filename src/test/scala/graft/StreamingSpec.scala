@@ -58,6 +58,34 @@ class StreamingSpec extends SparkTestBase {
       Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
   }
 
+  test("stream-stream interval join attributes purchases to in-window views") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.viewPurchaseJoin(views.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // user 1 views at :00 and :30; purchase :20 matches view :00 only
+      // (:30 is after it); purchase :80 matches view :30 only (:00 is
+      // more than 1h before).
+      // user 2 purchases at :10 with no view: never emitted (inner join).
+      views.addData(ev(10, 0), ev(11, 30))
+      purchases.addData(ev(20, 20, v = 5.0), ev(21, 80, v = 7.0),
+        ev(22, 10, user = 2))
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state closes
+      views.addData(ev(12, 400))
+      purchases.addData(ev(23, 400, user = 99))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrib")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L), (11L, 21L)))
+  }
+
   test("transformWithState (ValueState + RocksDB store) matches the mapGroupsWithState twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
