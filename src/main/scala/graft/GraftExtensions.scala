@@ -64,6 +64,14 @@ object GraftNative {
     (FunctionIdentifier("graft_rolling_fp"),
       info("graft_rolling_fp", classOf[RollingFingerprint]),
       (ch: Seq[Expression]) => RollingFingerprint(ch.head)),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", classOf[WinnowFingerprints]),
+      (ch: Seq[Expression]) => ch match {
+        case Seq(t, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFingerprints(t, k, w)
+        case _ => throw new IllegalArgumentException(
+          "graft_winnow(cleaned text, k int literal, w int literal)")
+      }),
     (FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats", classOf[TextStats]),
       (ch: Seq[Expression]) => TextStats(ch.head)),
@@ -99,6 +107,12 @@ object GraftNative {
     call_function("graft_shingles", normText, lit(n))
   def rollingFingerprint(text: Column): Column =
     call_function("graft_rolling_fp", text)
+
+  /** Winnowed k-gram rolling-hash fingerprints of an already-cleaned
+    * printable-ASCII string — see [[graft.functions.WinnowFingerprints]].
+    */
+  def winnow(cleaned: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", cleaned, lit(k), lit(w))
   def textStats(text: Column): Column = call_function("graft_text_stats", text)
   def overlap(a: Column, b: Column): Column = call_function("graft_overlap", a, b)
 

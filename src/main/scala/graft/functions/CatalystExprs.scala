@@ -166,6 +166,88 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken MOSS-style,
+  * block variant) over an already-cleaned printable-ASCII string: the
+  * per-position polynomial hash of each k-byte gram
+  * (`h_i = sum_j c_{i+j} * B^{k-1-j} mod M`, computed with a TRUE
+  * Rabin-Karp rolling update — drop the outgoing byte's `B^(k-1)` term,
+  * multiply, add the incoming byte — 3 long-ops per position instead of
+  * k), then the minimum hash of every `w`-gram tumbling block, distinct
+  * per document. Shared fingerprints = shared >=k-byte substrings, the
+  * primitive behind plagiarism/near-dup detection at substring (not
+  * whole-doc) granularity.
+  *
+  * Value-identical to the d10 oracle SQL's unrolled per-position
+  * arithmetic (`ascii()`-based, same B/M literals via [[WinnowFingerprints.hashSql]]):
+  * after `[^ -~]` cleaning every byte IS its codepoint, so byte-walking
+  * equals the oracle's per-character walk. One pass, O(1) extra state per
+  * position; output is |text|/w longs — the 16x reduction that makes a
+  * substring-level index feasible at corpus scale.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  import WinnowFingerprints.{B, M}
+
+  require(k >= 2 && w >= 1, "graft_winnow(text, k >= 2, w >= 1)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  // B^(k-1) mod M: the outgoing byte's positional weight in the roll.
+  private lazy val bk1: Long = {
+    var p = 1L; var i = 1
+    while (i < k) { p = p * B % M; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + (s.getByte(i) & 0xffL)) % M; i += 1 }
+    var blockMin = h
+    var g = 1
+    while (g < nGrams) {
+      h = ((h - (s.getByte(g - 1) & 0xffL) * bk1) % M + M) % M
+      h = (h * B + (s.getByte(g + k - 1) & 0xffL)) % M
+      if (g % w == 0) { seen.add(blockMin); blockMin = h }
+      else if (h < blockMin) blockMin = h
+      g += 1
+    }
+    seen.add(blockMin)
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Same modulus as [[RollingFingerprint]]; base > 255 so distinct byte
+    * sequences of equal length map to distinct pre-mod polynomials.
+    */
+  val M = 1000000007L
+  val B = 257L
+
+  /** DuckDB twin of gram `i`'s hash over cleaned-text column `ct` (1-based
+    * position `i`), as unrolled left-assoc arithmetic — `%`/`*` bind
+    * equally in SQL so each step is ((acc % M) * B + c) with acc kept
+    * below B*M (no BIGINT overflow).
+    */
+  def hashSql(ct: String, k: Int): String =
+    (1 until k).foldLeft(s"CAST(ascii(substring($ct, i, 1)) AS BIGINT)") {
+      (acc, j) => s"($acc % $M * $B + ascii(substring($ct, i + $j, 1)))"
+    } + s" % $M"
+}
+
 /** Polynomial rolling-hash fingerprint over the printable-ASCII projection
   * of the text: acc = (acc*31 + codepoint) mod 1e9+7 — value-identical to
   * [[DedupFns.rollingFingerprint]], whose HOF form interprets one lambda

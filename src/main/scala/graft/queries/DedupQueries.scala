@@ -112,6 +112,17 @@ object DedupQueries {
     */
   val DecontamMinShared = 3
 
+  /** d10 winnowing parameters: 8-byte grams hashed by a rolling
+    * polynomial, minimum kept per 16-gram block (a ~16x index reduction),
+    * candidate pairs need >= MinShared shared fingerprints, and
+    * fingerprints in more than MaxDf docs are boilerplate (same quadratic
+    * guard as [[NgramMaxDf]]).
+    */
+  val WinnowK = 8
+  val WinnowW = 16
+  val WinnowMaxDf = 20
+  val WinnowMinShared = 4
+
   /** DuckDB twin of [[graft.functions.SimHash64Expr]] over a per-shingle
     * hash-pair list column `hs` (each element = [high32, low32] of the
     * first 16 md5 hex digits): 64 CASE'd majority-vote bits concatenated.
@@ -419,6 +430,62 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= DecontamMinShared)
         .orderBy("doc_id", "bench_id")
+    },
+
+    // Document fingerprinting (rolling hash) + winnowing: per doc, the
+    // min polynomial-rolling-hash of each 16-gram block of 8-byte grams
+    // ([[graft.functions.WinnowFingerprints]] — ONE pass per doc, 3
+    // long-ops per position), then doc pairs sharing >= MinShared
+    // fingerprints via the same df-capped inverted index as d06. Unlike
+    // d02/d03/d06 (whole-doc token-shingle similarity) this detects
+    // shared SUBSTRINGS — plagiarism-style containment that token
+    // Jaccard dilutes away — at ~|text|/16 longs of index per doc. The
+    // df cap bounds every fingerprint bucket (boilerplate prune); the
+    // pair count per bucket is <= MaxDf*(MaxDf-1)/2, so the self-join
+    // never goes quadratic at corpus scale.
+    Q("d10_winnow_fingerprint",
+      s"""WITH $dupDocsSql,
+         |cleaned AS (
+         |  SELECT doc_id, regexp_replace($normSql, '[^ -~]', '', 'g') AS ct
+         |  FROM dupdocs
+         |),
+         |grams AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, greatest(len(ct) - ${WinnowK - 1}, 0)),
+         |           i -> ${graft.functions.WinnowFingerprints.hashSql("ct", WinnowK)}) AS hs
+         |  FROM cleaned
+         |),
+         |wins AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           generate_series(1, CAST(ceil(len(hs) / $WinnowW.0) AS BIGINT)),
+         |           b -> list_min(hs[(b-1)*$WinnowW+1 : b*$WinnowW]))) AS fps
+         |  FROM grams WHERE len(hs) > 0
+         |),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowMaxDf),
+         |idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val cleaned = regexp_replace(DedupFns.normText(col("text")), "[^ -~]", "")
+      val fp = Stage.table(
+        dupDocs(s, d).select(col("doc_id"),
+          explode(GraftNative.winnow(cleaned, WinnowK, WinnowW)).as("fp")),
+        "d10_fp")
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, WinnowMaxDf))
+        .select("fp")
+      val idx = fp.join(rare, Seq("fp"))
+      idx.as("a").join(idx.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= WinnowMinShared)
+        .orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup: candidate pairs only WITHIN a label cell

@@ -257,6 +257,58 @@ object EventQueries {
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // Gap-filled hourly series: e02's aggregate LEFT-joined onto the
+    // complete (hour x event_type) grid so empty hours surface as
+    // explicit zeros — what downstream time-series consumers (charting,
+    // anomaly scoring, forecasting) need. The hour spine derives from a
+    // ONE-ROW min/max aggregate exploded through sequence() — never a
+    // driver-side loop — and the grid (span-hours x |types|) is tiny
+    // relative to the events, so the only data-sized work is e02's own
+    // aggregate; the grid join is hour-keyed on post-aggregate rows.
+    Q("e08_gap_fill",
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events
+        |),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS window_start FROM bounds
+        |),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT window_start, event_type FROM hours CROSS JOIN types),
+        |agg AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY window_start, event_type
+        |)
+        |SELECT g.window_start, g.event_type,
+        |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+        |       COALESCE(a.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.window_start = a.window_start AND g.event_type = a.event_type
+        |ORDER BY g.window_start, g.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds.select(
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("window_start"))
+      val types = ev.select("event_type").distinct()
+      val grid = hours.join(broadcast(types))
+      val agg = ev.groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      grid.join(agg, Seq("window_start", "event_type"), "left")
+        .select(col("window_start"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("window_start", "event_type")
     }
   )
 }

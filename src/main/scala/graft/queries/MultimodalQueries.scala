@@ -35,6 +35,48 @@ object MultimodalQueries {
           sum(length(col("content")).cast("long")).as("total_bytes"),
           min(col("checksum")).as("min_checksum"))
         .orderBy("kind")
+    },
+
+    // Frame sampling over opaque binary payloads: "video" rows are framed
+    // at a fixed 32-byte stride, every 2nd frame is sampled, and each
+    // sampled frame is sliced out of the payload BYTES (binary substring
+    // — the shape of keyframe extraction before a decode UDF sees it).
+    // The frame index comes from sequence() per row (no driver loop), so
+    // the whole thing is one map-side pass: explode-by-frame-count, slice,
+    // checksum, per-doc rollup. Payloads are sanitized to printable ASCII
+    // before encoding so the byte-level Spark path and the DuckDB
+    // character-level twin are equal by construction (byte == char), while
+    // the Spark plan exercises real BinaryType slicing end to end.
+    Q("mm02_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ct
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST(floor(length(ct) / 32.0) AS BIGINT) AS n_frames, ct FROM v
+        |),
+        |sampled AS (
+        |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_no, ct
+        |  FROM f WHERE n_frames > 0
+        |)
+        |SELECT doc_id, MAX(n_frames) AS n_frames, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |       MIN(md5(substring(ct, CAST(frame_no*32+1 AS BIGINT), 32))) AS min_frame_md5
+        |FROM sampled GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"),
+          encode(regexp_replace(col("text"), "[^ -~]", ""), "UTF-8").as("content"))
+        .withColumn("n_frames", floor(length(col("content")) / 32.0).cast("long"))
+        .where(col("n_frames") > 0)
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_no"),
+          col("content"))
+        .withColumn("frame", expr("substring(content, cast(frame_no*32+1 as int), 32)"))
+        .groupBy("doc_id")
+        .agg(max("n_frames").as("n_frames"),
+          count(lit(1)).as("n_sampled"),
+          min(md5(col("frame"))).as("min_frame_md5"))
+        .orderBy("doc_id")
     }
   )
 }

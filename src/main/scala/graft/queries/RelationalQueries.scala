@@ -484,6 +484,94 @@ object RelationalQueries {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("s_nationkey")
+    },
+
+    // PIVOT: per-order-year revenue spread across the five priority
+    // classes as columns — `groupBy().pivot(col, values)`. Pinning the
+    // pivot values keeps the plan a single pass (no extra distinct-values
+    // job) and makes the output schema static — the form that scales:
+    // one shuffle on the groupBy key, conditional aggregation underneath
+    // (exactly what the oracle SQL spells out). Missing (year, priority)
+    // cells surface as null from pivot and are folded to 0 like the
+    // oracle's ELSE 0.
+    Q("q24_pivot",
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS urgent,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS high,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS medium,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS notspec,
+        |       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS low
+        |FROM orders GROUP BY oyear ORDER BY oyear""".stripMargin) { (s, d) =>
+      val pivoted = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("oyear"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(28,2)").as("tp"))
+        .groupBy("oyear")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("tp")))
+      def cell(v: String, alias: String) =
+        coalesce(pivoted(s"`$v`").cast("double"), lit(0.0)).as(alias)
+      pivoted.select(col("oyear"),
+        cell("1-URGENT", "urgent"), cell("2-HIGH", "high"),
+        cell("3-MEDIUM", "medium"), cell("4-NOT SPECIFIED", "notspec"),
+        cell("5-LOW", "low"))
+        .orderBy("oyear")
+    },
+
+    // FULL OUTER join: per-nation counts of rare customers (deeply
+    // negative balance) vs rare suppliers (very high balance) — each side
+    // is a pre-aggregated, nation-keyed table, so the outer join runs on
+    // two small inputs AFTER aggregation (never an outer join of the raw
+    // fact tables — aggregate first, join second is the scale rule). The
+    // filters guarantee one-side-only nations at every SF, so both null
+    // directions are actually exercised.
+    Q("q25_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer WHERE c_acctbal < -800 GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |           FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        |       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_acctbal") < -800)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).where(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+
+    // Scalar subquery: parts priced above the GLOBAL average, per brand.
+    // The global aggregate rides a one-row broadcast joined on a constant
+    // key (a broadcast hash join with a single build row — the big side
+    // streams map-side, nothing shuffles before the groupBy). The
+    // above-average predicate compares price*count > sum in EXACT decimal
+    // arithmetic, so no cross-engine float-division drift can flip a row
+    // at the boundary.
+    Q("q26_scalar_subquery",
+      """WITH g AS (SELECT SUM(CAST(p_retailprice AS DECIMAL(28,2))) AS total,
+        |                  COUNT(*) AS cnt FROM part)
+        |SELECT p_brand, COUNT(*) AS n_above, MAX(p_retailprice) AS max_price
+        |FROM part, g
+        |WHERE CAST(p_retailprice AS DECIMAL(28,2)) * g.cnt > g.total
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val g = part.agg(
+        sum(col("p_retailprice").cast("decimal(28,2)")).as("total"),
+        count(lit(1)).as("cnt")).withColumn("j", lit(1))
+      part.withColumn("j", lit(1))
+        .join(broadcast(g), Seq("j"))
+        .where(col("p_retailprice").cast("decimal(28,2)") * col("cnt") > col("total"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_above"), max(col("p_retailprice")).as("max_price"))
+        .orderBy("p_brand")
     }
   )
 }

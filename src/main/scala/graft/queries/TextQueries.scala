@@ -15,6 +15,13 @@ object TextQueries {
   /** t07 token budget per packed training sequence. */
   val PackBudget = 4096
 
+  /** t09 count-min sketch shape: depth x width counters. Width 1024 keeps
+    * collisions visible-but-rare at test vocab sizes; production scales
+    * width with e/eps while depth stays small (ln(1/delta)).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
   // ---- DuckDB twins of TextFns ----------------------------------------
 
   /** DuckDB twin of [[DedupFns.normText]] over the `text` column. */
@@ -250,6 +257,50 @@ object TextQueries {
           floor((col("cum") - col("ws")) / lit(PackBudget.toDouble)).as("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum("ws").as("sum_tokens"))
         .orderBy("source", "seq_id")
+    },
+
+    // Count-min sketch heavy hitters: a fixed-size (depth x width)
+    // counter summary of the token frequency stream, built with
+    // deterministic md5 row-hashes so the oracle certifies the ESTIMATES
+    // bit-for-bit (same family as q18's KMV vs q22's HLL). est(token) =
+    // min over rows of its bucket sum — always >= exact (collisions only
+    // ADD; the spec asserts the bound). Scale shape: the sketch is
+    // CmsDepth x CmsWidth rows regardless of corpus size — a map-side
+    // partial-aggregated shuffle of at most depth x width rows per
+    // partition — and estimating any token's count afterwards is a
+    // broadcast join against that constant-size table, no corpus rescan.
+    Q("t09_cms_heavyhitters",
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+         |),
+         |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE token <> '' GROUP BY token),
+         |buck AS (
+         |  SELECT token, n, d.d,
+         |         CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || '|' || token), 1, 7) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM tc CROSS JOIN (VALUES ${(0 until CmsDepth).map(d => s"($d)").mkString(",")}) d(d)
+         |),
+         |sk AS (SELECT d, bucket, CAST(SUM(n) AS BIGINT) AS bsum FROM buck GROUP BY d, bucket),
+         |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 20)
+         |SELECT t.token, t.n AS n_exact, MIN(s.bsum) AS n_est
+         |FROM top t JOIN buck b ON b.token = t.token
+         |           JOIN sk s ON s.d = b.d AND s.bucket = b.bucket
+         |GROUP BY t.token, t.n ORDER BY t.token""".stripMargin) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val buck = tc.select(col("token"), col("n"),
+          explode(array((0 until CmsDepth).map(i => lit(i)): _*)).as("d"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("d").cast("string"), lit("|"), col("token"))), 1, 7),
+            16, 10).cast("long") % CmsWidth)
+      val sk = buck.groupBy("d", "bucket").agg(sum("n").as("bsum"))
+      val top = tc.orderBy(col("n").desc, col("token")).limit(20)
+      top.join(buck.select("token", "d", "bucket"), Seq("token"))
+        .join(broadcast(sk), Seq("d", "bucket"))
+        .groupBy(col("token"), col("n").as("n_exact"))
+        .agg(min("bsum").as("n_est"))
+        .orderBy("token")
     },
 
     // Top distinctive terms per document, TF-IDF style: tf from a
