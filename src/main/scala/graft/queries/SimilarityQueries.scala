@@ -37,6 +37,20 @@ object SimilarityQueries {
   val K = 10
   val NumProbes = 5 // probe set = vec_id < 5
 
+  /** v07 product-quantization shape: 64-dim vectors in 4 subspaces of 16
+    * dims, 16 codes per subspace (codes fit a nibble; 3 Lloyd rounds).
+    */
+  val PqSubs = 4
+  val PqCodes = 16
+  val PqIters = 3
+  val EmbDim = 64
+
+  /** v07 ADC shortlist size before exact re-ranking (5x the final K: the
+    * standard two-stage shape — compressed codes prune 90%+ of the
+    * corpus, full-precision scoring touches only the shortlist).
+    */
+  val PqShortlist = 50
+
   private def quantized(s: SparkSession, d: String): DataFrame = {
     GraftNative.ensure(s)
     Stage.sharedTable(s, "qv", d) {
@@ -341,6 +355,64 @@ object SimilarityQueries {
         .select(col("probe_id"), col("neighbor_id"))
       val approx = lshKnnMultiProbe(s, d)
         .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
+        .orderBy("probe_id")
+    },
+
+    // Product-quantization ANN recall, two-stage (ADC shortlist + exact
+    // re-rank): train per-subspace codebooks, encode the corpus to 4
+    // codes + a norm per vector (the memory-bound scale path: a
+    // billion-vector index in bytes-per-vector), score every vector
+    // map-side via asymmetric distance (broadcast per-probe lookup
+    // tables — the packed index never shuffles; see
+    // [[graft.operators.ProductQuantizer.adcScores]]), keep the top
+    // `PqShortlist` per probe, then re-rank ONLY the shortlist with
+    // full-precision cosine — the standard production pairing
+    // (compressed codes prune, exact scoring touches k-shortlist rows
+    // per probe). Recall@K is reported against the exact brute-force
+    // ranking, v05-style. No SQL oracle: nested per-subspace k-means is
+    // beyond reasonable SQL; PqSpec asserts the recall floor (the
+    // shortlist must beat raw single-stage LSH), determinism, and the
+    // two-stage > raw-ADC ordering.
+    Q.noOracle("v07_ann_recall_pq") { (s, d) =>
+      import graft.operators.ProductQuantizer
+      val qv = quantized(s, d)
+      val sv = Stage.table(ProductQuantizer.subvectors(qv, PqSubs, EmbDim), "v07_sv")
+      val codebook = ProductQuantizer.fit(sv, PqCodes, PqIters)
+      val packed = Stage.table(
+        ProductQuantizer.encodePacked(sv, codebook, qv.select("vec_id", "n2")),
+        "v07_packed")
+      val probeSv = sv.where(col("vec_id") < NumProbes)
+      val probeNorms = qv.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("n2").as("p_n2"))
+      val adc = ProductQuantizer
+        .adcScores(probeSv, codebook, packed, probeNorms, PqSubs)
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("approx_cosine").as("cosine"))
+        .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
+      val shortlist = partialTopK(adc, PqShortlist).toDF()
+        .select(col("probe_id"), col("vec_id"))
+      val probes = qv.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("q").as("p_q"), col("n2").as("p_n2"))
+      val rescored = shortlist
+        .join(qv.select(col("vec_id"), col("q"), col("n2")), Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .where(col("p_n2") > 0 && col("n2") > 0)
+        .select(col("probe_id"), col("vec_id"),
+          (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
+            sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
+        .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val approx = partialTopK(rescored, K).toDF()
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
+      val exact = knn(s, d, sameCellOnly = false)
+        .select(col("probe_id"), col("neighbor_id"))
       exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
         .groupBy("probe_id")
         .agg(count(col("hit")).as("n_hits"),

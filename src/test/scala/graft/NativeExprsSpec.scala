@@ -209,7 +209,7 @@ class NativeExprsSpec extends SparkTestBase {
       Seq("graft_hamming", "graft_jaccard", "graft_kv_parse",
         "graft_long_dot", "graft_minhash_sig", "graft_overlap",
         "graft_rolling_fp", "graft_shingles", "graft_simhash64",
-        "graft_text_stats"))
+        "graft_text_stats", "graft_winnow"))
   }
 }
 

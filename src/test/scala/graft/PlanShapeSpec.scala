@@ -98,12 +98,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("d02/d03 self-joins are key-partitioned (band keys), not nested loops") {
-    Seq("d02_minhash_lsh", "d03_simhash_neardup").foreach { n =>
+  test("d02/d03/d10 self-joins are key-partitioned (band/fingerprint keys), not nested loops") {
+    Seq("d02_minhash_lsh", "d03_simhash_neardup", "d10_winnow_fingerprint").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$n must join on band/key equality:\n$p")
     }
+  }
+
+  test("t09 CMS: the fixed-size sketch broadcasts into the estimate join") {
+    val p = planOf("t09_cms_heavyhitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth x width sketch table must broadcast:\n$p")
+  }
+
+  test("q26 scalar subquery: the one-row global aggregate broadcasts") {
+    // Catalyst folds the constant join key, so the 1-row build side plans
+    // as a BroadcastNestedLoopJoin — a scalar broadcast, which is the
+    // shape that matters: the big side streams, nothing shuffles early
+    val p = planOf("q26_scalar_subquery")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the global-average row must broadcast:\n$p")
   }
 
   test("d04 pair join keys on (label, sub) — never label alone") {
