@@ -123,6 +123,73 @@ object DedupQueries {
   val WinnowMaxDf = 20
   val WinnowMinShared = 4
 
+  /** d11 edit-similarity threshold on winnow-candidate pairs. */
+  val EditSimMin = 0.8
+
+  /** The cleaned (normalized, printable-ASCII) text [[graft.functions.WinnowFingerprints]]
+    * consumes — shared by the d10 fingerprint stage and d11's verify join.
+    */
+  private def cleanedCol = regexp_replace(DedupFns.normText(col("text")), "[^ -~]", "")
+
+  /** Per-doc winnowed fingerprints as a WRITTEN stage table (doc_id, fp),
+    * shared by d10 (pair listing) and d11 (edit-distance verify).
+    */
+  private def winnowFp(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    Stage.sharedTable(s, "d10_fp", d) {
+      dupDocs(s, d).select(col("doc_id"),
+        explode(GraftNative.winnow(cleanedCol, WinnowK, WinnowW)).as("fp"))
+    }
+  }
+
+  /** Candidate pairs sharing >= [[WinnowMinShared]] rare fingerprints
+    * (df-capped inverted index, same quadratic guard as d06).
+    */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFp(s, d)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, WinnowMaxDf))
+      .select("fp")
+    val idx = fp.join(rare, Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+  }
+
+  /** The d10 candidate pipeline as reusable oracle SQL (ends with a
+    * `wpairs` CTE) — no leading WITH.
+    */
+  private def winnowPairsSql: String =
+    s"""$dupDocsSql,
+       |cleaned AS (
+       |  SELECT doc_id, regexp_replace($normSql, '[^ -~]', '', 'g') AS ct
+       |  FROM dupdocs
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, greatest(len(ct) - ${WinnowK - 1}, 0)),
+       |           i -> ${graft.functions.WinnowFingerprints.hashSql("ct", WinnowK)}) AS hs
+       |  FROM cleaned
+       |),
+       |wins AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, CAST(ceil(len(hs) / $WinnowW.0) AS BIGINT)),
+       |           b -> list_min(hs[(b-1)*$WinnowW+1 : b*$WinnowW]))) AS fps
+       |  FROM grams WHERE len(hs) > 0
+       |),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowMaxDf),
+       |idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b
+       |  HAVING COUNT(*) >= $WinnowMinShared
+       |)""".stripMargin
+
   /** DuckDB twin of [[graft.functions.SimHash64Expr]] over a per-shingle
     * hash-pair list column `hs` (each element = [high32, low32] of the
     * first 16 md5 hex digits): 64 CASE'd majority-vote bits concatenated.
@@ -444,47 +511,44 @@ object DedupQueries {
     // pair count per bucket is <= MaxDf*(MaxDf-1)/2, so the self-join
     // never goes quadratic at corpus scale.
     Q("d10_winnow_fingerprint",
-      s"""WITH $dupDocsSql,
-         |cleaned AS (
-         |  SELECT doc_id, regexp_replace($normSql, '[^ -~]', '', 'g') AS ct
-         |  FROM dupdocs
-         |),
-         |grams AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(1, greatest(len(ct) - ${WinnowK - 1}, 0)),
-         |           i -> ${graft.functions.WinnowFingerprints.hashSql("ct", WinnowK)}) AS hs
-         |  FROM cleaned
-         |),
-         |wins AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(
-         |           generate_series(1, CAST(ceil(len(hs) / $WinnowW.0) AS BIGINT)),
-         |           b -> list_min(hs[(b-1)*$WinnowW+1 : b*$WinnowW]))) AS fps
-         |  FROM grams WHERE len(hs) > 0
-         |),
-         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
-         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowMaxDf),
-         |idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY doc_a, doc_b
-         |HAVING COUNT(*) >= $WinnowMinShared
+      s"""WITH $winnowPairsSql
+         |SELECT doc_a, doc_b, n_shared FROM wpairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val cleaned = regexp_replace(DedupFns.normText(col("text")), "[^ -~]", "")
-      val fp = Stage.table(
-        dupDocs(s, d).select(col("doc_id"),
-          explode(GraftNative.winnow(cleaned, WinnowK, WinnowW)).as("fp")),
-        "d10_fp")
-      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, WinnowMaxDf))
-        .select("fp")
-      val idx = fp.join(rare, Seq("fp"))
-      idx.as("a").join(idx.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= WinnowMinShared)
+      winnowPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Winnow candidates VERIFIED by edit distance: fingerprint sharing is
+    // the recall stage (cheap, index-driven); Levenshtein similarity
+    // 1 - dist/max_len >= EditSimMin is the precision stage, run ONLY on
+    // the candidate pairs — the O(len^2) dynamic program never touches
+    // the corpus cross product, exactly like d02's Jaccard verify on LSH
+    // candidates. Both engines' levenshtein are plain unit-cost edit
+    // distance, and inputs are the cleaned ASCII projection (byte = char),
+    // so the distances agree exactly.
+    Q("d11_winnow_verify",
+      s"""WITH $winnowPairsSql
+         |SELECT w.doc_a, w.doc_b, w.n_shared,
+         |       CAST(levenshtein(x.ct, y.ct) AS BIGINT) AS edit_dist,
+         |       1.0 - CAST(levenshtein(x.ct, y.ct) AS DOUBLE)
+         |             / CAST(greatest(len(x.ct), len(y.ct)) AS DOUBLE) AS edit_sim
+         |FROM wpairs w
+         |JOIN cleaned x ON w.doc_a = x.doc_id
+         |JOIN cleaned y ON w.doc_b = y.doc_id
+         |WHERE greatest(len(x.ct), len(y.ct)) > 0
+         |  AND 1.0 - CAST(levenshtein(x.ct, y.ct) AS DOUBLE)
+         |            / CAST(greatest(len(x.ct), len(y.ct)) AS DOUBLE) >= $EditSimMin
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val cleaned = dupDocs(s, d).select(col("doc_id"), cleanedCol.as("ct"))
+      winnowPairs(s, d)
+        .join(cleaned.select(col("doc_id").as("doc_a"), col("ct").as("ct_a")), Seq("doc_a"))
+        .join(cleaned.select(col("doc_id").as("doc_b"), col("ct").as("ct_b")), Seq("doc_b"))
+        .withColumn("maxlen", greatest(length(col("ct_a")), length(col("ct_b"))))
+        .where(col("maxlen") > 0)
+        .withColumn("edit_dist", levenshtein(col("ct_a"), col("ct_b")).cast("long"))
+        .withColumn("edit_sim",
+          lit(1.0) - col("edit_dist").cast("double") / col("maxlen").cast("double"))
+        .where(col("edit_sim") >= EditSimMin)
+        .select("doc_a", "doc_b", "n_shared", "edit_dist", "edit_sim")
         .orderBy("doc_a", "doc_b")
     },
 

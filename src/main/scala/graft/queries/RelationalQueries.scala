@@ -572,6 +572,94 @@ object RelationalQueries {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_above"), max(col("p_retailprice")).as("max_price"))
         .orderBy("p_brand")
+    },
+
+    // Incremental aggregate maintenance ([[graft.operators.IncrementalAgg]]):
+    // the orders table is split at a date boundary, each half is
+    // aggregated to a mergeable STATE (count, decimal sum, min, max), and
+    // the two states are merged — the oracle certifies the merge equals
+    // the full one-shot aggregate bit-for-bit. This is the materialized-
+    // view pattern a 100 TB nightly pipeline lives on: re-aggregate only
+    // the new partition, fold it into yesterday's state table; the merge
+    // shuffles state ROWS (key cardinality), never raw history.
+    Q("q27_incremental_agg",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val orders = Tables.orders(s, d)
+      val keys = Seq("o_orderstatus")
+      val base = IncrementalAgg.state(
+        orders.where(year(col("o_orderdate")) <= 1996), keys, "o_totalprice")
+      val delta = IncrementalAgg.state(
+        orders.where(year(col("o_orderdate")) >= 1997), keys, "o_totalprice")
+      IncrementalAgg.merge(keys, base, delta)
+        .select(col("o_orderstatus"), col("n"),
+          col("s").cast("double").as("total"),
+          col("lo").as("min_price"), col("hi").as("max_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Equi-width histogram per group — the stats backbone (optimizer
+    // cardinality estimates, data profiling, drift monitors). Bounds come
+    // from a one-row min/max broadcast (q26's scalar pattern); bucket
+    // assignment is PURE INTEGER arithmetic on price cents — `div` in
+    // Spark, `//` in DuckDB, both exact on non-negative longs — so no
+    // float-division boundary can put a row in different buckets across
+    // engines. One scan + one (group, bucket) aggregate.
+    Q("q28_histogram",
+      """WITH b AS (SELECT l_returnflag,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |g AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM b)
+        |SELECT l_returnflag,
+        |       CAST((cents - lo) * 8 // (hi - lo + 1) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM b, g GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val g = b.agg(min("cents").as("lo"), max("cents").as("hi"))
+        .withColumn("j", lit(1))
+      b.withColumn("j", lit(1))
+        .join(broadcast(g), Seq("j"))
+        .withColumn("bucket", expr("(cents - lo) * 8 div (hi - lo + 1)"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "bucket")
+    },
+
+    // Approximate query processing by deterministic hash sampling: a 1/16
+    // sample selected by the first md5 hex digit of the key (pure
+    // function of the row — reproducible across runs, engines, and
+    // repartitions, never rand()), scaled by 16 into an unbiased
+    // estimate, reported NEXT TO the exact figures so the oracle
+    // certifies the estimator itself. At 100 TB the sample predicate
+    // prunes at the scan and the estimate costs 1/16th of the exact scan;
+    // the same hash prefix always selects the same logical sample, so
+    // estimates are comparable across days.
+    Q("q29_sample_estimate",
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS exact_total,
+        |       CAST(COUNT(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |                       THEN 1 END) * 16 AS BIGINT) AS est_rows,
+        |       CAST(SUM(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |                     THEN CAST(o_totalprice AS DECIMAL(28,2))
+        |                     ELSE CAST(0 AS DECIMAL(28,2)) END) * 16 AS DOUBLE) AS est_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val inSample = substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0"
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("exact_total"),
+          (count(when(inSample, 1)) * 16).as("est_rows"),
+          (sum(when(inSample, col("o_totalprice").cast("decimal(28,2)"))
+            .otherwise(lit(0).cast("decimal(28,2)"))) * 16).cast("double").as("est_total"))
+        .orderBy("o_orderstatus")
     }
   )
 }
