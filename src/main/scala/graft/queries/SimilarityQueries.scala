@@ -51,6 +51,14 @@ object SimilarityQueries {
     */
   val PqShortlist = 50
 
+  /** v08 coarse-quantizer cell count (trained k-means cells — the
+    * fixture's `label` column is a semantic class, NOT a geometric
+    * cluster, so real IVF cells must be learned; 8 cells = ~1/8 of the
+    * corpus scored per probe).
+    */
+  val IvfCells = 8
+  val IvfIters = 3
+
   private def quantized(s: SparkSession, d: String): DataFrame = {
     GraftNative.ensure(s)
     Stage.sharedTable(s, "qv", d) {
@@ -162,6 +170,60 @@ object SimilarityQueries {
         col("q").as("p_q"), col("n2").as("p_n2"))
     scoreAndRank(qv.join(broadcast(probes),
       col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id")))
+  }
+
+  /** The shared PQ index build for v07/v08: subvector stage, per-subspace
+    * codebooks, packed codes+norms — each a memoized WRITTEN stage
+    * ([[Stage.sharedTable]]), so one training run feeds both consumers in
+    * a pass, exactly as a production pipeline trains once and serves many
+    * query workloads.
+    */
+  private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.ProductQuantizer
+    val qv = quantized(s, d)
+    val sv = Stage.sharedTable(s, "pq_sv", d) {
+      ProductQuantizer.subvectors(qv, PqSubs, EmbDim)
+    }
+    val codebook = Stage.sharedTable(s, "pq_codebook", d) {
+      ProductQuantizer.fit(sv, PqCodes, PqIters)
+    }
+    val packed = Stage.sharedTable(s, "pq_packed", d) {
+      ProductQuantizer.encodePacked(sv, codebook, qv.select("vec_id", "n2"))
+    }
+    (sv, codebook, packed)
+  }
+
+  /** Exact full-precision re-rank of an ADC shortlist + recall@K against
+    * the exact brute-force ranking — the shared tail of v07/v08.
+    */
+  private def rerankAndRecall(s: SparkSession, d: String,
+      adc: Dataset[ScoredNeighbor]): DataFrame = {
+    val qv = quantized(s, d)
+    val shortlist = partialTopK(adc, PqShortlist).toDF()
+      .select(col("probe_id"), col("vec_id"))
+    val probes = qv.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("p_q"), col("n2").as("p_n2"))
+    val rescored = shortlist
+      .join(qv.select(col("vec_id"), col("q"), col("n2")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .where(col("p_n2") > 0 && col("n2") > 0)
+      .select(col("probe_id"), col("vec_id"),
+        (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
+          sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
+      .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = partialTopK(rescored, K).toDF()
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
+    val exact = knn(s, d, sameCellOnly = false)
+      .select(col("probe_id"), col("neighbor_id"))
+    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("hit")).as("n_hits"),
+        (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("probe_id")
   }
 
   private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
@@ -380,11 +442,7 @@ object SimilarityQueries {
     Q.noOracle("v07_ann_recall_pq") { (s, d) =>
       import graft.operators.ProductQuantizer
       val qv = quantized(s, d)
-      val sv = Stage.table(ProductQuantizer.subvectors(qv, PqSubs, EmbDim), "v07_sv")
-      val codebook = ProductQuantizer.fit(sv, PqCodes, PqIters)
-      val packed = Stage.table(
-        ProductQuantizer.encodePacked(sv, codebook, qv.select("vec_id", "n2")),
-        "v07_packed")
+      val (sv, codebook, packed) = pqIndex(s, d)
       val probeSv = sv.where(col("vec_id") < NumProbes)
       val probeNorms = qv.where(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("n2").as("p_n2"))
@@ -393,31 +451,45 @@ object SimilarityQueries {
         .where(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("approx_cosine").as("cosine"))
         .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
-      val shortlist = partialTopK(adc, PqShortlist).toDF()
-        .select(col("probe_id"), col("vec_id"))
-      val probes = qv.where(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("probe_id"), col("q").as("p_q"), col("n2").as("p_n2"))
-      val rescored = shortlist
-        .join(qv.select(col("vec_id"), col("q"), col("n2")), Seq("vec_id"))
-        .join(broadcast(probes), Seq("probe_id"))
-        .where(col("p_n2") > 0 && col("n2") > 0)
-        .select(col("probe_id"), col("vec_id"),
-          (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
-            sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine"))
+      rerankAndRecall(s, d, adc)
+    },
+
+    // IVF-PQ composite (the faiss-style production index): coarse IVF
+    // cells prune WHICH vectors are scored (only the probe's cell — the
+    // `label` assignment, as v02), PQ codes compress HOW they are scored
+    // (map-side ADC over packed codes, as v07), and the exact re-rank
+    // touches only the shortlist. Cost per probe: |cell|/|corpus| of the
+    // data, in bytes-per-vector memory — multiplicative pruning the
+    // standalone variants can't reach. Recall is reported against the
+    // GLOBAL exact top-k, so the number honestly compounds both stages'
+    // misses (cell miss: the true neighbor lives in another cell; code
+    // miss: ADC ranks it off the shortlist). PqSpec asserts the floor.
+    Q.noOracle("v08_ann_recall_ivfpq") { (s, d) =>
+      import graft.operators.ProductQuantizer
+      val qv = quantized(s, d)
+      val (sv, codebook, packed) = pqIndex(s, d)
+      // Coarse quantizer: TRAINED k-means cells ([[graft.operators.KMeansIvf]]),
+      // not the fixture's semantic `label` (classes are not geometric
+      // clusters — restricting to them throws neighbors away). At scale
+      // the packed index is WRITTEN partitioned by cell, making the
+      // restriction a partition-pruned read instead of a join.
+      val cells = Stage.sharedTable(s, "ivf_cells", d) {
+        val centroids = graft.operators.KMeansIvf.fit(qv, IvfCells, IvfIters)
+        graft.operators.KMeansIvf.cells(qv, centroids)
+      }
+      val probeCells = cells.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("cell").as("p_cell"))
+      val probeSv = sv.where(col("vec_id") < NumProbes)
+      val probeNorms = qv.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("n2").as("p_n2"))
+      val adc = ProductQuantizer
+        .adcScores(probeSv, codebook, packed, probeNorms, PqSubs)
+        .join(cells, Seq("vec_id"))
+        .join(broadcast(probeCells), Seq("probe_id"))
+        .where(col("cell") === col("p_cell") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("approx_cosine").as("cosine"))
         .as[ScoredNeighbor](Encoders.product[ScoredNeighbor])
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val approx = partialTopK(rescored, K).toDF()
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= K)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
-      val exact = knn(s, d, sameCellOnly = false)
-        .select(col("probe_id"), col("neighbor_id"))
-      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
-        .groupBy("probe_id")
-        .agg(count(col("hit")).as("n_hits"),
-          (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
-        .orderBy("probe_id")
+      rerankAndRecall(s, d, adc)
     },
 
     // Nearest centroid per vector: the assignment step of IVF/k-means.

@@ -72,4 +72,15 @@ class PqSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("IVF-PQ composite clears the recall floor while scoring ~1/cells of the corpus") {
+    val rows = SparkEntry.queries("v08_ann_recall_ivfpq")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.size == 5)
+    rows.foreach { case (p, r) =>
+      assert(r >= 0.4, s"probe $p recall $r below floor — cell restriction or ADC broken")
+    }
+    val mean = rows.values.sum / rows.size
+    assert(mean >= 0.6, s"mean recall $mean below 0.6")
+  }
 }
