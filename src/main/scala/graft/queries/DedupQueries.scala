@@ -253,6 +253,117 @@ object DedupQueries {
        |),
        |pairs AS (SELECT * FROM pairs0 WHERE jaccard >= 0.5)""".stripMargin
 
+  /** The d06 pipeline up to verified pairs (doc_a, doc_b, jaccard >= 0.5)
+    * — shared by d06 (pair listing) and d12 (ensemble edges).
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val sh = shingleStage(s, d)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = inv.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, NgramMaxDf))
+      .select("shingle")
+    val idx = Stage.table(inv.join(rare, Seq("shingle")), "d06_idx")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def jaccardSql(x: String, y: String): String =
+    s"""CAST(len(list_filter($x, s -> list_contains($y, s))) AS DOUBLE)
+       |       / CAST(len($x) + len($y) - len(list_filter($x, s -> list_contains($y, s))) AS DOUBLE)""".stripMargin
+
+  /** d06's inverted-index pair CTEs over a shingle CTE named `shName`
+    * (prefixable so d12 can compose without CTE-name collisions); ends
+    * with `${p}pairs`.
+    */
+  private def ngramPairsBodySql(shName: String, p: String): String =
+    s"""${p}inv AS (SELECT doc_id, unnest(sh) AS shingle FROM $shName),
+       |${p}rare AS (SELECT shingle FROM ${p}inv GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $NgramMaxDf),
+       |${p}idx AS (SELECT i.doc_id, i.shingle FROM ${p}inv i JOIN ${p}rare USING (shingle)),
+       |${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${p}idx a JOIN ${p}idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |),
+       |${p}pairs AS (
+       |  SELECT c.doc_a, c.doc_b, ${jaccardSql("x.sh", "y.sh")} AS jaccard
+       |  FROM ${p}cand c JOIN $shName x ON c.doc_a = x.doc_id
+       |                  JOIN $shName y ON c.doc_b = y.doc_id
+       |  WHERE ${jaccardSql("x.sh", "y.sh")} >= 0.5
+       |)""".stripMargin
+
+  def ngramJaccardSql: String =
+    s"""WITH $dupDocsSql,
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+       |${ngramPairsBodySql("sh", "")}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d12 oracle: all three detectors' pair CTEs composed (minhash CTEs
+    * keep their canonical names; the n-gram stage reuses the same `sh`
+    * shingle CTE with an `ng_` prefix; winnow CTEs are collision-free),
+    * edges = the UNION (distinct), then the same recursive min-label
+    * fixpoint as d08.
+    */
+  def ensembleSql: String =
+    s"""WITH RECURSIVE $minhashPairsSql,
+       |${ngramPairsBodySql("sh", "ng_")},
+       |cleaned AS (
+       |  SELECT doc_id, regexp_replace($normSql, '[^ -~]', '', 'g') AS ct
+       |  FROM dupdocs
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, greatest(len(ct) - ${WinnowK - 1}, 0)),
+       |           i -> ${graft.functions.WinnowFingerprints.hashSql("ct", WinnowK)}) AS hs
+       |  FROM cleaned
+       |),
+       |wins AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           generate_series(1, CAST(ceil(len(hs) / $WinnowW.0) AS BIGINT)),
+       |           b -> list_min(hs[(b-1)*$WinnowW+1 : b*$WinnowW]))) AS fps
+       |  FROM grams WHERE len(hs) > 0
+       |),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+       |wn_rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $WinnowMaxDf),
+       |wn_idx AS (SELECT f.doc_id, f.fp FROM fp f JOIN wn_rare USING (fp)),
+       |wn_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM wn_idx a JOIN wn_idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b
+       |  HAVING COUNT(*) >= $WinnowMinShared
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION
+       |  SELECT doc_a, doc_b FROM ng_pairs
+       |  UNION
+       |  SELECT doc_a, doc_b FROM wn_pairs
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges
+       |),
+       |v AS (SELECT DISTINCT src AS id FROM sym),
+       |reach AS (
+       |  SELECT id, id AS label FROM v
+       |  UNION
+       |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+       |)
+       |SELECT id AS doc_id, MIN(label) AS component FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -424,44 +535,31 @@ object DedupQueries {
     // otherwise make the self-join quadratic. Trade-off (documented, same
     // as prefix filtering in set-similarity joins): pairs sharing ONLY
     // ubiquitous shingles are not candidates.
-    Q("d06_ngram_jaccard",
-      s"""WITH $dupDocsSql,
-         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
-         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-         |rare AS (SELECT shingle FROM inv GROUP BY shingle
-         |         HAVING COUNT(*) BETWEEN 2 AND $NgramMaxDf),
-         |idx AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |)
-         |SELECT c.doc_a, c.doc_b,
-         |       CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |       / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |       AS jaccard
-         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |WHERE CAST(len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE)
-         |      / CAST(len(x.sh) + len(y.sh) - len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS DOUBLE) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val sh = shingleStage(s, d)
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val rare = inv.groupBy("shingle")
-        .agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, NgramMaxDf))
-        .select("shingle")
-      val idx = Stage.table(inv.join(rare, Seq("shingle")), "d06_idx")
-      val cand = idx.as("a").join(idx.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    Q("d06_ngram_jaccard", DedupQueries.ngramJaccardSql) { (s, d) =>
+      ngramPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Ensemble dedup clustering — the capstone composition: near-dup
+    // edges from THREE independent detectors (d02 MinHash-LSH, d06
+    // n-gram-Jaccard inverted index, d10/d11 winnowed substring
+    // fingerprints) unioned into one graph, connected components over the
+    // union, one component id per doc. Detectors have disjoint blind
+    // spots (LSH misses are probabilistic, the df-cap drops
+    // boilerplate-only pairs, winnowing sees substring overlap tokens
+    // dilute) — production pipelines union them exactly like this before
+    // choosing representatives. All three pair stages and their shared
+    // shingle/fingerprint tables are memoized stages, so the ensemble
+    // reuses d02/d06/d10's work in the same pass; the oracle recomputes
+    // every detector and the same min-label fixpoint in one recursive
+    // SQL query.
+    Q("d12_ensemble_clusters", DedupQueries.ensembleSql) { (s, d) =>
+      val edges = minhashPairs(s, d).select("doc_a", "doc_b")
+        .unionByName(ngramPairs(s, d).select("doc_a", "doc_b"))
+        .unionByName(winnowPairs(s, d).select("doc_a", "doc_b"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      graft.operators.DedupClusters
+        .connectedComponents(edges, "doc_a", "doc_b")
+        .orderBy("doc_id")
     },
 
     // Benchmark decontamination: flag corpus docs sharing >= MinShared
