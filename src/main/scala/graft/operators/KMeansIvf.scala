@@ -42,20 +42,26 @@ object KMeansIvf {
   }
 
   /** Nearest centroid per vector: map-side scoring against broadcast
-    * centroid numerators; ranking window partitions by vec_id (uniform).
+    * centroid numerators. The argmin is a hash AGGREGATE —
+    * `min(struct(dist, cell, ...))`, tie-broken deterministically by
+    * (dist, cell) — not a ranking window: the aggregate gets map-side
+    * partial reduction, so the |vectors| x k candidate fan-out collapses
+    * to one row per vec_id BEFORE any shuffle, where a window would
+    * shuffle and sort the whole fan-out.
     */
   def assign(qv: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = qv.sparkSession
     GraftNative.ensure(spark)
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
     qv.join(broadcast(centroids))
       .withColumn("dist",
         col("n2").cast("double")
           - lit(2.0) * GraftNative.longDot(col("q"), col("sq")).cast("double") / col("cnt")
           + GraftNative.longDot(col("sq"), col("sq")).cast("double") / (col("cnt") * col("cnt")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("q"), col("n2"), col("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"), col("q"), col("n2"))).as("best"))
+      .select(col("vec_id"),
+        col("best.q").as("q"), col("best.n2").as("n2"),
+        col("best.cell").as("cell"))
   }
 
   /** `iters` Lloyd iterations; returns the final centroid numerators

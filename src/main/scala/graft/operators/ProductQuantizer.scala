@@ -57,21 +57,25 @@ object ProductQuantizer {
   }
 
   /** Nearest sub-centroid per (vector, subspace): broadcast codebook,
-    * exact-long distance numerators, one double division at the edge;
-    * ranking window partitions by (sub, vec_id) — uniform keys.
+    * exact-long distance numerators, one double division at the edge.
+    * The argmin is a hash AGGREGATE — `min(struct(dist, code, ...))`,
+    * ordered by (dist, code) so ties break deterministically — not a
+    * ranking window: the aggregate gets map-side partial reduction, so
+    * the candidate fan-out (|vectors| x codes rows) collapses to one row
+    * per (sub, vec_id) BEFORE any shuffle, where a window would shuffle
+    * and sort the whole fan-out.
     */
-  private def assign(sv: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy("sub", "vec_id")
-      .orderBy(col("dist").asc, col("code").asc)
+  private def assign(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("sub"))
       .withColumn("dist",
         col("n2s").cast("double")
           - lit(2.0) * GraftNative.longDot(col("qs"), col("sq")).cast("double") / col("cnt")
           + GraftNative.longDot(col("sq"), col("sq")).cast("double") / (col("cnt") * col("cnt")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("sub"), col("qs"), col("n2s"), col("code"))
-  }
+      .groupBy("sub", "vec_id")
+      .agg(min(struct(col("dist"), col("code"), col("qs"), col("n2s"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.qs").as("qs"), col("best.n2s").as("n2s"),
+        col("best.code").as("code"))
 
   /** Train the per-subspace codebooks: `iters` grouped Lloyd iterations.
     * Returns centroid numerators (sub, code, sq, cnt).

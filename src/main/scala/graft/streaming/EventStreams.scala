@@ -69,6 +69,17 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join — the workhorse streaming shape:
+    * every micro-batch of the stream joins a BROADCAST static dimension
+    * (user table, product catalog) with NO streaming state at all (the
+    * static side is bounded; nothing needs buffering across batches).
+    * Left join so dimension misses flow through with nulls for the error
+    * channel rather than silently dropping events — the K4 discipline
+    * applied to streams.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Typed event for custom-state pipelines. */
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)

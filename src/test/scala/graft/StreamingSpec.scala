@@ -43,6 +43,21 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment join broadcasts the dim; misses flow through as nulls") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(ev(1, 1, user = 1), ev(2, 2, user = 2), ev(3, 3, user = 99))
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "user_name")
+    EventStreams.runToMemorySink(
+      EventStreams.enrichWithDim(ms.toDF(), dim, "user_id"),
+      "enriched", OutputMode.Append())
+    val rows = spark.table("enriched")
+      .select("event_id", "user_name").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+  }
+
   test("session windows split on the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
