@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the housekeeping operator every long-lived
+  * 100 TB table needs: streaming sinks, incremental loads and per-task
+  * writers accumulate files far below the ~128 MB sweet spot, and scan
+  * cost degrades into file-open overhead (plus driver memory for the
+  * file index). Compaction rewrites a directory into
+  * ceil(totalBytes / targetFileBytes) files in one job.
+  *
+  * The file count comes from the actual byte size via the Hadoop
+  * FileSystem API (works on hdfs:// and object stores, not just local
+  * paths), never from a row count — row width varies, bytes don't lie.
+  * With `sortBy` columns the rewrite range-partitions and sorts, so
+  * compaction simultaneously restores clustering (narrow min/max stats —
+  * compose with [[ZOrder]] for two-dimensional layouts); without, a
+  * round-robin repartition balances file sizes exactly.
+  */
+object Compaction {
+
+  /** Total bytes of data files under `dir` (dotfiles and _SUCCESS
+    * markers excluded).
+    */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite the parquet table at `inDir` into `outDir` with
+    * ~`targetFileBytes` files; returns the file count written.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long, sortBy: Seq[String] = Nil): Int = {
+    val n = math.max(1L, (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val laid =
+      if (sortBy.nonEmpty) {
+        val cols = sortBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      } else df.repartition(n)
+    laid.write.mode("overwrite").parquet(outDir)
+    n
+  }
+}

@@ -303,6 +303,36 @@ object TextQueries {
         .orderBy("token")
     },
 
+    // Quality-weighted sampling — the data-mixing primitive (keep a doc
+    // with probability proportional to its quality score): u < w with u a
+    // deterministic md5-uniform of the doc id, so the "random" draw is a
+    // pure function of the row — reproducible across runs, engines, and
+    // repartitions, and the SAME docs are kept when the corpus is
+    // re-processed (stable training mixtures). The comparison is pure
+    // integer (hash % 1000 vs quality10 * 100) and the expected-kept
+    // figure sums integers before one edge division, so the oracle
+    // certifies sampler and expectation exactly. Map-only scan + one
+    // per-source aggregate.
+    Q("t10_weighted_sample",
+      s"""SELECT source, COUNT(*) AS n_total,
+         |       CAST(CAST(SUM($quality10Sql) AS BIGINT) AS DOUBLE) / 10.0 AS expected_kept,
+         |       CAST(COUNT(CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000
+         |                            < $quality10Sql * 100 THEN 1 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      graft.GraftNative.ensure(s)
+      val q10 = TextFns.qualityScore10From(
+        graft.GraftNative.textStats(col("text")), col("text"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 1000
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          (sum(q10.cast("long")).cast("double") / 10.0).as("expected_kept"),
+          count(when(u < q10 * 100, 1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // Top distinctive terms per document, TF-IDF style: tf from a
     // (doc, token) aggregate, df from a vocab-keyed aggregate, score =
     // tf * (N - df + 1) / df — an integer-ratio rare-term weighting chosen
