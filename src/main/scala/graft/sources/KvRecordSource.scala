@@ -2,9 +2,10 @@ package graft.sources
 
 import java.util
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -72,9 +73,13 @@ class KvRecordSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvRecordSource.Schema
+  // writes pass the incoming frame's schema (a column subset) through to
+  // the table, so AppendData/Overwrite resolution validates against what
+  // is actually being written rather than the full record schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new KvRecordTable(paths(new CaseInsensitiveStringMap(properties)))
+    new KvRecordTable(paths(new CaseInsensitiveStringMap(properties)), schema)
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
@@ -103,18 +108,26 @@ object KvRecordSource {
     StructField("raw", StringType, nullable = false)))
 }
 
-final class KvRecordTable(paths: Seq[String]) extends Table with SupportsRead {
+final class KvRecordTable(paths: Seq[String],
+    tableSchema: StructType = KvRecordSource.Schema) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-kv(${paths.mkString(",")})"
-  override def schema(): StructType = KvRecordSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(paths)
+    new KvScanBuilder(paths, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, s"graft-kv write needs exactly one path, got $paths")
+    new KvWriteBuilder(paths.head, info)
+  }
 }
 
-final class KvScanBuilder(paths: Seq[String])
+final class KvScanBuilder(paths: Seq[String],
+    tableSchema: StructType = KvRecordSource.Schema)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = KvRecordSource.Schema
+  private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new KvScan(paths, required)
@@ -123,8 +136,26 @@ final class KvScanBuilder(paths: Seq[String])
 final class KvScan(paths: Seq[String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => KvInputPartition(p): InputPartition).toArray
+
+  /** One partition per data file; directory paths expand to their data
+    * files (driver-side Hadoop listing, like the built-in file index) so
+    * a dump DIRECTORY — including one produced by this source's own
+    * writer — scans in parallel.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => s.getPath.toString)
+      else Seq(p)
+    }.map(p => KvInputPartition(p): InputPartition).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     // Capture the session's Hadoop conf at planning time (driver) and ship
     // it serialized — executors resolve each path's FileSystem from it, so
@@ -136,6 +167,95 @@ final class KvScan(paths: Seq[String], required: StructType) extends Scan with B
 }
 
 final case class KvInputPartition(path: String) extends InputPartition
+
+// ---- write side -------------------------------------------------------
+
+/** Write support for the record format — the inverse of [[KvParse]]: each
+  * row becomes one `key=value` line, the `file` value carried behind its
+  * `keylength.file=<n>` prefix so embedded spaces survive re-parsing
+  * (the same convention the reference's reader demands, main.go:191-198).
+  * Null fields simply omit their token (the reader returns null for
+  * missing keys — the agreed convention across the KV surfaces).
+  *
+  * Protocol: each task writes its own uniquely-named file under the
+  * target directory and task abort deletes it; `overwrite` (TRUNCATE)
+  * clears pre-existing data files on the driver before tasks launch.
+  * That is dump-sink semantics (idempotent per task, not atomic across a
+  * concurrent reader), which matches what the format IS — a record dump
+  * directory — and keeps the writer free of committer machinery.
+  */
+final class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new KvWrite(path, info.schema(), doTruncate)
+}
+
+final class KvWrite(path: String, schema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  private val Allowed = Set("ino", "file", "uid", "gid", "size")
+  require(schema.fieldNames.forall(Allowed),
+    s"graft-kv writes columns ${Allowed.mkString("/")}; got ${schema.fieldNames.mkString(",")}")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(dir)
+    new KvWriterFactory(path, schema.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class KvWriterFactory(dir: String, fields: Array[String],
+                            conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(s"$dir/part-$partitionId-$taskId.kv", fields, conf.value)
+}
+
+final case class KvCommitMessage(path: String) extends WriterCommitMessage
+
+final class KvDataWriter(file: String, fields: Array[String],
+                         hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends DataWriter[InternalRow] {
+  private val hPath = new org.apache.hadoop.fs.Path(file)
+  private val fs = hPath.getFileSystem(hadoopConf)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(hPath, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val tokens = Seq.newBuilder[String]
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) fields(i) match {
+        case "file" =>
+          val v = row.getUTF8String(i).toString
+          // the keylength prefix must LEAD the record (the parser anchors
+          // on it), so prepend both tokens
+          tokens.+=(s"keylength.file=${v.length} file=$v")
+        case "ino"  => tokens += s"ino=${row.getLong(i)}"
+        case "size" => tokens += s"size=${row.getLong(i)}"
+        case k      => tokens += s"$k=${row.getUTF8String(i).toString}"
+      }
+      i += 1
+    }
+    // file-token first (parser requirement), others keep field order
+    val (lead, rest) = tokens.result().partition(_.startsWith("keylength.file="))
+    out.write((lead ++ rest).mkString(" "))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); KvCommitMessage(file) }
+  override def abort(): Unit = { out.close(); fs.delete(hPath, false) }
+  override def close(): Unit = ()
+}
 
 final class KvReaderFactory(fields: Array[String],
                             conf: org.apache.spark.util.SerializableConfiguration)

@@ -40,6 +40,37 @@ class KvRecordSourceSpec extends SparkTestBase {
     assert(df.select("ino").distinct().count() == 3)
   }
 
+  test("write path: records roundtrip through the writer and back, spaces intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvwrite").toString + "/dump"
+    val in = Seq(
+      (42L, "/a/my file.d at ", "u1", "g1", 7L),
+      (43L, "/a/b.c", "u2", "g2", 9L),
+      (44L, null.asInstanceOf[String], "u3", null.asInstanceOf[String], 11L))
+      .toDF("ino", "file", "uid", "gid", "size")
+    in.write.format("graft-kv").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-kv").load(dir)
+      .select("ino", "file", "uid", "gid", "size")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(in))
+    // null fields were OMITTED from the record, not written as "null"
+    val raws = spark.read.format("graft-kv").load(dir)
+      .where(col("ino") === 44L).select("raw").head().getString(0)
+    assert(!raws.contains("file=") && !raws.contains("gid="), raws)
+  }
+
+  test("write overwrite truncates previous dump files; append keeps them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvwrite").toString + "/dump"
+    val one = Seq((1L, "/p", "u", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+    one.write.format("graft-kv").mode("overwrite").save(dir)
+    one.write.format("graft-kv").mode("append").save(dir)
+    assert(spark.read.format("graft-kv").load(dir).count() == 2)
+    one.write.format("graft-kv").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-kv").load(dir).count() == 1)
+  }
+
   test("column pruning reaches the parse (SupportsPushDownRequiredColumns)") {
     val df = spark.read.format("graft-kv").load(writeFixture()).select("ino")
     val scans = df.queryExecution.executedPlan.collect {
