@@ -52,4 +52,18 @@ class GraftConfSpec extends SparkTestBase {
       .select(PathFns.quoted(col("p"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("GraftSession.configure sets the engine-invariant configs on a builder") {
+    // the shared test session already exists, so getOrCreate() would just
+    // return it; assert the configured VALUES instead via a throwaway
+    // builder applied to a fresh conf-capturing session in this JVM:
+    // runtime confs (timezone, nanosAsLong) land on the active session
+    val s = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder()).getOrCreate()
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // the extension class the builder would install resolves and applies
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
 }

@@ -46,6 +46,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("q07 top-k-per-group plans WindowGroupLimit (rank filter pushed below the sort)") {
+    // Spark's own group-limit pushdown: row_number() <= k becomes a
+    // per-partition bounded pass BEFORE the full window sort — the
+    // optimizer mechanism this engine leans on instead of a custom
+    // strategy; pinned so a conf/regression can't silently drop it
+    val p = planOf("q07_window_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("v01 ANN: probes broadcast; partial top-k keeps the big side unshuffled") {
     val p = planOf("v01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
