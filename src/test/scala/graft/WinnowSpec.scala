@@ -59,6 +59,19 @@ class WinnowSpec extends SparkTestBase {
     assert(native(a, 8, 16).intersect(native(b, 8, 16)).isEmpty)
   }
 
+  test("property: matches the definitional reference on fuzzed ASCII text") {
+    val rnd = new scala.util.Random(20260813)
+    val alphabet = (' ' to '~').mkString
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(400)
+      val t = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 2 + rnd.nextInt(10)
+      val w = 1 + rnd.nextInt(24)
+      assert(native(t, k, w) == ref(t, k, w),
+        s"fuzz case $i: len=$len k=$k w=$w text=${t.take(40)}")
+    }
+  }
+
   test("hashSql unrolled arithmetic equals the native hash (Spark-evaluated)") {
     // hashSql targets DuckDB but uses only engine-generic SQL (ascii,
     // substring, % and *), so Spark can evaluate the same string: compute
