@@ -237,12 +237,23 @@ final class KvDataWriter(file: String, fields: Array[String],
       if (!row.isNullAt(i)) fields(i) match {
         case "file" =>
           val v = row.getUTF8String(i).toString
+          // records are one-per-line: a newline in any value would split
+          // the record and silently corrupt the dump — fail loudly instead
+          require(!v.contains('\n') && !v.contains('\r'),
+            s"graft-kv: file value contains a line break: ${v.take(60)}")
           // the keylength prefix must LEAD the record (the parser anchors
-          // on it), so prepend both tokens
+          // on it), so prepend both tokens; embedded SPACES are fine here
+          // (that is what the length prefix exists for)
           tokens.+=(s"keylength.file=${v.length} file=$v")
         case "ino"  => tokens += s"ino=${row.getLong(i)}"
         case "size" => tokens += s"size=${row.getLong(i)}"
-        case k      => tokens += s"$k=${row.getUTF8String(i).toString}"
+        case k      =>
+          val v = row.getUTF8String(i).toString
+          // only file= carries a length prefix; any whitespace in other
+          // values would shift every later token under re-parsing
+          require(!v.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '\t'),
+            s"graft-kv: $k value contains whitespace (only file= may): ${v.take(60)}")
+          tokens += s"$k=$v"
       }
       i += 1
     }

@@ -60,6 +60,23 @@ class KvRecordSourceSpec extends SparkTestBase {
     assert(!raws.contains("file=") && !raws.contains("gid="), raws)
   }
 
+  test("write rejects values the line-based format cannot represent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvwrite").toString + "/dump"
+    val badUid = Seq((1L, "/p", "u 1", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      badUid.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e1.getMessage.contains("whitespace") ||
+      Option(e1.getCause).exists(_.getMessage.contains("whitespace")), e1.getMessage)
+    val badFile = Seq((1L, "/p\nq", "u", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      badFile.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("line break") ||
+      Option(e2.getCause).exists(_.getMessage.contains("line break")), e2.getMessage)
+  }
+
   test("write overwrite truncates previous dump files; append keeps them") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvwrite").toString + "/dump"
