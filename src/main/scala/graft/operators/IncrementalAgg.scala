@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** The mergeable state of `df` grouped by `keys` over measure `m`:
-    * (n, s decimal-sum, lo, hi).
+    * (n, s decimal-sum, lo, hi). `n` counts NON-NULL measures — the same
+    * rows sum/min/max see — so the derived AVG (s/n) is right even when
+    * the measure column has nulls; a row count would silently deflate it.
     */
   def state(df: DataFrame, keys: Seq[String], m: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
-        count(lit(1)).as("n"),
+        count(col(m)).as("n"),
         sum(col(m).cast("decimal(28,2)")).as("s"),
         min(col(m)).as("lo"),
         max(col(m)).as("hi"))

@@ -583,7 +583,7 @@ object RelationalQueries {
     // the new partition, fold it into yesterday's state table; the merge
     // shuffles state ROWS (key cardinality), never raw history.
     Q("q27_incremental_agg",
-      """SELECT o_orderstatus, COUNT(*) AS n,
+      """SELECT o_orderstatus, COUNT(o_totalprice) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
         |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>

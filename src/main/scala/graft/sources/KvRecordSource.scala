@@ -24,14 +24,25 @@ object KvParse {
   def file(raw: String): Option[String] = {
     if (!raw.startsWith("keylength.file=")) return None
     val digits = raw.drop(15).takeWhile(_.isDigit)
-    if (digits.isEmpty) return None
+    // > 9 digits cannot be a valid in-line length (and would overflow the
+    // Int arithmetic below into a passing bounds check) — corrupt line
+    if (digits.isEmpty || digits.length > 9) return None
     val n = digits.toInt
     val start = 15 + digits.length + 6 // "keylength.file=" + digits + " file="
-    if (start + n > raw.length) None else Some(raw.substring(start, start + n))
+    // Long math: start + n can exceed Int.MaxValue for hostile lengths
+    if (start.toLong + n > raw.length) None else Some(raw.substring(start, start + n))
   }
 
   /** Exact-key token lookup: `key=` at string start or after a space, so
     * `ino` never matches inside `pino=` (main.go:184-189).
+    *
+    * Reference-faithful caveat: like the reference's space-split
+    * tokenizer, this scans the WHOLE line, so a `file=` payload embedding
+    * ` key=value` text would shadow a later real token. The format is
+    * inherently ambiguous there (the reference has the same property for
+    * every key except `file` itself); [[KvDataWriter]] refuses to WRITE
+    * such payloads, so dumps produced by this source always re-parse
+    * faithfully.
     */
   def get(raw: String, key: String): Option[String] = {
     val token = key + "="
@@ -225,6 +236,12 @@ final case class KvCommitMessage(path: String) extends WriterCommitMessage
 final class KvDataWriter(file: String, fields: Array[String],
                          hadoopConf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
+  /** ' token=' inside a value — the shape the whole-line key scan would
+    * mistake for a real field (a '=' with no preceding space can never
+    * start a token match: the payload itself follows 'file=', not a
+    * space, so '=' without internal spaces is fine — '/a/b=c' writes).
+    */
+  private val SpoofToken = java.util.regex.Pattern.compile("\\s\\S*=")
   private val hPath = new org.apache.hadoop.fs.Path(file)
   private val fs = hPath.getFileSystem(hadoopConf)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -241,6 +258,16 @@ final class KvDataWriter(file: String, fields: Array[String],
           // the record and silently corrupt the dump — fail loudly instead
           require(!v.contains('\n') && !v.contains('\r'),
             s"graft-kv: file value contains a line break: ${v.take(60)}")
+          // a payload embedding ' key=' text would shadow later tokens
+          // under the (reference-faithful) whole-line token scan — the
+          // format cannot represent it unambiguously
+          require(!SpoofToken.matcher(v).find(),
+            s"graft-kv: file value embeds a 'key=' token the reader would misparse: ${v.take(60)}")
+          // the keylength prefix counts what the SQL-side reader consumes
+          // (code points); supplementary characters would make UTF-16 and
+          // code-point counts disagree between the two blessed readers
+          require(v.length == v.codePointCount(0, v.length),
+            s"graft-kv: file value contains supplementary characters: ${v.take(60)}")
           // the keylength prefix must LEAD the record (the parser anchors
           // on it), so prepend both tokens; embedded SPACES are fine here
           // (that is what the length prefix exists for)
@@ -259,7 +286,11 @@ final class KvDataWriter(file: String, fields: Array[String],
     }
     // file-token first (parser requirement), others keep field order
     val (lead, rest) = tokens.result().partition(_.startsWith("keylength.file="))
-    out.write((lead ++ rest).mkString(" "))
+    val all = lead ++ rest
+    // an all-null row would emit an empty line the reader silently skips —
+    // rows must never vanish on a round trip
+    require(all.nonEmpty, "graft-kv: row with every field null is not representable")
+    out.write(all.mkString(" "))
     out.newLine()
   }
 

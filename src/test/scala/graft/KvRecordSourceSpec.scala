@@ -75,6 +75,35 @@ class KvRecordSourceSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("line break") ||
       Option(e2.getCause).exists(_.getMessage.contains("line break")), e2.getMessage)
+    // a file payload embedding ' key=' would shadow a later real token
+    // under the whole-line scan — unrepresentable, rejected
+    val spoof = Seq((1L, "/a uid=999 b", "42", "g", 5L))
+      .toDF("ino", "file", "uid", "gid", "size")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      spoof.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e3.getMessage.contains("misparse") ||
+      Option(e3.getCause).exists(_.getMessage.contains("misparse")), e3.getMessage)
+    // an all-null row would vanish as an empty line — rejected
+    val allNull = Seq((null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+      .toDF("ino", "file")
+    val e4 = intercept[org.apache.spark.SparkException] {
+      allNull.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e4.getMessage.contains("not representable") ||
+      Option(e4.getCause).exists(_.getMessage.contains("not representable")), e4.getMessage)
+    // '=' WITHOUT an internal space cannot start a token match — writes fine
+    Seq((2L, "/a/b=c", "u", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+      .write.format("graft-kv").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-kv").load(dir)
+      .select("file").head().getString(0) == "/a/b=c")
+  }
+
+  test("KvParse.file survives corrupt keylength digits (no crash, just None)") {
+    assert(KvParse.file("keylength.file=99999999999 file=x").isEmpty)  // >9 digits
+    assert(KvParse.file("keylength.file=2147483640 file=x").isEmpty)   // Int overflow
+    assert(KvParse.file("keylength.file= file=x").isEmpty)             // no digits
+    assert(KvParse.file("keylength.file=3 file=x").isEmpty)            // short payload
   }
 
   test("write overwrite truncates previous dump files; append keeps them") {
