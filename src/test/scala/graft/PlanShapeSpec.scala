@@ -107,8 +107,9 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("d02/d03/d10 self-joins are key-partitioned (band/fingerprint keys), not nested loops") {
-    Seq("d02_minhash_lsh", "d03_simhash_neardup", "d10_winnow_fingerprint").foreach { n =>
+  test("dedup self-joins and verifies are key-partitioned, not nested loops") {
+    Seq("d02_minhash_lsh", "d03_simhash_neardup", "d10_winnow_fingerprint",
+        "d11_winnow_verify", "d12_ensemble_clusters").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$n must join on band/key equality:\n$p")
