@@ -108,7 +108,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,""" +
         s""""errors":$errs,"passes":${passes.size},"loadavg_start":$loadStart,""" +
         s""""loadavg_end":$loadEnd,"sf":${jstr(sfDir)}}"""
+    // Truncation guard: the full per-query line runs ~4 KB at 77 queries,
+    // and a bounded tail-capture window can cut its FRONT off, losing the
+    // headline (this happened to round 4's artifact). A short total-only
+    // line printed LAST always fits the window, so the headline survives
+    // any truncation of the big line.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""n_failed":${results.count(_._3.isDefined)},"passes":${passes.size},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":${jstr(sfDir)}}"""
     spark.stop()
     println(line)
+    println(headline)
   }
 }

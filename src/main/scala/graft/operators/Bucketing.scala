@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 
 /** Bucketed-table layout: pay a table's join shuffle ONCE, at write time.
   *
@@ -40,5 +40,20 @@ object Bucketing {
     (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Read a [[writeBucketed]] table WITH its layout — the catalog read is
+    * the only form that carries the bucket metadata into planning. A bare
+    * `read.parquet(path)` of the same files parses fine but silently
+    * forgets the layout (every downstream join re-shuffles); this helper
+    * keeps callers on the safe path and fails loudly when the table was
+    * never registered.
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame = {
+    require(spark.catalog.tableExists(table),
+      s"bucketed table '$table' is not in the catalog — bucket layout " +
+        "lives in catalog metadata, not the parquet files; write it with " +
+        "writeBucketed first (read.parquet would silently drop the layout)")
+    spark.table(table)
   }
 }

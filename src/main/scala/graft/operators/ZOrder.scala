@@ -46,8 +46,14 @@ object ZOrder {
     * column before calling [[writeClustered]].
     */
   private def scaled(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    // subtract in DOUBLE, not the column's native integer type: an
+    // IntegerType domain wider than Int.MaxValue (or a LongType one wider
+    // than Long.MaxValue) would overflow `c - lo` into negative scaled
+    // values and garbage z-values; double loses at most ulp-level
+    // precision, irrelevant against a <= 2^21 bucket grid
     least(lit((1L << bits) - 1),
-      floor((c - lo).cast("double") / (hi - lo + lit(1)).cast("double") * (1L << bits))
+      floor((c.cast("double") - lo.cast("double")) /
+          (hi.cast("double") - lo.cast("double") + 1.0d) * (1L << bits))
         .cast("long"))
 
   /** Write `df` into `numFiles` files clustered by the z-order of integer

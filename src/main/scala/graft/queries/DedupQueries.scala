@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{GraftNative, Q, Tables}
 import graft.functions.{DedupFns, TextFns, VectorFns}
 import graft.operators.Stage
@@ -229,6 +229,20 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The connected-component map over [[minhashPairs]] as a memoized
+    * WRITTEN stage shared by d08 (listing) and d09 (apply) — the
+    * production shape: the cluster map is computed and written ONCE, and
+    * every consumer (dedup listing, corpus apply, reporting) scans the
+    * written table instead of re-running the iterative min-label loop,
+    * which is the expensive part (the pair stages underneath are already
+    * memoized).
+    */
+  private[queries] def minhashComponents(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "minhash_comp", d) {
+      graft.operators.DedupClusters
+        .connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
+    }
+
   /** DuckDB twin of [[minhashPairs]] as a reusable WITH-clause body (no
     * leading WITH, no trailing SELECT): ends with a `pairs` CTE.
     */
@@ -364,6 +378,86 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(label) AS component FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** d04 quadratic guard: label cells larger than this many vectors are
+    * sub-bucketed by [[embBandKey]] MULTI-BAND hyperplane hashing before
+    * pairing. The test fixtures sit far below the cap (so the exact
+    * all-pairs-in-cell oracle holds bit-for-bit); at 100 TB a hot cell
+    * means the clustering key is too coarse, and the guard bounds its
+    * fan-out to ~bands x (csz/2^planes)² pairs per sub-bucket instead of
+    * csz² — same role as [[NgramMaxDf]] in d06.
+    */
+  val EmbMaxCell = 4096
+
+  /** Oversized-cell banding: [[EmbBands]] INDEPENDENT sign-bit bands of
+    * [[EmbBandPlanes]] hyperplanes each (d02's MinHash banding shape
+    * applied to hyperplane LSH). A >=0.95-cosine pair agrees on one
+    * 3-plane band with p ~ (1 - theta/pi)^3 ~ 0.73, so it is caught by at
+    * least one of the 3 bands with p ~ 1 - 0.27^3 ~ 0.98 — against ~0.66
+    * for the previous single 4-plane band — while each band still prunes
+    * a random in-cell pair to ~1/2^planes of the bucket. Identical
+    * duplicates always agree on every band. Candidates dedup across
+    * bands before verification, exactly as d02's band self-join does.
+    */
+  private[graft] val EmbBands = 3
+  private[graft] val EmbBandPlanes = 3
+  private val embPlanes: Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(77)
+    Seq.fill(EmbBands * EmbBandPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Band `band`'s sign-bit key (the SAME literal plane matrix is
+    * embedded in the Spark plan and the oracle SQL).
+    */
+  private[graft] def embBandKey(q: Column, band: Int): Column =
+    concat(embPlanes.slice(band * EmbBandPlanes, (band + 1) * EmbBandPlanes).map(p =>
+      when(GraftNative.longDot(q, typedlit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** DuckDB twin of [[embBandKey]]. */
+  private def embBandKeySql(q: String, band: Int): String =
+    embPlanes.slice(band * EmbBandPlanes, (band + 1) * EmbBandPlanes).map { p =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($q, $lits), s -> s[1] * s[2])) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Within-cell candidate pairs + quantized cosine for d04: exact
+    * all-pairs inside cells of size <= `maxCell` (one degenerate band),
+    * [[embBandKey]] multi-band sub-bucketed candidates above it, deduped
+    * across bands, then verified with exact quantized cosine against the
+    * vector table — the candidate/verify split d02 uses. Cell sizes come
+    * from a tiny groupBy (one row per label) broadcast back onto the
+    * vectors; only (vec_id, label, band, sub) rides the pairing
+    * self-join, the vectors themselves join in only for the verified
+    * candidate set.
+    */
+  def embeddingPairs(qv: DataFrame, maxCell: Long): DataFrame = {
+    val cs = qv.groupBy("label").agg(count(lit(1)).as("csz"))
+    val bandStructs = (0 until EmbBands).map(i =>
+      struct(lit(i).as("band"), embBandKey(col("q"), i).as("sub")))
+    val keyed = qv.join(broadcast(cs), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        explode(when(col("csz") <= maxCell,
+            array(struct(lit(0).as("band"), lit("0").as("sub"))))
+          .otherwise(array(bandStructs: _*))).as("bs"))
+      .select(col("vec_id"), col("label"),
+        col("bs.band").as("band"), col("bs.sub").as("sub"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.sub") === col("b.sub") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(qv.select(col("vec_id").as("vec_a"), col("q").as("q_a"), col("n2").as("n2_a")),
+        Seq("vec_a"))
+      .join(qv.select(col("vec_id").as("vec_b"), col("q").as("q_b"), col("n2").as("n2_b")),
+        Seq("vec_b"))
+      .where(col("n2_a") > 0 && col("n2_b") > 0)
+      .withColumn("cosine",
+        GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
+          sqrt((col("n2_a") * col("n2_b")).cast("double")))
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+  }
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -436,9 +530,7 @@ object DedupQueries {
          |)
          |SELECT id AS doc_id, MIN(label) AS component FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.operators.DedupClusters
-        .connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
-        .orderBy("doc_id")
+      minhashComponents(s, d).orderBy("doc_id")
     },
 
     // 64-bit SimHash near-dup, banded: shingles -> signature -> 4 x 16-bit
@@ -517,8 +609,7 @@ object DedupQueries {
          |SELECT d.doc_id FROM dupdocs d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val comp = graft.operators.DedupClusters
-        .connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
+      val comp = minhashComponents(s, d)
       val dropIds = comp.where(col("doc_id") =!= col("component")).select("doc_id")
       dupDocs(s, d).select("doc_id")
         .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
@@ -664,16 +755,26 @@ object DedupQueries {
          |n AS (SELECT vec_id, label, q,
          |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
          |cs AS (SELECT label, COUNT(*) AS csz FROM n GROUP BY label),
-         |k AS (SELECT n.*, CASE WHEN cs.csz <= $EmbMaxCell THEN '0'
-         |                       ELSE ${SimilarityQueries.lshBucketSql("n.q")} END AS sub
-         |      FROM n JOIN cs ON n.label = cs.label)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         |       CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
-         |         / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
-         |FROM k a JOIN k b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
-         |WHERE a.n2 > 0 AND b.n2 > 0
-         |  AND CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
-         |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.95
+         |k AS (
+         |  SELECT n.vec_id, n.label, 0 AS band, '0' AS sub
+         |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz <= $EmbMaxCell
+         |${(0 until EmbBands).map(i =>
+             s"""  UNION ALL
+                |  SELECT n.vec_id, n.label, $i AS band, ${embBandKeySql("n.q", i)} AS sub
+                |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz > $EmbMaxCell""".stripMargin).mkString("\n")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM k a JOIN k b ON a.label = b.label AND a.band = b.band
+         |                   AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.vec_a, c.vec_b, c.label,
+         |       CAST(CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+         |         / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cosine
+         |FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+         |WHERE x.n2 > 0 AND y.n2 > 0
+         |  AND CAST(CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
       val qv = Stage.table(
@@ -688,41 +789,4 @@ object DedupQueries {
     }
   )
 
-  /** d04 quadratic guard: label cells larger than this many vectors are
-    * sub-bucketed by [[SimilarityQueries.lshBucket]] before pairing. The
-    * test fixtures sit far below the cap (so the exact all-pairs-in-cell
-    * oracle holds bit-for-bit); at 100 TB a hot cell means the clustering
-    * key is too coarse, and the guard bounds its fan-out to
-    * ~(csz/2^planes)² pairs per sub-bucket instead of csz² — same role as
-    * [[NgramMaxDf]] in d06. Trade-off (documented, mirrored in the oracle
-    * SQL): inside an oversized cell, a >=0.95-cosine pair lands in the
-    * same 4-plane sign bucket with p ~ (1 - theta/pi)^4 ~ 0.66; production
-    * raises that with multiple bands (as d02 does for MinHash), identical
-    * duplicates are always caught (equal vectors share every sign bit).
-    */
-  val EmbMaxCell = 4096
-
-  /** Within-cell candidate pairs + quantized cosine for d04: exact
-    * all-pairs inside cells of size <= `maxCell`, lshBucket-sub-bucketed
-    * pairs above it. Cell sizes come from a tiny groupBy (one row per
-    * label) broadcast back onto the vectors — no extra shuffle of the big
-    * side beyond the (label, sub) pairing join itself.
-    */
-  def embeddingPairs(qv: DataFrame, maxCell: Long): DataFrame = {
-    val cs = qv.groupBy("label").agg(count(lit(1)).as("csz"))
-    val keyed = qv.join(broadcast(cs), Seq("label"))
-      .withColumn("sub",
-        when(col("csz") <= maxCell, lit("0"))
-          .otherwise(SimilarityQueries.lshBucket(col("q"))))
-    val a = keyed.select(col("vec_id").as("vec_a"), col("label"), col("sub"),
-      col("q").as("q_a"), col("n2").as("n2_a"))
-    val b = keyed.select(col("vec_id").as("vec_b"), col("label"), col("sub"),
-      col("q").as("q_b"), col("n2").as("n2_b"))
-    a.join(b, Seq("label", "sub"))
-      .where(col("vec_a") < col("vec_b"))
-      .where(col("n2_a") > 0 && col("n2_b") > 0)
-      .withColumn("cosine",
-        GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
-          sqrt((col("n2_a") * col("n2_b")).cast("double")))
-  }
 }

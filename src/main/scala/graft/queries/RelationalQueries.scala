@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -211,17 +212,36 @@ object RelationalQueries {
     // with mergeable map-side partials — one shuffle of sketch bytes, no
     // per-key distinct expansion — the form that survives billions of
     // distinct keys. Completes the distinct-count family: exact (q11),
-    // deterministic KMV (q18), HLL (q22). No SQL oracle: DuckDB's
-    // approx_count_distinct is a different HLL build and cannot
-    // value-match; DistinctApproxSpec asserts bounded relative error vs
-    // exact q11.
-    Q.noOracle("q22_distinct_approx") { (s, d) =>
+    // deterministic KMV (q18), HLL (q22). DuckDB's HLL is a different
+    // build and cannot value-match the raw estimates, so the CERTIFIED
+    // output is the bound check itself: exact counts (oracle-computable)
+    // plus booleans asserting the HLL estimate landed within 3-sigma of
+    // its documented rsd (0.05 -> 15%); the oracle emits the same exact
+    // counts and literal TRUE. Bit-stable, and the booleans' truth
+    // depends on the real sketch estimates, so the approximate path is
+    // genuinely exercised. DistinctApproxSpec asserts the same bound on
+    // the raw estimates.
+    Q("q22_distinct_approx",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part,
+        |       TRUE AS supp_within_bound,
+        |       TRUE AS part_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      def within(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= greatest(lit(1L), (exact.cast("double") * 0.15).cast("long"))
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
           approx_count_distinct(col("l_suppkey")).as("n_supp_approx"),
-          approx_count_distinct(col("l_partkey")).as("n_part_approx"),
-          count(lit(1)).as("n"))
+          approx_count_distinct(col("l_partkey")).as("n_part_approx"))
+        .select(col("l_returnflag"), col("n"), col("n_supp"), col("n_part"),
+          within(col("n_supp_approx"), col("n_supp")).as("supp_within_bound"),
+          within(col("n_part_approx"), col("n_part")).as("part_within_bound"))
         .orderBy("l_returnflag")
     },
 
@@ -354,18 +374,36 @@ object RelationalQueries {
     // The approx escape hatch for q16: approx_percentile (Greenwald-Khanna
     // sketch, mergeable map-side partials) holds O(1/accuracy) state per
     // group instead of the group's values — the form that survives groups
-    // that outgrow executor memory. Rank error is bounded by
-    // n/accuracy (~6 of 60k rows here). No SQL oracle: DuckDB's
-    // approx_quantile is a different sketch (t-digest) and cannot
-    // value-match; the driver records the rows/schema check and
-    // PercentileApproxSpec asserts the bounded error against exact q16.
-    Q.noOracle("q21_percentile_approx") { (s, d) =>
+    // that outgrow executor memory. Rank error is bounded by n/accuracy
+    // (~6 of 60k rows here). DuckDB's approx_quantile is a different
+    // sketch (t-digest) and cannot value-match the raw estimates, so the
+    // CERTIFIED output is the bound check itself: exact interpolated
+    // percentiles (oracle-computable, as q16) plus booleans asserting the
+    // GK estimate landed within 1.0 of exact (the rank-error bound in
+    // value terms on integral 1..50 l_quantity); the oracle emits the
+    // same exact values and literal TRUE. The booleans' truth depends on
+    // the real sketch output, so the approximate path is genuinely
+    // exercised. PercentileApproxSpec asserts the same bound on the raw
+    // estimates.
+    Q("q21_percentile_approx",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |       TRUE AS med_within_bound,
+        |       TRUE AS p95_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty_approx"),
-          approx_percentile(col("l_quantity"), lit(0.95), lit(10000)).as("p95_qty_approx"))
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_approx"),
+          approx_percentile(col("l_quantity"), lit(0.95), lit(10000)).as("p95_approx"))
+        .select(col("l_returnflag"), col("n"), col("med_qty"), col("p95_qty"),
+          (abs(col("med_approx") - col("med_qty")) <= 1.0).as("med_within_bound"),
+          (abs(col("p95_approx") - col("p95_qty")) <= 1.0).as("p95_within_bound"))
         .orderBy("l_returnflag")
     },
 

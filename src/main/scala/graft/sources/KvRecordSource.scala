@@ -148,22 +148,26 @@ final class KvScan(paths: Seq[String], required: StructType) extends Scan with B
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One partition per data file; directory paths expand to their data
-    * files (driver-side Hadoop listing, like the built-in file index) so
-    * a dump DIRECTORY — including one produced by this source's own
-    * writer — scans in parallel.
+  /** One partition per data file; directory paths expand RECURSIVELY to
+    * their data files (driver-side Hadoop listing, like the built-in file
+    * index) so a dump DIRECTORY — including a nested per-shard layout, or
+    * one produced by this source's own writer — scans in parallel and in
+    * full. Hidden files/dirs (`_`/`.` prefixes) are skipped at every
+    * level, matching the built-in sources' convention.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     paths.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      if (fs.getFileStatus(hp).isDirectory)
-        fs.listStatus(hp).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .map(s => s.getPath.toString)
-      else Seq(p)
+      if (fs.getFileStatus(hp).isDirectory) {
+        def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+        def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
+          fs.listStatus(dir).toSeq.filter(s => visible(s.getPath.getName)).flatMap {
+            s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath.toString)
+          }
+        walk(hp)
+      } else Seq(p)
     }.map(p => KvInputPartition(p): InputPartition).toArray
   }
 
@@ -207,6 +211,16 @@ final class KvWrite(path: String, schema: StructType, truncate: Boolean)
   private val Allowed = Set("ino", "file", "uid", "gid", "size")
   require(schema.fieldNames.forall(Allowed),
     s"graft-kv writes columns ${Allowed.mkString("/")}; got ${schema.fieldNames.mkString(",")}")
+  // Types too, not just names: with supportsExternalMetadata the table
+  // reports the incoming frame's schema verbatim and Spark inserts no
+  // casts, so an IntegerType `ino` would read garbage through getLong and
+  // a LongType `uid` would crash opaquely executor-side — fail at plan
+  // time instead.
+  schema.fields.foreach { f =>
+    val expected = KvRecordSource.Schema(f.name).dataType
+    require(f.dataType == expected,
+      s"graft-kv: column ${f.name} must be $expected, got ${f.dataType}")
+  }
 
   override def toBatch: BatchWrite = this
 
@@ -268,6 +282,11 @@ final class KvDataWriter(file: String, fields: Array[String],
           // code-point counts disagree between the two blessed readers
           require(v.length == v.codePointCount(0, v.length),
             s"graft-kv: file value contains supplementary characters: ${v.take(60)}")
+          // the reader rejects keylength prefixes over 9 digits as corrupt
+          // — a longer value is unrepresentable and must fail at write,
+          // not round-trip to null
+          require(v.length <= 999999999,
+            s"graft-kv: file value longer than 9-digit keylength (${v.length} chars)")
           // the keylength prefix must LEAD the record (the parser anchors
           // on it), so prepend both tokens; embedded SPACES are fine here
           // (that is what the length prefix exists for)
@@ -280,6 +299,12 @@ final class KvDataWriter(file: String, fields: Array[String],
           // values would shift every later token under re-parsing
           require(!v.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '\t'),
             s"graft-kv: $k value contains whitespace (only file= may): ${v.take(60)}")
+          // '=' round-trips through THIS reader, but the reference Go
+          // parser (strings.Split on '=', len==2 check, main.go:186-189)
+          // drops such tokens — dumps must stay readable by the tool the
+          // format mimics, so reject at write
+          require(!v.contains('='),
+            s"graft-kv: $k value contains '=' (unreadable by the reference parser): ${v.take(60)}")
           tokens += s"$k=$v"
       }
       i += 1

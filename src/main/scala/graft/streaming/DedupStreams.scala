@@ -23,8 +23,13 @@ import graft.queries.DedupQueries
   * uniformly by hash and CAPPED at [[MaxBucketDocs]] — an overflowing
   * bucket means template boilerplate (the same pathology d06's df cap
   * prunes), and capping it bounds both state size and pair fan-out to
-  * cap² per bucket; in a real deployment the state carries a TTL (dedup
-  * horizon) so buckets evict. Verification needs the shingle sets, which
+  * cap² per bucket. The second bound is the dedup HORIZON: set
+  * [[DedupTtlKey]] to a duration and every bucket entry evicts that long
+  * after it was written (state-store native TTL, processing-time mode),
+  * so an unbounded stream holds only the horizon's docs in state —
+  * unset, state grows with the key space (the test default, matching
+  * batch d02's whole-corpus semantics). Verification needs the shingle
+  * sets, which
   * deliberately do NOT ride the banded stream (9x amplification) — they
   * come from the doc-store table the batch pipeline maintains (the
   * written shingle stage).
@@ -43,19 +48,36 @@ object DedupStreams {
     */
   val MaxBucketDocs = 64
 
+  /** Session conf key for the dedup-state TTL — a Spark duration string
+    * ("30m", "24h"). Unset or empty = no eviction, state grows with the
+    * occupied-bucket space.
+    */
+  val DedupTtlKey = "spark.graft.dedupTtl"
+
+  /** The configured dedup horizon as a [[TTLConfig]]. */
+  private def ttlOf(spark: SparkSession): TTLConfig =
+    spark.conf.getOption(DedupTtlKey).filter(_.nonEmpty)
+      .map(v => TTLConfig(java.time.Duration.ofMillis(
+        org.apache.spark.network.util.JavaUtils.timeStringAsMs(v))))
+      .getOrElse(TTLConfig.NONE)
+
   /** Per-bucket seen-docs state: each newcomer emits a candidate pair
     * against every doc already in the bucket, then joins it — so the
     * emitted pairs are precisely the batch bucket self-join's pairs,
     * arriving incrementally. Within a micro-batch, rows fold in doc_id
-    * order so emission is deterministic under shuffle.
+    * order so emission is deterministic under shuffle. With a TTL, each
+    * list entry evicts `ttl` after it was appended (per-entry, not
+    * per-bucket: a hot bucket keeps its recent docs while stale ones
+    * age out), after which the doc no longer pairs and a re-arrival is
+    * re-admitted as new.
     */
-  final class LshBucketProcessor
+  final class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, BandHit, DupCand] {
 
     @transient private var seen: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
 
     override def handleInputRows(bucket: String, rows: Iterator[BandHit],
                                  timerValues: TimerValues): Iterator[DupCand] = {
@@ -94,9 +116,13 @@ object DedupStreams {
     */
   def nearDupCandidates(spark: SparkSession, docs: Dataset[Doc]): Dataset[DupCand] = {
     import spark.implicits._
+    // state TTL rides processing time, so the time mode follows the conf
+    val ttl = ttlOf(spark)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     bandHits(spark, docs)
       .groupByKey(_.bucket)
-      .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LshBucketProcessor(ttl), timeMode, OutputMode.Append())
   }
 
   /** A shingled doc store from a (doc_id, text) frame — the shape the

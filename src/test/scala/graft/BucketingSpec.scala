@@ -35,8 +35,8 @@ class BucketingSpec extends SparkTestBase {
         "customer_bkt", s"$tmp/customer", Seq("c_custkey"), numBuckets = 8)
 
       withNoBroadcast {
-        val joined = spark.table("orders_bkt")
-          .join(spark.table("customer_bkt"),
+        val joined = Bucketing.readBucketed(spark, "orders_bkt")
+          .join(Bucketing.readBucketed(spark, "customer_bkt"),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"))
@@ -62,11 +62,17 @@ class BucketingSpec extends SparkTestBase {
       }
 
       // aggregation keyed on the bucket column: no exchange at all
-      val agg = spark.table("orders_bkt")
+      val agg = Bucketing.readBucketed(spark, "orders_bkt")
         .groupBy("o_custkey").agg(count(lit(1)).as("n"))
       val pAgg = executedPlan(agg)
       assert(!pAgg.contains("Exchange hashpartitioning"),
         s"bucket-keyed aggregation must not shuffle:\n$pAgg")
+      // a never-registered table fails loudly instead of silently
+      // degrading to a layout-less parquet read
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.readBucketed(spark, "no_such_bkt")
+      }
+      assert(e.getMessage.contains("not in the catalog"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS customer_bkt")

@@ -97,6 +97,57 @@ class KvRecordSourceSpec extends SparkTestBase {
       .write.format("graft-kv").mode("overwrite").save(dir)
     assert(spark.read.format("graft-kv").load(dir)
       .select("file").head().getString(0) == "/a/b=c")
+    // ...but '=' in a NON-file value is dropped by the reference Go
+    // parser (split-on-'=' with len==2) — unreadable there, rejected here
+    val eqUid = Seq((3L, "/p", "u=1", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+    val e5 = intercept[org.apache.spark.SparkException] {
+      eqUid.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e5.getMessage.contains("reference parser") ||
+      Option(e5.getCause).exists(_.getMessage.contains("reference parser")), e5.getMessage)
+  }
+
+  test("write rejects mistyped columns at plan time (no silent int/long corruption)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvwrite").toString + "/dump"
+    // ino as IntegerType: getLong over an int slot reads garbage for
+    // negatives — must fail loudly before any executor runs
+    val intIno = Seq((1, "/p")).toDF("ino", "file")
+    val e1 = intercept[Exception] {
+      intIno.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e1.getMessage.contains("must be LongType") ||
+      Option(e1.getCause).exists(_.getMessage.contains("must be LongType")), e1.getMessage)
+    // uid as LongType would crash opaquely executor-side
+    val longUid = Seq((1L, 42L)).toDF("ino", "uid")
+    val e2 = intercept[Exception] {
+      longUid.write.format("graft-kv").mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("must be StringType") ||
+      Option(e2.getCause).exists(_.getMessage.contains("must be StringType")), e2.getMessage)
+  }
+
+  test("write rejects a multi-path table; reads expand nested dump directories in full") {
+    import spark.implicits._
+    val one = Seq((1L, "/p", "u", "g", 5L)).toDF("ino", "file", "uid", "gid", "size")
+    val e = intercept[Exception] {
+      one.write.format("graft-kv")
+        .option("paths", s"""["/tmp/kv-a","/tmp/kv-b"]""")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("exactly one path") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly one path")), e.getMessage)
+    // nested per-shard layout: root/shard-0/part.kv + a root-level file;
+    // hidden dirs/files are skipped at every level
+    val root = Files.createTempDirectory("kvnest")
+    val shard = Files.createDirectory(root.resolve("shard-0"))
+    val hidden = Files.createDirectory(root.resolve("_tmp"))
+    Files.writeString(shard.resolve("part.kv"), records.head + "\n")
+    Files.writeString(root.resolve("top.kv"), records(1) + "\n")
+    Files.writeString(hidden.resolve("junk.kv"), records(2) + "\n")
+    val inos = spark.read.format("graft-kv").load(root.toString)
+      .select("ino").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inos == Seq(42L, 43L), s"nested read got $inos")
   }
 
   test("KvParse.file survives corrupt keylength digits (no crash, just None)") {

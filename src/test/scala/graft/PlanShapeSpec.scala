@@ -160,4 +160,51 @@ class PlanShapeSpec extends SparkTestBase {
     // under the cap the same helper is the exact all-pairs join
     assert(graft.queries.DedupQueries.embeddingPairs(qv, maxCell = 100).count() == allPairs)
   }
+
+  test("d04 multi-band sub-buckets catch near-dup pairs a single concatenated key misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftNative.ensure(spark)
+    val D = graft.queries.DedupQueries
+    // deterministic near-dups: base ±1000 vector + every two-coordinate
+    // flip (cosine 60/64 ~ 0.94 — a plane dot moves by at most 4000, so
+    // sign flips are possible but rare; one-coordinate flips move dots by
+    // exactly 2000 and on this fixture never cross zero)
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(if (rnd.nextBoolean()) 1000L else -1000L)
+    val variants = (for (i <- 0 until 64; j <- (i + 1) until 64) yield {
+      val v = base.clone(); v(i) = -v(i); v(j) = -v(j); v
+    }).zipWithIndex.map { case (v, id) => (id.toLong, v) }
+    val df = ((-1L, base) +: variants).toDF("id", "q")
+    val keys = df.select(col("id") +:
+        (0 until D.EmbBands).map(b => D.embBandKey(col("q"), b).as(s"b$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to D.EmbBands).map(r.getString)).toMap
+    val baseKeys = keys(-1L)
+    // a pair some band catches but the concatenated single key misses
+    val partial = variants.map(_._1).filter { id =>
+      val ks = keys(id)
+      ks != baseKeys && ks.zip(baseKeys).exists { case (a, b) => a == b }
+    }
+    assert(partial.nonEmpty, "fixture produced no partially-agreeing near-dup (seed drift?)")
+    val pick = partial.head
+    // oversized cell (maxCell = 1 forces banding): the partially-agreeing
+    // pair IS found — under the previous single concatenated-key scheme
+    // (all planes in one band) it would not share a bucket
+    val qv = Seq((0L, 1, base), (1L, 1, variants(pick.toInt)._2))
+      .toDF("vec_id", "label", "q")
+      .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+    val found = D.embeddingPairs(qv, maxCell = 1)
+      .where(col("vec_a") === 0L && col("vec_b") === 1L).collect()
+    assert(found.length == 1, "banding failed to catch the partially-agreeing pair")
+    assert(found(0).getAs[Double]("cosine") >= 0.9)
+  }
+
+  test("v03 nearest-centroid argmin is a hash aggregate, never a window over the fan-out") {
+    // the |vectors| x |labels| candidate fan-out must collapse map-side
+    // via min(struct(...)) partial aggregation; a ranking window would
+    // shuffle and sort the whole fan-out (k x the shuffle volume)
+    val p = planOf("v03_nearest_centroid")
+    assert(!p.contains("Window"), s"v03 must not plan a Window:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash-aggregate argmin in:\n$p")
+  }
 }

@@ -57,8 +57,8 @@ class PqSpec extends SparkTestBase {
   }
 
   test("two-stage recall clears the floor on the fixture") {
-    val rows = SparkEntry.queries("v07_ann_recall_pq")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = graft.queries.SimilarityQueries.pqRecallRaw(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(rows.size == 5)
     rows.foreach { case (p, r) =>
       assert(r >= 0.4, s"probe $p recall $r below floor — shortlist re-rank broken")
@@ -68,19 +68,30 @@ class PqSpec extends SparkTestBase {
   }
 
   test("the PQ pipeline is deterministic across runs") {
-    def run() = SparkEntry.queries("v07_ann_recall_pq")(spark, sfDir)
+    def run() = graft.queries.SimilarityQueries.pqRecallRaw(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
 
   test("IVF-PQ composite clears the recall floor while scoring ~1/cells of the corpus") {
-    val rows = SparkEntry.queries("v08_ann_recall_ivfpq")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = graft.queries.SimilarityQueries.ivfpqRecallRaw(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(rows.size == 5)
     rows.foreach { case (p, r) =>
       assert(r >= 0.4, s"probe $p recall $r below floor — cell restriction or ADC broken")
     }
     val mean = rows.values.sum / rows.size
     assert(mean >= 0.6, s"mean recall $mean below 0.6")
+  }
+
+  test("the certified v07/v08 outputs report the floor as met with the exact-side count") {
+    for (name <- Seq("v07_ann_recall_pq", "v08_ann_recall_ivfpq")) {
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      assert(rows.length == 5, s"$name probe count")
+      rows.foreach { r =>
+        assert(r.getLong(1) == 10L, s"$name probe ${r.getLong(0)} n_exact ${r.getLong(1)}")
+        assert(r.getBoolean(2), s"$name probe ${r.getLong(0)} floor not met")
+      }
+    }
   }
 }

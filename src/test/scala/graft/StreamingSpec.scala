@@ -167,6 +167,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dedup state TTL evicts a bucket: an aged-out doc no longer pairs, a fresh one does") {
+    import spark.implicits._
+    import graft.streaming.DedupStreams
+    import graft.streaming.DedupStreams.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(DedupStreams.DedupTtlKey, "3s")
+    try {
+      val ms = MemoryStream[Doc]
+      val q = DedupStreams.nearDupCandidates(spark, ms.toDS())
+        .writeStream.format("memory").queryName("near_dup_ttl")
+        .outputMode("append").start()
+      val base = "the quick brown fox jumps over the lazy dog near the river bank"
+      // ProcessingTime mode runs micro-batches continuously to advance the
+      // TTL clock, so processAllAvailable never latches "no new data" —
+      // poll observable progress instead (a production job paces this with
+      // a processing-time trigger)
+      def waitUntil(what: String)(cond: => Boolean): Unit = {
+        val t0 = System.currentTimeMillis
+        while (!cond && System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
+        assert(cond, s"timed out waiting for $what")
+      }
+      def lastBatch: Long = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      // the bounded recentProgress buffer rolls over under continuous
+      // batches, so look for input SINCE a captured batch id, not a sum
+      def sawInputSince(b: Long): Boolean =
+        q.recentProgress.exists(p => p.batchId > b && p.numInputRows > 0)
+      def pairs: Set[(Long, Long)] = spark.table("near_dup_ttl")
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      try {
+        val b0 = lastBatch
+        ms.addData(Doc(1, base))
+        waitUntil("doc 1 ingested")(sawInputSince(b0))
+        Thread.sleep(6000) // well past the 3s horizon: doc 1's entry evicts
+        // doc 101 is RE-ADMITTED into the now-empty bucket (no pair against
+        // the aged-out doc 1), and doc 102 arriving within the horizon
+        // pairs against 101 only
+        val b1 = lastBatch
+        ms.addData(Doc(101, base))
+        waitUntil("doc 101 ingested")(sawInputSince(b1))
+        ms.addData(Doc(102, base))
+        waitUntil("the (102, 101) pair")(pairs.contains((102L, 101L)))
+      } finally q.stop()
+      assert(!pairs.contains((101L, 1L)), s"evicted doc still paired: $pairs")
+    } finally {
+      spark.conf.unset(DedupStreams.DedupTtlKey)
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("streaming verified near-dups match the batch pipeline on the same slice") {
     import spark.implicits._
     import graft.streaming.DedupStreams
