@@ -31,17 +31,34 @@ object DedupClusters {
 
   /** Components of the graph given by `pairs` rows (aCol, bCol): returns
     * (doc_id, component) for every vertex that appears in a pair.
+    *
+    * `init` optionally WARM-STARTS the propagation from an existing
+    * (doc_id, component) map computed over a SUBGRAPH of these edges
+    * (e.g. d12 reusing d08's MinHash-only component stage). Soundness:
+    * each warm label is the min id of a sub-component, hence a vertex id
+    * inside the same final component, and the true component minimum u
+    * keeps label u (any sub-component of u containing u has min u) — so
+    * min-label propagation reaches the identical fixpoint, in rounds
+    * bounded by the diameter of the QUOTIENT graph (sub-components
+    * contracted) instead of the raw graph. Vertices absent from `init`
+    * start from their own id as usual.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          init: Option[DataFrame] = None): DataFrame = {
     val edges = Stage.table(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct(),
       "cc_edges")
+    val vertices = edges.select(col("src").as("id")).distinct()
     var labels = Stage.table(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")),
+      init.fold(vertices.withColumn("component", col("id"))) { warm =>
+        vertices.join(
+            warm.select(col("doc_id").as("id"), col("component").as("warm")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("warm"), col("id")).as("component"))
+      },
       "cc_labels")
     var changed = 1L
     var iter = 0

@@ -648,8 +648,12 @@ object DedupQueries {
         .unionByName(ngramPairs(s, d).select("doc_a", "doc_b"))
         .unionByName(winnowPairs(s, d).select("doc_a", "doc_b"))
         .distinct()
+      // warm-start from the d08 component stage (MinHash edges are a
+      // subgraph of the union): identical fixpoint, fewer rounds —
+      // sub-components enter pre-collapsed
       graft.operators.DedupClusters
-        .connectedComponents(edges, "doc_a", "doc_b")
+        .connectedComponents(edges, "doc_a", "doc_b",
+          init = Some(minhashComponents(s, d)))
         .orderBy("doc_id")
     },
 

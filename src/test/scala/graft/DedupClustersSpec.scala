@@ -30,4 +30,21 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == (1L to 10L).toSet)
   }
+
+  test("warm-starting from subgraph components reaches the identical fixpoint") {
+    import spark.implicits._
+    // union graph: two minhash sub-components {1,2,3} and {5,6} bridged
+    // by a non-minhash edge (3,5), plus an untouched pair {20,21} and a
+    // vertex 9 the warm map has never seen
+    val union = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (20L, 21L), (6L, 9L))
+    val cold = components(union)
+    // warm map = components of the minhash subgraph only
+    val warm = DedupClusters.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val warmed = DedupClusters.connectedComponents(
+        union.toDF("a", "b"), "a", "b", init = Some(warm))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmed == cold, s"warm $warmed vs cold $cold")
+    assert(warmed(9L) == 1L && warmed(21L) == 20L)
+  }
 }
