@@ -113,6 +113,14 @@ object DedupStreams {
 
   /** Candidate near-dup pairs, incrementally, over an unbounded doc
     * stream.
+    *
+    * Pacing note: with a TTL configured the query runs in processing-time
+    * mode, where Spark schedules micro-batches continuously to advance
+    * the state clock even when no data is waiting. A deployment should
+    * pace the writer with `Trigger.ProcessingTime(...)` so idle periods
+    * do not busy-loop empty batches (and `processAllAvailable()` — a
+    * test-only API — never latches in this mode; poll `lastProgress`
+    * instead, as StreamingSpec does).
     */
   def nearDupCandidates(spark: SparkSession, docs: Dataset[Doc]): Dataset[DupCand] = {
     import spark.implicits._
