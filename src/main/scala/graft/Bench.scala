@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
   * prune most of the work). Failures are recorded as value -1 plus an
   * `errors` map — never silently timed as successes.
   *
-  * The single JSON result line is printed LAST (after `spark.stop()`, so no
-  * Spark log lines can follow it) for the driver's parser.
+  * Two JSON lines are printed LAST (after `spark.stop()`, so no Spark log
+  * lines can follow them): the full per-query result line, then a SHORT
+  * total-only headline line as the very last line — a bounded tail-capture
+  * window always fits the headline even if it cuts the ~4 KB full line.
+  * A parser wanting per-query detail reads the line with a `queries` map;
+  * one wanting only the headline reads the last line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

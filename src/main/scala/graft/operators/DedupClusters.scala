@@ -38,9 +38,13 @@ object DedupClusters {
     * each warm label is the min id of a sub-component, hence a vertex id
     * inside the same final component, and the true component minimum u
     * keeps label u (any sub-component of u containing u has min u) — so
-    * min-label propagation reaches the identical fixpoint, in rounds
-    * bounded by the diameter of the QUOTIENT graph (sub-components
-    * contracted) instead of the raw graph. Vertices absent from `init`
+    * min-label propagation reaches the identical fixpoint. The saving is
+    * the rounds that would RE-DERIVE each sub-component's minimum (every
+    * warm vertex already holds its sub-min on round 0); labels still
+    * travel the RAW edges, so the worst-case round bound stays the raw
+    * diameter — warm-starting never increases rounds and typically
+    * removes most of them on near-dup graphs, whose components are
+    * mostly single sub-components already. Vertices absent from `init`
     * start from their own id as usual.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
@@ -76,6 +80,12 @@ object DedupClusters {
       labels = next
       iter += 1
     }
+    // a maxIter exit without convergence means some component is only
+    // partially merged — never truncate silently
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents hit maxIter=$maxIter with " +
+        s"$changed labels still changing — components are UNCONVERGED " +
+        "(raise maxIter, or the graph has a chain longer than template spam should)")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 }

@@ -162,11 +162,23 @@ final class KvScan(paths: Seq[String], required: StructType) extends Scan with B
       val fs = hp.getFileSystem(conf)
       if (fs.getFileStatus(hp).isDirectory) {
         def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
-        def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
-          fs.listStatus(dir).toSeq.filter(s => visible(s.getPath.getName)).flatMap {
-            s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath.toString)
+        // iterative walk with a depth cap: a symlink cycle (or an absurdly
+        // deep layout) fails loudly instead of recursing the driver to
+        // death — 64 levels is far beyond any real dump layout
+        val out = Seq.newBuilder[String]
+        val stack = scala.collection.mutable.Stack((hp, 0))
+        while (stack.nonEmpty) {
+          val (dir, depth) = stack.pop()
+          require(depth <= 64,
+            s"graft-kv: directory nesting deeper than 64 under $p (symlink cycle?)")
+          fs.listStatus(dir).foreach { st =>
+            if (visible(st.getPath.getName)) {
+              if (st.isDirectory) stack.push((st.getPath, depth + 1))
+              else out += st.getPath.toString
+            }
           }
-        walk(hp)
+        }
+        out.result()
       } else Seq(p)
     }.map(p => KvInputPartition(p): InputPartition).toArray
   }

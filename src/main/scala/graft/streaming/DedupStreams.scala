@@ -57,8 +57,14 @@ object DedupStreams {
   /** The configured dedup horizon as a [[TTLConfig]]. */
   private def ttlOf(spark: SparkSession): TTLConfig =
     spark.conf.getOption(DedupTtlKey).filter(_.nonEmpty)
-      .map(v => TTLConfig(java.time.Duration.ofMillis(
-        org.apache.spark.network.util.JavaUtils.timeStringAsMs(v))))
+      .map { v =>
+        val ms = org.apache.spark.network.util.JavaUtils.timeStringAsMs(v)
+        // fail at plan time with the conf key in hand, not at runtime
+        // inside the state store with an internal-state-name error
+        require(ms > 0,
+          s"$DedupTtlKey must be a positive duration (got '$v'); unset it for no eviction")
+        TTLConfig(java.time.Duration.ofMillis(ms))
+      }
       .getOrElse(TTLConfig.NONE)
 
   /** Per-bucket seen-docs state: each newcomer emits a candidate pair

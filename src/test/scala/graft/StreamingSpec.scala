@@ -176,7 +176,10 @@ class StreamingSpec extends SparkTestBase {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(DedupStreams.DedupTtlKey, "3s")
+    // TTL long enough that the 101 -> 102 pairing window (a couple of
+    // micro-batches) cannot plausibly expire on a loaded host, short
+    // enough that one sleep proves eviction
+    spark.conf.set(DedupStreams.DedupTtlKey, "10s")
     try {
       val ms = MemoryStream[Doc]
       val q = DedupStreams.nearDupCandidates(spark, ms.toDS())
@@ -204,7 +207,7 @@ class StreamingSpec extends SparkTestBase {
         val b0 = lastBatch
         ms.addData(Doc(1, base))
         waitUntil("doc 1 ingested")(sawInputSince(b0))
-        Thread.sleep(6000) // well past the 3s horizon: doc 1's entry evicts
+        Thread.sleep(21000) // well past the 10s horizon: doc 1's entry evicts
         // doc 101 is RE-ADMITTED into the now-empty bucket (no pair against
         // the aged-out doc 1), and doc 102 arriving within the horizon
         // pairs against 101 only
