@@ -106,6 +106,12 @@ object DedupQueries {
     */
   val NgramMaxDf = 20
 
+  /** d13 chunk granularity: consecutive token chunks of this size hash to
+    * one dedup unit. 16 keeps the index at ~|tokens|/16 rows; production
+    * pipelines tune it to the boilerplate length they want to catch.
+    */
+  val ChunkTokens = 16
+
   /** d07 contamination threshold: shared distinct shingles with one
     * benchmark doc (3 fires at every test scale; real pipelines tune it
     * to the eval suite's n-gram length).
@@ -790,6 +796,58 @@ object DedupQueries {
         .where(col("cosine") >= 0.95)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Sub-document (chunk-level) dedup: each doc splits into consecutive
+    // 16-token chunks, chunks are hashed, and a chunk is "duplicated"
+    // when its hash occurs in more than one document — the C4/RefinedWeb-
+    // style granularity that catches shared boilerplate inside otherwise
+    // distinct documents, which whole-doc hashing (d01) misses entirely.
+    // Scale shape: the chunk table (~|tokens|/16 rows) is a WRITTEN stage
+    // scanned by both consumers; the per-hash document-frequency groupBy
+    // and the join back both key on the uniform md5 chunk hash, so one
+    // hash partitioning serves both and nothing ever goes quadratic. The
+    // per-doc rollup shuffles only (doc, flag) partials.
+    Q("d13_chunk_dedup",
+      s"""WITH $dupDocsSql,
+         |toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM dupdocs
+         |),
+         |idx AS (
+         |  SELECT doc_id, ts,
+         |         unnest(range(CAST(ceil(len(ts) / $ChunkTokens.0) AS BIGINT))) AS i
+         |  FROM toks
+         |),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(ts[i*$ChunkTokens+1 : i*$ChunkTokens+$ChunkTokens], ' ')) AS ch
+         |  FROM idx
+         |),
+         |cdf AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |       CAST(SUM(CASE WHEN cdf.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |FROM chunks c JOIN cdf ON c.ch = cdf.ch
+         |GROUP BY c.doc_id
+         |HAVING SUM(CASE WHEN cdf.nd > 1 THEN 1 ELSE 0 END) > 0
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val chunks = Stage.table(
+        dupDocs(s, d)
+          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(0),
+              ceil(size(col("ts")) / lit(ChunkTokens.toDouble)).cast("int") - 1)).as("i"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ",
+              slice(col("ts"), col("i") * ChunkTokens + 1, lit(ChunkTokens)))).as("ch")),
+        "d13_chunks")
+      val cdf = chunks.groupBy("ch").agg(countDistinct("doc_id").as("nd"))
+      chunks.join(cdf, Seq("ch"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .where(col("n_dup") > 0)
+        .orderBy("doc_id")
     }
   )
 

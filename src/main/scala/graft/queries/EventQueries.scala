@@ -309,6 +309,32 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // Event-type transition matrix (per-user Markov bigrams): lag() over
+    // the same deterministic (user_id; ts, event_id) ordering e03 uses,
+    // then a count per (prev, next) pair. One shuffle on user_id for the
+    // window; the final aggregate shuffles only |types|^2 partial counts
+    // — the matrix itself is tiny at any corpus size. The canonical
+    // session-modeling / next-event-prediction feature input.
+    Q("e09_transitions",
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
     }
   )
 }

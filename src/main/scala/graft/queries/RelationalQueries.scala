@@ -698,6 +698,66 @@ object RelationalQueries {
           (sum(when(inSample, col("o_totalprice").cast("decimal(28,2)"))
             .otherwise(lit(0).cast("decimal(28,2)"))) * 16).cast("double").as("est_total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Correlated scalar subquery ("orders above 1.5x their customer's
+    // average"), decorrelated the way Catalyst plans it at scale: one
+    // per-key aggregate over the same table, joined back on the
+    // correlation key. Both the aggregate's shuffle and the join key on
+    // (o_custkey) — one hash partitioning serves both sides, no
+    // re-correlated per-row subquery execution. The predicate compares
+    // price * 2 * n > sum * 3 in EXACT decimal arithmetic (price >
+    // 1.5 * avg without the float division), so no boundary row can flip
+    // between engines. The oracle states the ORIGINAL correlated form —
+    // certifying the decorrelation itself.
+    Q("q30_correlated_subquery",
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 *
+        |        (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 3 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val perCust = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord"), sum(col("price")).as("sum_price"))
+      o.join(perCust, Seq("o_custkey"))
+        .where(col("price") * 2 * col("n_ord") > col("sum_price") * 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("price").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // Unpivot / melt: wide per-flag aggregates relayed long as
+    // (key, metric, value) rows — the feature-store/metrics-table layout
+    // flip. Spark's `unpivot` is a zero-shuffle Expand over the already-
+    // aggregated (tiny) wide table; all heavy lifting stays in the
+    // up-front hash aggregate. Values go through exact decimal sums and
+    // cast to double only at the edge (file-header float discipline).
+    Q("q31_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, metric, CAST(value AS DOUBLE) AS value
+        |FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(28,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,2)")).as("sum_price"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")),
+          "metric", "value")
+        .select(col("l_returnflag"), col("metric"), col("value").cast("double").as("value"))
+        .orderBy("l_returnflag", "metric")
     }
   )
 }

@@ -390,6 +390,43 @@ object TextQueries {
         .where(col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
         .orderBy("doc_id", "token")
+    },
+
+    // Skip-gram co-occurrence counts (word2vec / PMI input): token pairs
+    // within a forward window of 2 positions, counted corpus-wide, top-20
+    // with a total deterministic order. Scale shape: positions come from
+    // ONE posexplode pass; the windowed pairing is a pure EQUI-join on
+    // (doc_id, position) against the same table shifted by an exploded
+    // offset of {1,2} — never a per-doc cross product or a non-equi range
+    // probe — so the pair volume is exactly 2x the token count and the
+    // join hash-partitions on uniform (doc, pos) keys. The final count
+    // shuffles |vocab|^2 partials at most, and TakeOrdered keeps the
+    // top-k off the driver until the last 20 rows.
+    Q("t11_skipgram_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+        |         unnest(range(len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND (b.i - a.i = 1 OR b.i - a.i = 2)
+        |)
+        |SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("i", "token")))
+      val shifted = toks
+        .withColumn("off", explode(array(lit(1), lit(2))))
+        .select(col("doc_id"), (col("i") + col("off")).as("i"), col("token").as("w1"))
+      shifted.join(toks, Seq("doc_id", "i"))
+        .groupBy(col("w1"), col("token").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

@@ -207,4 +207,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"v03 must not plan a Window:\n$p")
     assert(p.contains("HashAggregate"), s"expected hash-aggregate argmin in:\n$p")
   }
+
+  test("q30 decorrelation: per-key aggregate joins back as an equi-join, no re-correlated subquery") {
+    val p = planOf("q30_correlated_subquery")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on o_custkey in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation degenerated to a nested loop:\n$p")
+  }
+
+  test("q31 unpivot: the melt is an Expand over the aggregated rows, no extra shuffle") {
+    val p = planOf("q31_unpivot")
+    assert(p.contains("Expand"), s"expected Expand (unpivot) in:\n$p")
+    // exactly the aggregate's own exchange pair (partial->final) plus the
+    // final sort's — the Expand itself must not add one between agg and sort
+    assert(!p.contains("Join"), s"unpivot must not plan a join:\n$p")
+  }
+
+  test("t11 skip-gram pairing is an equi-join on (doc, position), never a range probe") {
+    val p = planOf("t11_skipgram_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"skip-gram pairing degenerated to a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must plan TakeOrdered in:\n$p")
+  }
+
+  test("d13 chunk dedup: chunk-hash joins are key-partitioned, not nested loops") {
+    val p = planOf("d13_chunk_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d13 must join on the chunk hash:\n$p")
+  }
 }
