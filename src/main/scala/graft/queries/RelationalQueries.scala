@@ -758,6 +758,39 @@ object RelationalQueries {
           "metric", "value")
         .select(col("l_returnflag"), col("metric"), col("value").cast("double").as("value"))
         .orderBy("l_returnflag", "metric")
+    },
+
+    // Per-group quantile bucketing: ntile(4) within each market segment
+    // (ordered by balance with the key as tiebreak — a total order, so
+    // bucket assignment is deterministic across engines and partition
+    // counts), then per-(segment, quartile) aggregates. The window
+    // partitions by segment — parallel across groups, never a global
+    // single-partition sort; a GLOBAL ntile at 100 TB would serialize and
+    // belongs to the approx-percentile path (q21) instead. Both engines
+    // implement SQL-standard ntile (larger buckets first), so counts per
+    // bucket agree exactly.
+    Q("q32_ntile_quartiles",
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         ntile(4) OVER (PARTITION BY c_mktsegment
+        |                        ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, quartile, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM ranked GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal"), 2).as("sum_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
     }
   )
 }

@@ -23,7 +23,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "d12_ensemble_clusters",  // iterative min-label propagation
     "v01_knn_brute",          // partial top-k heaps + ranking window
     "t06_repetition",         // per-doc token aggregates
-    "e03_sessionize")         // gap windows + running session ids
+    "e03_sessionize",         // gap windows + running session ids
+    "d13_chunk_dedup",        // staged chunk hash + df join-back
+    "t11_skipgram_pairs")     // tie-broken top-k limit over pair counts
 
   private def canonical(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
