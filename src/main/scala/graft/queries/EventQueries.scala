@@ -335,6 +335,45 @@ object EventQueries {
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("prev_type", "next_type")
+    },
+
+    // Behavioral-motif mining: each user's first 8 events (by the
+    // deterministic e03 ordering) joined into a '>'-separated path
+    // string, then the 20 most common paths. The aggregation is a
+    // DETERMINISTIC ordered collect — `collect_list` alone is
+    // partition-order-dependent (the classic Spark correctness trap), so
+    // the list carries its row_number and is array_sort'ed before the
+    // join, making the path a pure function of the data. State is
+    // bounded: the rn <= 8 filter rides q07's WindowGroupLimit pushdown
+    // (per-partition bounded pass before the full sort), each user's
+    // collect holds at most 8 structs, and the final top-20 is a
+    // TakeOrdered, never a global sort.
+    Q("e10_event_paths",
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id
+        |)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byTime))
+        .where(col("rn") <= 8)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type").as("et")))),
+            x => x.getField("et")),
+          ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
     }
   )
 }

@@ -25,7 +25,8 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "t06_repetition",         // per-doc token aggregates
     "e03_sessionize",         // gap windows + running session ids
     "d13_chunk_dedup",        // staged chunk hash + df join-back
-    "t11_skipgram_pairs")     // tie-broken top-k limit over pair counts
+    "t11_skipgram_pairs",     // tie-broken top-k limit over pair counts
+    "e10_event_paths")        // ordered collect_list (the nondeterminism trap)
 
   private def canonical(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sfDir)

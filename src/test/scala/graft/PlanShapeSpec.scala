@@ -238,4 +238,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"d13 must join on the chunk hash:\n$p")
   }
+
+  test("e10 event paths: rn<=8 rides WindowGroupLimit; top-20 plans TakeOrdered") {
+    val p = planOf("e10_event_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"the first-8 filter must push below the window sort:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must plan TakeOrdered in:\n$p")
+  }
 }
