@@ -66,11 +66,19 @@ object Stage {
   def sharedTable(spark: org.apache.spark.sql.SparkSession, name: String,
                   dir: String)(df: => DataFrame): DataFrame = {
     val root = rootFor(spark) // memo key includes it: a re-pointed stageDir
-    val path = shared.computeIfAbsent(s"$root|$name|$dir", _ => { // rebuilds
-      val p = s"$root/$name-${seq.incrementAndGet()}"
-      df.write.mode("overwrite").parquet(p)
-      p
-    })
+    val key = s"$root|$name|$dir"
+    // get-then-putIfAbsent rather than computeIfAbsent: stages COMPOSE
+    // (building one shared stage may build another inside the thunk), and
+    // a nested computeIfAbsent on the same map throws "Recursive update".
+    // The non-reentrant form allows nesting; a concurrent race at worst
+    // writes a stage twice (unique seq paths), never corrupts the memo.
+    val path = shared.get(key) match {
+      case p: String => p
+      case null =>
+        val p = s"$root/$name-${seq.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(p)
+        Option(shared.putIfAbsent(key, p)).getOrElse(p)
+    }
     spark.read.parquet(path)
   }
 

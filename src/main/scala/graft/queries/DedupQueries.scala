@@ -214,14 +214,24 @@ object DedupQueries {
     * jaccard >= 0.5) — shared by d02 (pair listing) and d08 (connected
     * components over the pairs).
     */
+  /** The written MinHash band-key index over [[dupDocs]] — the LSH "index
+    * table" a production dedup service maintains: d02/d08 self-join it for
+    * full-corpus pairs, d14 probes it asymmetrically with only the new
+    * batch. Shared so every consumer scans the same written stage.
+    */
+  private def bandStage(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    Stage.sharedTable(s, "d02_bands", d) {
+      shingleStage(s, d).select(col("doc_id"), posexplode(DedupFns.bandKeys(
+        GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
+        Bands, RowsPerBand)).as(Seq("band", "key")))
+    }
+  }
+
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     GraftNative.ensure(s)
     val sh = shingleStage(s, d)
-    val bands = Stage.table(
-      sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
-          GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
-          Bands, RowsPerBand)).as(Seq("band", "key"))),
-      "d02_bands")
+    val bands = bandStage(s, d)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -848,6 +858,42 @@ object DedupQueries {
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
         .where(col("n_dup") > 0)
         .orderBy("doc_id")
+    },
+
+    // Incremental (batch-vs-corpus) dedup — the admission-control query a
+    // production pipeline runs on every ingest: which INCOMING docs (the
+    // injected id>=100000 batch) duplicate the EXISTING corpus, without
+    // re-running full-corpus dedup. The written band index ([[bandStage]],
+    // the same stage d02/d08 self-join) is REUSED: the batch probes it
+    // asymmetrically (corpus side x batch side on the band key), so the
+    // incremental cost is the probe join + Jaccard verify on candidates —
+    // the corpus is never re-signed and never self-joined. Per new doc:
+    // match count, earliest matching corpus doc, best Jaccard.
+    Q("d14_incremental_dedup",
+      s"""WITH $minhashPairsSql
+         |SELECT doc_b AS new_doc, COUNT(*) AS n_matches,
+         |       MIN(doc_a) AS first_match, MAX(jaccard) AS best_jaccard
+         |FROM pairs WHERE doc_a < 100000 AND doc_b >= 100000
+         |GROUP BY doc_b ORDER BY new_doc""".stripMargin) { (s, d) =>
+      val sh = shingleStage(s, d)
+      val bands = bandStage(s, d)
+      val corpus = bands.where(col("doc_id") < 100000L)
+      val batch = bands.where(col("doc_id") >= 100000L)
+      val cand = corpus.as("a").join(batch.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("new_doc"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("new_doc"), col("sh").as("sh_b")), Seq("new_doc"))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .groupBy("new_doc")
+        .agg(
+          count(lit(1)).as("n_matches"),
+          min(col("doc_a")).as("first_match"),
+          max(col("jaccard")).as("best_jaccard"))
+        .orderBy("new_doc")
     }
   )
 

@@ -109,7 +109,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("dedup self-joins and verifies are key-partitioned, not nested loops") {
     Seq("d02_minhash_lsh", "d03_simhash_neardup", "d10_winnow_fingerprint",
-        "d11_winnow_verify", "d12_ensemble_clusters").foreach { n =>
+        "d11_winnow_verify", "d12_ensemble_clusters",
+        "d14_incremental_dedup").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$n must join on band/key equality:\n$p")

@@ -34,6 +34,23 @@ class StageSpec extends SparkTestBase {
     }
   }
 
+  test("shared stages compose: building one inside another's thunk works") {
+    // computeIfAbsent would throw "Recursive update" here — stages nest in
+    // production (the component map builds over the band index, which
+    // builds over the shingle stage), so nesting must be first-class
+    try {
+      var innerBuilds = 0
+      def inner = Stage.sharedTable(spark, "nest_inner", "x") {
+        innerBuilds += 1; spark.range(3).toDF("id")
+      }
+      val outer = Stage.sharedTable(spark, "nest_outer", "x") {
+        inner.select(org.apache.spark.sql.functions.col("id"))
+      }
+      assert(outer.count() == 3 && innerBuilds == 1)
+      assert(inner.count() == 3 && innerBuilds == 1) // memo hit after nesting
+    } finally Stage.resetShared()
+  }
+
   test("unset stageDir falls back to tmp root and queries stay green") {
     // a Stage-using query end-to-end with the default root
     val out = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
