@@ -6,7 +6,11 @@ import java.nio.file.{Files, Paths}
   *
   * An optional third arg restricts the dump to queries whose name contains
   * any of the comma-separated substrings (dev iteration; the driver always
-  * passes two args and gets the full dump).
+  * passes two args and gets the full dump). oracle_sql.json is ALWAYS
+  * written in full, deliberately: the check tool is driven by the parquet
+  * dirs present and looks its SQL up in the json, so a filtered run into
+  * an existing full dump re-checks everything with only the filtered
+  * queries refreshed — the incremental loop tools/check.py supports.
   */
 object Verify {
   def main(args: Array[String]): Unit = {

@@ -70,17 +70,39 @@ object Stage {
     // get-then-putIfAbsent rather than computeIfAbsent: stages COMPOSE
     // (building one shared stage may build another inside the thunk), and
     // a nested computeIfAbsent on the same map throws "Recursive update".
-    // The non-reentrant form allows nesting; a concurrent race at worst
-    // writes a stage twice (unique seq paths), never corrupts the memo.
+    // The non-reentrant form allows nesting; the two failure modes it
+    // trades away are restored explicitly: a SELF-recursive stage (its own
+    // key in its own thunk) fails fast below instead of overflowing the
+    // stack, and a concurrent duplicate build deletes the losing write
+    // instead of orphaning it under a user-managed stageDir.
     val path = shared.get(key) match {
       case p: String => p
       case null =>
+        require(building.get.add(key),
+          s"shared stage '$name' builds itself (cycle through its own thunk)")
         val p = s"$root/$name-${seq.incrementAndGet()}"
-        df.write.mode("overwrite").parquet(p)
-        Option(shared.putIfAbsent(key, p)).getOrElse(p)
+        try {
+          df.write.mode("overwrite").parquet(p)
+        } finally building.get.remove(key)
+        shared.putIfAbsent(key, p) match {
+          case null => p
+          case winner => // lost a race: adopt the winner, drop our copy
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(spark.sessionState.newHadoopConf())
+                .delete(hp, true)
+            } catch { case _: Throwable => () } // best-effort cleanup
+            winner
+        }
     }
     spark.read.parquet(path)
   }
+
+  // keys this thread is currently building (self-recursion detector)
+  private val building =
+    new ThreadLocal[scala.collection.mutable.Set[String]] {
+      override def initialValue() = scala.collection.mutable.Set.empty[String]
+    }
 
   /** Forget memoized shared stages (files stay until JVM exit). */
   def resetShared(): Unit = shared.clear()

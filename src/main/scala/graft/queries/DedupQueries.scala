@@ -25,27 +25,35 @@ import graft.operators.Stage
   */
 object DedupQueries {
 
-  /** documents + exact-dup copies of every 10th doc (id+100000). */
+  /** Id offset for injected duplicate copies in [[dupDocs]]/[[dupEmb]]:
+    * originals keep their ids, injected dups live at id + offset, so
+    * `id >= BatchIdOffset` IS the "new batch" predicate d14's
+    * incremental dedup splits on. One constant ties the fixtures and the
+    * split together — drift is impossible by construction.
+    */
+  val BatchIdOffset = 100000L
+
+  /** documents + exact-dup copies of every 10th doc (id+[[BatchIdOffset]]). */
   private def dupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + BatchIdOffset).as("doc_id"), col("text")))
   }
 
   private val dupDocsSql: String =
-    """dupdocs AS (
+    s"""dupdocs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + $BatchIdOffset AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
-  /** embeddings + exact-dup copies of every 50th vector (id+100000). */
+  /** embeddings + exact-dup copies of every 50th vector (id+[[BatchIdOffset]]). */
   private def dupEmb(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     e.unionByName(
       e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
+        .select((col("vec_id") + BatchIdOffset).as("vec_id"), col("embedding"), col("label")))
   }
 
   /** Shingle feature table over [[dupDocs]], shared by d02 (MinHash) and
@@ -63,10 +71,10 @@ object DedupQueries {
   }
 
   private val dupEmbSql: String =
-    """dupemb AS (
+    s"""dupemb AS (
       |  SELECT vec_id, embedding, label FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+      |  SELECT vec_id + $BatchIdOffset, embedding, label FROM embeddings WHERE vec_id % 50 = 0
       |)""".stripMargin
 
   // ---- oracle SQL helpers (DuckDB twins of DedupFns) --------------------
@@ -862,7 +870,7 @@ object DedupQueries {
 
     // Incremental (batch-vs-corpus) dedup — the admission-control query a
     // production pipeline runs on every ingest: which INCOMING docs (the
-    // injected id>=100000 batch) duplicate the EXISTING corpus, without
+    // injected id >= [[BatchIdOffset]] batch) duplicate the EXISTING corpus, without
     // re-running full-corpus dedup. The written band index ([[bandStage]],
     // the same stage d02/d08 self-join) is REUSED: the batch probes it
     // asymmetrically (corpus side x batch side on the band key), so the
@@ -873,12 +881,12 @@ object DedupQueries {
       s"""WITH $minhashPairsSql
          |SELECT doc_b AS new_doc, COUNT(*) AS n_matches,
          |       MIN(doc_a) AS first_match, MAX(jaccard) AS best_jaccard
-         |FROM pairs WHERE doc_a < 100000 AND doc_b >= 100000
+         |FROM pairs WHERE doc_a < $BatchIdOffset AND doc_b >= $BatchIdOffset
          |GROUP BY doc_b ORDER BY new_doc""".stripMargin) { (s, d) =>
       val sh = shingleStage(s, d)
       val bands = bandStage(s, d)
-      val corpus = bands.where(col("doc_id") < 100000L)
-      val batch = bands.where(col("doc_id") >= 100000L)
+      val corpus = bands.where(col("doc_id") < BatchIdOffset)
+      val batch = bands.where(col("doc_id") >= BatchIdOffset)
       val cand = corpus.as("a").join(batch.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("new_doc"))

@@ -394,8 +394,10 @@ object TextQueries {
 
     // Skip-gram co-occurrence counts (word2vec / PMI input): token pairs
     // within a forward window of 2 positions, counted corpus-wide, top-20
-    // with a total deterministic order. Scale shape: positions come from
-    // ONE posexplode pass; the windowed pairing is a pure EQUI-join on
+    // with a total deterministic order. Scale shape: the (doc, pos, token)
+    // table is a WRITTEN stage, so tokenization runs ONCE and both join
+    // sides scan it (an un-staged self-join would re-run split+posexplode
+    // per side); the windowed pairing is a pure EQUI-join on
     // (doc_id, position) against the same table shifted by an exploded
     // offset of {1,2} — never a per-doc cross product or a non-equi range
     // probe — so the pair volume is exactly 2x the token count and the
@@ -416,9 +418,11 @@ object TextQueries {
         |)
         |SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("i", "token")))
+      val toks = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("i", "token"))),
+        "t11_toks")
       val shifted = toks
         .withColumn("off", explode(array(lit(1), lit(2))))
         .select(col("doc_id"), (col("i") + col("off")).as("i"), col("token").as("w1"))
