@@ -51,6 +51,36 @@ class StageSpec extends SparkTestBase {
     } finally Stage.resetShared()
   }
 
+  test("a concurrent duplicate build converges on one path and cleans the losing write") {
+    val dir = Files.createTempDirectory("graft-stage-race-").toString
+    spark.conf.set(Stage.StageDirKey, dir)
+    try {
+      // both threads must observe the memo EMPTY before either publishes,
+      // forcing the duplicate-build race deterministically
+      val bothEntered = new java.util.concurrent.CountDownLatch(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val counts = Seq(1, 2).map { _ =>
+        Future {
+          Stage.sharedTable(spark, "race_probe", "x") {
+            bothEntered.countDown()
+            assert(bothEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+              "second builder never entered — race not exercised")
+            spark.range(7).toDF("id")
+          }.count()
+        }
+      }.map(Await.result(_, scala.concurrent.duration.Duration("120s")))
+      assert(counts == Seq(7L, 7L))
+      // exactly one race_probe-* dir survives: the loser deleted its copy
+      val probes = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("race_probe-"))
+      assert(probes.length == 1, s"expected one surviving stage dir, got ${probes.toSeq}")
+    } finally {
+      spark.conf.unset(Stage.StageDirKey)
+      Stage.resetShared()
+    }
+  }
+
   test("unset stageDir falls back to tmp root and queries stay green") {
     // a Stage-using query end-to-end with the default root
     val out = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
