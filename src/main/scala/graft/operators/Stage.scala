@@ -81,17 +81,22 @@ object Stage {
         require(building.get.add(key),
           s"shared stage '$name' builds itself (cycle through its own thunk)")
         val p = s"$root/$name-${seq.incrementAndGet()}"
+        def dropDir(): Unit =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(hp, true)
+          } catch { case _: Throwable => () } // best-effort cleanup
         try {
           df.write.mode("overwrite").parquet(p)
+        } catch { case e: Throwable =>
+          dropDir() // a failed write must not orphan a partial dir either
+          throw e
         } finally building.get.remove(key)
         shared.putIfAbsent(key, p) match {
           case null => p
           case winner => // lost a race: adopt the winner, drop our copy
-            try {
-              val hp = new org.apache.hadoop.fs.Path(p)
-              hp.getFileSystem(spark.sessionState.newHadoopConf())
-                .delete(hp, true)
-            } catch { case _: Throwable => () } // best-effort cleanup
+            dropDir()
             winner
         }
     }

@@ -33,9 +33,29 @@ object DedupQueries {
     */
   val BatchIdOffset = 100000L
 
+  /** One-time (per JVM, per dataset dir) loud-failure guard: d14's
+    * batch/corpus split keys on `id >= BatchIdOffset`, so a corpus whose
+    * real ids outgrow the offset must FAIL, not silently misclassify.
+    * A driver-side max() at fixture setup — one column-pruned scan,
+    * memoized — rather than a per-row `assert_true` inside the plan:
+    * Catalyst's InferFiltersFromConstraints propagates in-plan predicates
+    * across equi-joins onto tables that legitimately hold injected
+    * ids >= offset (d09's component map), misfiring the assert.
+    */
+  private val offsetChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def assertIdsBelowOffset(df: DataFrame, idCol: String, what: String): Unit =
+    offsetChecked.computeIfAbsent(s"$what|${System.identityHashCode(df.sparkSession)}", _ => {
+      val mx = Option(df.agg(max(col(idCol))).head.get(0)).fold(-1L)(_.toString.toLong)
+      require(mx < BatchIdOffset,
+        s"$what.$idCol max=$mx must stay below BatchIdOffset=$BatchIdOffset " +
+          "or d14's incremental batch/corpus split misclassifies")
+      "ok"
+    })
+
   /** documents + exact-dup copies of every 10th doc (id+[[BatchIdOffset]]). */
   private def dupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    assertIdsBelowOffset(docs, "doc_id", s"documents@$d")
     docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + BatchIdOffset).as("doc_id"), col("text")))
@@ -48,9 +68,12 @@ object DedupQueries {
       |  SELECT doc_id + $BatchIdOffset AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
-  /** embeddings + exact-dup copies of every 50th vector (id+[[BatchIdOffset]]). */
+  /** embeddings + exact-dup copies of every 50th vector (id+[[BatchIdOffset]]);
+    * same loud-failure offset guard as [[dupDocs]].
+    */
   private def dupEmb(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    assertIdsBelowOffset(e, "vec_id", s"embeddings@$d")
     e.unionByName(
       e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + BatchIdOffset).as("vec_id"), col("embedding"), col("label")))
@@ -159,18 +182,19 @@ object DedupQueries {
   /** Candidate pairs sharing >= [[WinnowMinShared]] rare fingerprints
     * (df-capped inverted index, same quadratic guard as d06).
     */
-  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFp(s, d)
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, WinnowMaxDf))
-      .select("fp")
-    val idx = fp.join(rare, Seq("fp"))
-    idx.as("a").join(idx.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= WinnowMinShared)
-  }
+  private def winnowPairs(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "winnow_pairs", d) {
+      val fp = winnowFp(s, d)
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, WinnowMaxDf))
+        .select("fp")
+      val idx = fp.join(rare, Seq("fp"))
+      idx.as("a").join(idx.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= WinnowMinShared)
+    }
 
   /** The d10 candidate pipeline as reusable oracle SQL (ends with a
     * `wpairs` CTE) — no leading WITH.
@@ -236,22 +260,29 @@ object DedupQueries {
     }
   }
 
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    GraftNative.ensure(s)
-    val sh = shingleStage(s, d)
-    val bands = bandStage(s, d)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+  /** VERIFIED pairs as a memoized written stage: the band self-join +
+    * Jaccard verify runs ONCE and d02, d08/d09 (via the component stage),
+    * and d12 all scan the same small parquet — the production shape, where
+    * the verified-pair table is itself a pipeline artifact, not a
+    * per-consumer recomputation.
+    */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "minhash_pairs", d) {
+      GraftNative.ensure(s)
+      val sh = shingleStage(s, d)
+      val bands = bandStage(s, d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    }
 
   /** The connected-component map over [[minhashPairs]] as a memoized
     * WRITTEN stage shared by d08 (listing) and d09 (apply) — the
@@ -294,26 +325,30 @@ object DedupQueries {
   /** The d06 pipeline up to verified pairs (doc_a, doc_b, jaccard >= 0.5)
     * — shared by d06 (pair listing) and d12 (ensemble edges).
     */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    GraftNative.ensure(s)
-    val sh = shingleStage(s, d)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = inv.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, NgramMaxDf))
-      .select("shingle")
-    val idx = Stage.table(inv.join(rare, Seq("shingle")), "d06_idx")
-    val cand = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "ngram_pairs", d) {
+      GraftNative.ensure(s)
+      val sh = shingleStage(s, d)
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val rare = inv.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, NgramMaxDf))
+        .select("shingle")
+      // the df-capped inverted index is itself shared: the pairs thunk
+      // runs once, but a re-pointed consumer (or a future partial rebuild)
+      // scans the written index instead of re-exploding the shingles
+      val idx = Stage.sharedTable(s, "d06_idx", d)(inv.join(rare, Seq("shingle")))
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    }
 
   private def jaccardSql(x: String, y: String): String =
     s"""CAST(len(list_filter($x, s -> list_contains($y, s))) AS DOUBLE)
@@ -848,12 +883,17 @@ object DedupQueries {
          |GROUP BY c.doc_id
          |HAVING SUM(CASE WHEN cdf.nd > 1 THEN 1 ELSE 0 END) > 0
          |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      // chunk count guarded to >= 0: sequence(0, -1) would yield [0, -1]
+      // (Spark's descending default step) for an empty token array, where
+      // the oracle's range(0) is empty — explode of an empty array matches
+      // it explicitly instead of relying on split("") returning [""]
+      val chunkCnt = ceil(size(col("ts")) / lit(ChunkTokens.toDouble)).cast("int")
       val chunks = Stage.table(
         dupDocs(s, d)
           .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
           .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(0),
-              ceil(size(col("ts")) / lit(ChunkTokens.toDouble)).cast("int") - 1)).as("i"))
+            explode(when(chunkCnt > 0, sequence(lit(0), chunkCnt - 1))
+              .otherwise(array().cast("array<int>"))).as("i"))
           .select(col("doc_id"),
             md5(concat_ws(" ",
               slice(col("ts"), col("i") * ChunkTokens + 1, lit(ChunkTokens)))).as("ch")),

@@ -58,18 +58,24 @@ class StageSpec extends SparkTestBase {
       // both threads must observe the memo EMPTY before either publishes,
       // forcing the duplicate-build race deterministically
       val bothEntered = new java.util.concurrent.CountDownLatch(2)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val counts = Seq(1, 2).map { _ =>
-        Future {
-          Stage.sharedTable(spark, "race_probe", "x") {
-            bothEntered.countDown()
-            assert(bothEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
-              "second builder never entered — race not exercised")
-            spark.range(7).toDF("id")
-          }.count()
-        }
-      }.map(Await.result(_, scala.concurrent.duration.Duration("120s")))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      // a dedicated 2-thread pool, NOT the global EC: on a 1-CPU host the
+      // global pool has one thread, the latch never reaches zero, and the
+      // race would go unexercised until the await timeout
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val counts = try {
+        Seq(1, 2).map { _ =>
+          Future {
+            Stage.sharedTable(spark, "race_probe", "x") {
+              bothEntered.countDown()
+              assert(bothEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+                "second builder never entered — race not exercised")
+              spark.range(7).toDF("id")
+            }.count()
+          }
+        }.map(Await.result(_, scala.concurrent.duration.Duration("120s")))
+      } finally pool.shutdown()
       assert(counts == Seq(7L, 7L))
       // exactly one race_probe-* dir survives: the loser deleted its copy
       val probes = new java.io.File(dir).listFiles()
