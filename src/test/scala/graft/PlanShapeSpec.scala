@@ -59,6 +59,21 @@ class PlanShapeSpec extends SparkTestBase {
     val p = planOf("v01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe side must broadcast:\n$p")
+    // the per-probe top-k reduce rides Spark's partial group limit: at
+    // most k rows per probe leave each map partition (measured ~5% faster
+    // than the mapPartitions heap at sf0.1 — see scoreAndRank's scaladoc)
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit bounding the shuffle in:\n$p")
+  }
+
+  test("v01 heap/window top-k reduce strategies agree row-for-row") {
+    val run = () => SparkEntry.queries("v01_knn_brute")(spark, dir).collect().toSeq
+    val window = run()
+    spark.conf.set("spark.graft.topk.impl", "heap")
+    try {
+      val heap = run()
+      assert(window == heap, "top-k strategies diverge")
+    } finally spark.conf.unset("spark.graft.topk.impl")
   }
 
   test("v06 multi-probe ANN: the exploded probe set still broadcasts (bucket equi-join)") {

@@ -61,10 +61,10 @@ class PqSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(rows.size == 5)
     rows.foreach { case (p, r) =>
-      assert(r >= 0.4, s"probe $p recall $r below floor — shortlist re-rank broken")
+      assert(r >= 0.6, s"probe $p recall $r below floor — shortlist re-rank broken")
     }
     val mean = rows.values.sum / rows.size
-    assert(mean >= 0.6, s"mean recall $mean below 0.6")
+    assert(mean >= 0.7, s"mean recall $mean below 0.7")
   }
 
   test("the PQ pipeline is deterministic across runs") {
@@ -78,10 +78,10 @@ class PqSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(rows.size == 5)
     rows.foreach { case (p, r) =>
-      assert(r >= 0.4, s"probe $p recall $r below floor — cell restriction or ADC broken")
+      assert(r >= 0.6, s"probe $p recall $r below floor — cell restriction or ADC broken")
     }
     val mean = rows.values.sum / rows.size
-    assert(mean >= 0.6, s"mean recall $mean below 0.6")
+    assert(mean >= 0.7, s"mean recall $mean below 0.7")
   }
 
   test("the certified v07/v08 outputs report the floor as met with the exact-side count") {
