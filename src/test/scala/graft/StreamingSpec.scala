@@ -309,6 +309,51 @@ class StreamingSpec extends SparkTestBase {
     assert(FakeJdbcStore.rows(store)(3L) == Vector("3", "/3", 3L, "/f3.dat"))
   }
 
+  test("exactly-once upsert stream: a replayed micro-batch does not re-apply") {
+    import spark.implicits._
+    import graft.operators.{FakeJdbcFactory, FakeJdbcStore, UpsertRow}
+    import graft.streaming.{InMemoryEpochLedger, UpsertStreams}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = "t-stream-e1"
+    FakeJdbcStore.reset(store)
+    (1L to 6L).foreach(FakeJdbcStore.seed(store, _))
+    def row(i: Long) = UpsertRow(i, i.toString, s"/$i", i, s"/f$i.dat")
+    val ledger = new InMemoryEpochLedger
+    val factory = new FakeJdbcFactory(store)
+    val applied = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (epoch, id)
+
+    // normal flow through the streaming writer
+    val ms = MemoryStream[UpsertRow]
+    val q = UpsertStreams.writeStreamExactlyOnce(
+        ms.toDS(), factory, ledger, "upsert-s1") { (o, id) =>
+      applied ++= o.collect().map(r => id -> r.id)
+    }.start()
+    try {
+      ms.addData(row(1), row(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(applied.toSet == Set(0L -> 1L, 0L -> 2L))
+    assert(FakeJdbcStore.rows(store)(1L) == Vector("1", "/1", 1L, "/f1.dat"))
+
+    // simulate the foreachBatch replay a checkpoint-recovery produces:
+    // same epoch id, same data. The ledger skips it — the sentinel value
+    // written in between survives, and no outcomes are emitted.
+    FakeJdbcStore.table(store).put(1L, Vector("sentinel", "", 0L, ""))
+    val replayed = UpsertStreams.applyEpoch(
+      Seq(row(1), row(2)).toDS(), epochId = 0L, factory, ledger, "upsert-s1") {
+      (o, id) => applied ++= o.collect().map(r => id -> r.id)
+    }
+    assert(!replayed, "replayed epoch must be skipped")
+    assert(applied.size == 2, "replay emitted outcomes")
+    assert(FakeJdbcStore.rows(store)(1L) == Vector("sentinel", "", 0L, ""),
+      "replayed epoch re-applied the upsert")
+
+    // a NEW epoch on the same stream still applies
+    assert(UpsertStreams.applyEpoch(
+      Seq(row(3)).toDS(), epochId = 1L, factory, ledger, "upsert-s1") { (_, _) => () })
+    assert(FakeJdbcStore.rows(store)(3L) == Vector("3", "/3", 3L, "/f3.dat"))
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
