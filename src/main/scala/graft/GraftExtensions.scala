@@ -80,7 +80,10 @@ object GraftNative {
       (ch: Seq[Expression]) => ArrayOverlapCount(ch(0), ch(1))),
     (FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", classOf[JaccardSimilarity]),
-      (ch: Seq[Expression]) => JaccardSimilarity(ch(0), ch(1))))
+      (ch: Seq[Expression]) => JaccardSimilarity(ch(0), ch(1))),
+    (FunctionIdentifier("graft_bloom_mc"),
+      info("graft_bloom_mc", classOf[BloomMightContainExpr]),
+      (ch: Seq[Expression]) => BloomMightContainExpr(ch(0), ch(1))))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -121,4 +124,19 @@ object GraftNative {
     * single expression, not a composition over [[overlap]].
     */
   def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
+
+  /** Bloom-filter membership prefilter — `filter` serialized via
+    * [[serializeBloom]]; see [[graft.functions.BloomMightContainExpr]].
+    */
+  def bloomMightContain(value: Column, filterBytes: Array[Byte]): Column =
+    call_function("graft_bloom_mc", value, lit(filterBytes))
+
+  /** `BloomFilter.writeTo` as bytes (the literal [[bloomMightContain]]
+    * ships with the plan).
+    */
+  def serializeBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
 }

@@ -591,3 +591,35 @@ case class HammingDistance(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HammingDistance =
     copy(left = newLeft, right = newRight)
 }
+
+/** Membership probe of a pre-built Bloom filter over a string column:
+  * `left` is the probed value, `right` the SERIALIZED filter
+  * (`org.apache.spark.util.sketch.BloomFilter.writeTo` bytes) as a
+  * foldable binary literal — the filter travels with the plan exactly
+  * like Spark's own runtime-filter `BloomFilterMightContain`, is
+  * deserialized once per executor (transient lazy), and each row costs
+  * `numHashFunctions` xxhash probes of a bit array. No false negatives
+  * by the filter's contract, so a `WHERE graft_bloom_mc(x, bf)` prefilter
+  * followed by an exact join is result-identical to the exact join alone
+  * — it only removes rows early (the scale lever d15 pins: kill ~97% of
+  * exploded corpus rows BEFORE the shuffle when the benchmark index has
+  * outgrown broadcast).
+  */
+case class BloomMightContainExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_mc"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(v: Any, @annotation.unused bf: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainExpr =
+    copy(left = newLeft, right = newRight)
+}

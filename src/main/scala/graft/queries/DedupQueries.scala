@@ -517,6 +517,71 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
 
+  /** d07/d15 shared oracle: decontamination is one exact inverted-index
+    * join however the engine physically prunes it, so both the broadcast
+    * form and the bloom-prefiltered form check against the same SQL.
+    */
+  private val decontamSql: String =
+    s"""WITH bench AS (
+       |  SELECT doc_id AS bench_id, unnest($shinglesSql) AS shingle
+       |  FROM documents WHERE doc_id % 100 = 0
+       |),
+       |corpus AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM documents WHERE doc_id % 100 <> 0
+       |)
+       |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+       |FROM corpus c JOIN bench b ON c.shingle = b.shingle
+       |GROUP BY c.doc_id, b.bench_id
+       |HAVING COUNT(*) >= $DecontamMinShared
+       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** Benchmark decontamination, in two physical forms over one logical
+    * plan (flag corpus docs sharing >= [[DecontamMinShared]] shingles
+    * with any benchmark doc):
+    *
+    *  - `bloomPrefilter = false` (d07): the benchmark inverted shingle
+    *    index BROADCASTS; the corpus explodes once and hash-joins against
+    *    it with no shuffle of the corpus.
+    *  - `bloomPrefilter = true` (d15): the regime where the benchmark
+    *    suite has outgrown broadcast (tens of GB of shingles at 100 TB —
+    *    the planner falls back to a shuffle join of the EXPLODED corpus,
+    *    10-50x the input bytes). A Bloom filter over the benchmark
+    *    shingles (~1.2 bytes per distinct shingle at 3% fpp — MBs where
+    *    the index is GBs) always fits a plan literal; probing it kills
+    *    ~97% of corpus shingle rows BEFORE that shuffle, and the exact
+    *    join then verifies the survivors. No false negatives by the
+    *    filter's contract, so the output is provably identical to d07's
+    *    — the driver checks both against the SAME oracle SQL. (The test
+    *    fixture keeps the broadcast hint; the bloom sits in front of it
+    *    exactly where it would sit in front of the shuffle.)
+    */
+  private def decontaminate(s: SparkSession, d: String,
+                            bloomPrefilter: Boolean): DataFrame = {
+    GraftNative.ensure(s)
+    val docs = Tables.documents(s, d)
+    def inv(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol),
+        explode(GraftNative.shingles(DedupFns.normText(col("text")))).as("shingle"))
+    val bench = inv(docs.where(col("doc_id") % 100 === 0), "bench_id")
+    val corpusRaw = inv(docs.where(col("doc_id") % 100 =!= 0), "doc_id")
+    val corpus =
+      if (!bloomPrefilter) corpusRaw
+      else {
+        // size on the SMALL side only: exploded row count upper-bounds the
+        // distinct shingles, so the fpp only improves on the estimate
+        val n = math.max(bench.count(), 1L)
+        val bf = bench.stat.bloomFilter("shingle", n, 0.03)
+        corpusRaw.where(
+          GraftNative.bloomMightContain(col("shingle"), GraftNative.serializeBloom(bf)))
+      }
+    corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= DecontamMinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -716,39 +781,20 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // Benchmark decontamination: flag corpus docs sharing >= MinShared
-    // 3-gram shingles with any single "benchmark" doc (every 100th doc
-    // stands in for an eval set) — the training-data hygiene step that
-    // keeps test sets out of the corpus. Scale shape: the benchmark side
-    // is small by construction, so its inverted shingle index BROADCASTS;
-    // the corpus explodes once, hash-joins against the broadcast index
-    // with no shuffle of the corpus, and aggregates on (doc, bench) keys.
-    Q("d07_decontaminate",
-      s"""WITH bench AS (
-         |  SELECT doc_id AS bench_id, unnest($shinglesSql) AS shingle
-         |  FROM documents WHERE doc_id % 100 = 0
-         |),
-         |corpus AS (
-         |  SELECT doc_id, unnest($shinglesSql) AS shingle
-         |  FROM documents WHERE doc_id % 100 <> 0
-         |)
-         |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
-         |FROM corpus c JOIN bench b ON c.shingle = b.shingle
-         |GROUP BY c.doc_id, b.bench_id
-         |HAVING COUNT(*) >= $DecontamMinShared
-         |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val docs = Tables.documents(s, d)
-      def inv(df: DataFrame, idCol: String) = df
-        .select(col("doc_id").as(idCol),
-          explode(GraftNative.shingles(DedupFns.normText(col("text")))).as("shingle"))
-      val bench = inv(docs.where(col("doc_id") % 100 === 0), "bench_id")
-      val corpus = inv(docs.where(col("doc_id") % 100 =!= 0), "doc_id")
-      corpus.join(broadcast(bench), Seq("shingle"))
-        .groupBy("doc_id", "bench_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= DecontamMinShared)
-        .orderBy("doc_id", "bench_id")
+    // Benchmark decontamination (see [[decontaminate]]): every 100th doc
+    // stands in for an eval set — the training-data hygiene step that
+    // keeps test sets out of the corpus. d07 is the broadcast-index form.
+    Q("d07_decontaminate", decontamSql) { (s, d) =>
+      decontaminate(s, d, bloomPrefilter = false)
+    },
+
+    // d15: the same decontamination behind a Bloom prefilter — the
+    // 100 TB form for when the benchmark index outgrows broadcast (see
+    // [[decontaminate]]). Same oracle SQL as d07: the bloom has no false
+    // negatives and the exact join kills its false positives, so the
+    // output is hash-identical.
+    Q("d15_decontaminate_bloom", decontamSql) { (s, d) =>
+      decontaminate(s, d, bloomPrefilter = true)
     },
 
     // Document fingerprinting (rolling hash) + winnowing: per doc, the

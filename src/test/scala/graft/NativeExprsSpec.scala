@@ -206,10 +206,29 @@ class NativeExprsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
-      Seq("graft_hamming", "graft_jaccard", "graft_kv_parse",
-        "graft_long_dot", "graft_minhash_sig", "graft_overlap",
-        "graft_rolling_fp", "graft_shingles", "graft_simhash64",
-        "graft_text_stats", "graft_winnow"))
+      Seq("graft_bloom_mc", "graft_hamming", "graft_jaccard",
+        "graft_kv_parse", "graft_long_dot", "graft_minhash_sig",
+        "graft_overlap", "graft_rolling_fp", "graft_shingles",
+        "graft_simhash64", "graft_text_stats", "graft_winnow"))
+  }
+
+  test("graft_bloom_mc: no false negatives, and actually rejects non-members") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val members = spark.range(0, 2000)
+      .select(concat(lit("member-"), col("id")).as("s"))
+    val bf = members.stat.bloomFilter("s", 2000, 0.03)
+    val bytes = GraftNative.serializeBloom(bf)
+    // contract half: every inserted value probes true — this is what
+    // makes the d15 prefilter result-identical to the exact join
+    assert(members.where(!GraftNative.bloomMightContain(col("s"), bytes))
+      .count() == 0L, "bloom false negative — prefilter would DROP rows")
+    // usefulness half: the probe must reject (not pass-through) — at 3%
+    // target fpp, 2000 fresh non-members pass at ~3%; 15% is 5x slack
+    val fp = spark.range(0, 2000)
+      .select(concat(lit("other-"), col("id")).as("s"))
+      .where(GraftNative.bloomMightContain(col("s"), bytes))
+      .count()
+    assert(fp <= 300, s"bloom passed $fp/2000 non-members — prefilter is vacuous")
   }
 }
 

@@ -107,6 +107,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"benchmark index must broadcast (no corpus shuffle before the join):\n$p")
   }
 
+  test("d15 bloom decontamination: the bloom probe filters the corpus BEFORE the join") {
+    val p = planOf("d15_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"exact verify join missing:\n$p")
+    // the filter containing the bloom probe must sit below the join (plan
+    // strings print operators top-down: join line before its input's
+    // filter line), killing corpus rows before any exchange/join work
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val bloomAt = p.indexOf("graft_bloom_mc")
+    assert(bloomAt >= 0, s"bloom probe not in plan:\n$p")
+    assert(bloomAt > joinAt,
+      s"bloom probe must be on the join's INPUT (below it in the tree):\n$p")
+  }
+
   test("q23 salted join: shuffled hash join on (key, salt), dim not broadcast") {
     val p = planOf("q23_salted_join")
     assert(p.contains("ShuffledHashJoin"),
