@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.{GraftNative, Q, Tables}
 import graft.functions.{DedupFns, TextFns, VectorFns}
@@ -437,6 +438,9 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(label) AS component FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** d04/d16 verified-pair cosine threshold (embedding near-dup). */
+  val EmbCosMin = 0.95
+
   /** d04 quadratic guard: label cells larger than this many vectors are
     * sub-bucketed by [[embBandKey]] MULTI-BAND hyperplane hashing before
     * pairing. The test fixtures sit far below the cap (so the exact
@@ -516,6 +520,105 @@ object DedupQueries {
           sqrt((col("n2_a") * col("n2_b")).cast("double")))
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
+
+  /** Quantized embedding feature table (q + exact integer n2) — the
+    * memoized written stage d04 and d16 both scan.
+    */
+  private def embQvStage(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "emb_qv", d) {
+      dupEmb(s, d).select(col("vec_id"), col("label"),
+        VectorFns.quantize(col("embedding")).as("q"))
+        .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+    }
+
+  /** Verified embedding near-dup pairs (cosine >= [[EmbCosMin]]) as a
+    * memoized written stage: d04 lists them, d16's components consume
+    * them — the candidate join + cosine verify builds ONCE per suite.
+    */
+  private def embPairsStage(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "emb_pairs", d) {
+      embeddingPairs(embQvStage(s, d), EmbMaxCell)
+        .where(col("cosine") >= EmbCosMin)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+    }
+
+  /** DuckDB cosine between two `n`-rows' quantized vectors. */
+  private def embCosSql(x: String, y: String): String =
+    s"CAST(CAST(list_sum(list_transform(list_zip($x.q, $y.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)" +
+      s" / sqrt(CAST($x.n2 * $y.n2 AS DOUBLE))"
+
+  /** Shared d04/d16 oracle CTE chain ending in `epairs` — the DuckDB twin
+    * of [[embPairsStage]] (fixture, quantization, cell banding, candidate
+    * pairs, verified cosines at [[EmbCosMin]]).
+    */
+  private lazy val embPairsCtesSql: String =
+    s"""$dupEmbSql,
+       |qv AS (SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |       FROM dupemb),
+       |n AS (SELECT vec_id, label, q,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+       |cs AS (SELECT label, COUNT(*) AS csz FROM n GROUP BY label),
+       |k AS (
+       |  SELECT n.vec_id, n.label, 0 AS band, '0' AS sub
+       |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz <= $EmbMaxCell
+       |${(0 until EmbBands).map(i =>
+           s"""  UNION ALL
+              |  SELECT n.vec_id, n.label, $i AS band, ${embBandKeySql("n.q", i)} AS sub
+              |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz > $EmbMaxCell""".stripMargin).mkString("\n")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b ON a.label = b.label AND a.band = b.band
+       |                   AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |),
+       |epairs AS (
+       |  SELECT c.vec_a, c.vec_b, c.label, ${embCosSql("x", "y")} AS cosine
+       |  FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+       |  WHERE x.n2 > 0 AND y.n2 > 0 AND ${embCosSql("x", "y")} >= $EmbCosMin
+       |)""".stripMargin
+
+  /** d16 oracle: the d04 pair CTEs, the d08-style recursive min-label
+    * fixpoint over them, a per-cell floor-averaged integer centroid
+    * (element-wise over a position cross join), and the keep rule as a
+    * window over each component.
+    */
+  private lazy val semanticPruneSql: String =
+    s"""WITH RECURSIVE $embPairsCtesSql,
+       |sym AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM epairs
+       |),
+       |v AS (SELECT DISTINCT src AS id FROM sym),
+       |reach AS (
+       |  SELECT id, id AS lbl FROM v
+       |  UNION
+       |  SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+       |),
+       |comp AS (SELECT id AS vec_id, MIN(lbl) AS component FROM reach GROUP BY id),
+       |cpos AS (
+       |  SELECT n.label, t.i AS i,
+       |         CAST(floor(CAST(SUM(n.q[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM n, range(1, ${graft.queries.SimilarityQueries.EmbDim + 1}) t(i)
+       |  GROUP BY n.label, t.i
+       |),
+       |cent AS (
+       |  SELECT label, list(cv ORDER BY i) AS c,
+       |         CAST(list_sum(list_transform(list(cv ORDER BY i), x -> x * x)) AS BIGINT) AS cn2
+       |  FROM cpos GROUP BY label
+       |),
+       |mem AS (
+       |  SELECT comp.vec_id, n.label, comp.component,
+       |         CAST(CAST(list_sum(list_transform(list_zip(n.q, cent.c), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(n.n2 * cent.cn2 AS DOUBLE)) AS cos_centroid
+       |  FROM comp JOIN n ON comp.vec_id = n.vec_id JOIN cent ON n.label = cent.label
+       |  WHERE n.n2 > 0 AND cent.cn2 > 0
+       |)
+       |SELECT vec_id, label, component, cos_centroid,
+       |       (ROW_NUMBER() OVER (PARTITION BY component ORDER BY cos_centroid, vec_id)) = 1 AS keep
+       |FROM mem
+       |ORDER BY vec_id""".stripMargin
 
   /** d07/d15 shared oracle: decontamination is one exact inverted-index
     * join however the engine physically prunes it, so both the broadcast
@@ -857,44 +960,52 @@ object DedupQueries {
     // parity and order-free aggregation. The quantized feature pass is a
     // written stage table; both join sides scan it.
     Q("d04_embedding_neardup",
-      s"""WITH $dupEmbSql,
-         |qv AS (SELECT vec_id, label,
-         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |       FROM dupemb),
-         |n AS (SELECT vec_id, label, q,
-         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
-         |cs AS (SELECT label, COUNT(*) AS csz FROM n GROUP BY label),
-         |k AS (
-         |  SELECT n.vec_id, n.label, 0 AS band, '0' AS sub
-         |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz <= $EmbMaxCell
-         |${(0 until EmbBands).map(i =>
-             s"""  UNION ALL
-                |  SELECT n.vec_id, n.label, $i AS band, ${embBandKeySql("n.q", i)} AS sub
-                |  FROM n JOIN cs ON n.label = cs.label WHERE cs.csz > $EmbMaxCell""".stripMargin).mkString("\n")}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM k a JOIN k b ON a.label = b.label AND a.band = b.band
-         |                   AND a.sub = b.sub AND a.vec_id < b.vec_id
-         |)
-         |SELECT c.vec_a, c.vec_b, c.label,
-         |       CAST(CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
-         |         / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cosine
-         |FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
-         |WHERE x.n2 > 0 AND y.n2 > 0
-         |  AND CAST(CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
-         |      / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) >= 0.95
+      s"""WITH $embPairsCtesSql
+         |SELECT vec_a, vec_b, label, cosine FROM epairs
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
-      val qv = Stage.table(
-        dupEmb(s, d).select(col("vec_id"), col("label"),
-          VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", GraftNative.longDot(col("q"), col("q"))),
-        "d04_qv")
-      embeddingPairs(qv, EmbMaxCell)
-        .where(col("cosine") >= 0.95)
-        .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
-        .orderBy("vec_a", "vec_b")
+      embPairsStage(s, d).orderBy("vec_a", "vec_b")
+    },
+
+    // d16 semantic prune (SemDeDup shape, Abbas et al. 2023, public):
+    // within each embedding cell, near-identical examples (the d04
+    // verified pairs) collapse to groups via connected components; each
+    // group KEEPS exactly one member — the one LEAST similar to its
+    // cell centroid (the paper's diversity-preserving rule; ties break
+    // on vec_id). Output = one row per dup-group member with its
+    // component, centroid cosine, and the keep flag; keep=false rows
+    // are the semantic-prune removal list. Scale shape: the pairs and
+    // quantized-feature stages are the SAME memoized tables d04 scans;
+    // the centroid is a map-side partial VecSumAgg collapsed to one row
+    // per label then floor-averaged (components bounded by the quantize
+    // scale, so its norms never overflow at any cell size) and
+    // broadcast back; the keep window partitions by component (bounded
+    // dup groups), never globally.
+    Q("d16_semantic_prune", semanticPruneSql) { (s, d) =>
+      GraftNative.ensure(s)
+      val qv = embQvStage(s, d)
+      val comp = graft.operators.DedupClusters
+        .connectedComponents(embPairsStage(s, d), "vec_a", "vec_b")
+        .select(col("doc_id").as("vec_id"), col("component"))
+      val cent = qv.groupBy("label")
+        .agg(graft.functions.VecSumAgg.vecSum(col("q")).as("sq"),
+          count(lit(1)).as("csz"))
+        .select(col("label"),
+          transform(col("sq"),
+            x => floor(x.cast("double") / col("csz")).cast("long")).as("c"))
+        .withColumn("cn2", GraftNative.longDot(col("c"), col("c")))
+      val w = Window.partitionBy("component")
+        .orderBy(col("cos_centroid"), col("vec_id"))
+      comp.join(qv, Seq("vec_id"))
+        .join(broadcast(cent), Seq("label"))
+        .where(col("n2") > 0 && col("cn2") > 0)
+        .withColumn("cos_centroid",
+          GraftNative.longDot(col("q"), col("c")).cast("double") /
+            sqrt((col("n2") * col("cn2")).cast("double")))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("vec_id"), col("label"), col("component"),
+          col("cos_centroid"), col("keep"))
+        .orderBy("vec_id")
     },
 
     // Sub-document (chunk-level) dedup: each doc splits into consecutive

@@ -47,4 +47,21 @@ class DedupClustersSpec extends SparkTestBase {
     assert(warmed == cold, s"warm $warmed vs cold $cold")
     assert(warmed(9L) == 1L && warmed(21L) == 20L)
   }
+
+  test("d16 semantic prune: one keeper per component, and it minimizes (centroid cosine, id)") {
+    val rows = SparkEntry.queries("d16_semantic_prune")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty, "fixture produced no semantic-dup groups")
+    rows.groupBy(_._2).foreach { case (component, mem) =>
+      assert(mem.count(_._4) == 1, s"component $component keeps ${mem.count(_._4)} members")
+      val kept = mem.find(_._4).get
+      val best = mem.minBy(m => (m._3, m._1))
+      assert((kept._1, kept._3) == ((best._1, best._3)),
+        s"component $component kept ${kept._1} but ${best._1} has lower (cosine, id)")
+      // every member of a group shares the component's minimum id
+      assert(component == mem.map(_._1).min,
+        s"component label $component is not the min member id")
+    }
+  }
 }

@@ -26,7 +26,8 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "e03_sessionize",         // gap windows + running session ids
     "d13_chunk_dedup",        // staged chunk hash + df join-back
     "t11_skipgram_pairs",     // tie-broken top-k limit over pair counts
-    "e10_event_paths")        // ordered collect_list (the nondeterminism trap)
+    "e10_event_paths",        // ordered collect_list (the nondeterminism trap)
+    "d16_semantic_prune")     // components + centroid agg + keep window
 
   private def canonical(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -161,7 +161,17 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("d04 pair join keys on (label, sub) — never label alone") {
-    val p = planOf("d04_embedding_neardup")
+    // d04's own plan is now a scan of the memoized emb_pairs stage, so
+    // the join shape lives in the STAGE BUILD: assert it on the pair
+    // builder directly (the same plan the first stage writer executes)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftNative.ensure(spark)
+    val qv = (0L to 8L).map(i => (i, (i % 3).toInt, Array.fill(64)(i + 1)))
+      .toDF("vec_id", "label", "q")
+      .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+    val p = graft.queries.DedupQueries.embeddingPairs(qv, maxCell = 4)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"d04 must equi-join:\n$p")
     assert(p.contains("sub#"),
