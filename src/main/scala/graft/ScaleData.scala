@@ -1,33 +1,51 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-smoke data builder: replicates a driver-generated `documents`
-  * table N-fold so the dedup family can be exercised above the largest
-  * generated scale factor (the quadratic guards — df caps, band indexes —
-  * are argued in the plans but need a recorded run at 10x rows).
+/** Scale-smoke data builder: replicates the driver-generated `documents`
+  * and/or `embeddings` tables N-fold so the dedup/ANN families can be
+  * exercised above the largest generated scale factor (the quadratic
+  * guards — df caps, band indexes, the `EmbMaxCell` oversized-cell
+  * sub-bucketing — are argued in the plans but need recorded runs at
+  * 10-30x rows).
   *
-  * The replication is duplication-neutral: replica 0 is the original
-  * table byte-for-byte; every replica r > 0 suffixes each whitespace
-  * token with `~r`, which [[graft.functions.DedupFns.normText]] preserves
-  * (it only lowercases and collapses whitespace). So within a replica the
-  * shingle-set relationships — and therefore the near-dup pair structure —
-  * are EXACTLY the original's, while across replicas shingles are
-  * disjoint (no token survives with two different suffixes). Pair counts,
-  * band-bucket sizes and df caps should all scale ~linearly with N; any
-  * super-linear growth in the smoke is an engine defect, not a data
-  * artifact. Doc ids re-key to `doc_id + r * (max_id + 1)`, keeping them
-  * dense and (at N=10 over sf0.1) below the d14 `BatchIdOffset` guard.
+  * Both replications are duplication-neutral — replica 0 is the original
+  * table byte-for-byte, and replicas do not alias each other:
   *
-  * Usage: `runMain graft.ScaleData <srcSfDir> <outDir> <factor>`
+  *  - `documents`: every replica r > 0 suffixes each whitespace token
+  *    with `~r`, which [[graft.functions.DedupFns.normText]] preserves
+  *    (it only lowercases and collapses whitespace). Within a replica the
+  *    shingle-set relationships — and therefore the near-dup pair
+  *    structure — are EXACTLY the original's; across replicas shingles
+  *    are disjoint (no token survives with two different suffixes).
+  *  - `embeddings`: every replica r > 0 applies a deterministic per-(dim,
+  *    replica) SIGN MASK (flip ~1/4 of the dimensions). A fixed sign
+  *    pattern is an isometry: within a replica every pairwise dot product
+  *    — so every cosine — is exactly the original's, while two replicas'
+  *    copies of the same vector agree only on the unflipped overlap and
+  *    land far below any near-dup threshold. Labels are kept, so label
+  *    cells grow by exactly N with unchanged internal geometry.
+  *
+  * Pair counts, band buckets, df caps and cells should therefore all
+  * scale ~linearly with N; super-linear growth in a smoke is an engine
+  * defect, not a data artifact. Ids re-key to `id + r * (max_id + 1)`,
+  * staying below the d14/d04 fixtures' `BatchIdOffset` guard at the
+  * factors used here.
+  *
+  * Usage: `runMain graft.ScaleData <srcSfDir> <outDir> <factor> [tables]`
+  * where `tables` is a comma list out of `documents,embeddings`
+  * (default: both, skipping ones absent from `srcSfDir`).
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleData <srcSfDir> <outDir> <factor>")
+    require(args.length >= 3, "usage: ScaleData <srcSfDir> <outDir> <factor> [tables]")
     val Array(srcDir, outDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    val tables: Set[String] =
+      if (args.length >= 4) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -36,22 +54,44 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val step = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val reps = spark.range(0, factor).select(col("id").as("rep"))
-    val scaledText = when(col("rep") === 0, col("text")).otherwise(
-      regexp_replace(col("text"), lit("(\\S+)"),
-        concat(lit("$1~"), col("rep").cast("string"))))
-    val scaled = docs.crossJoin(reps).select(
-      (col("doc_id") + col("rep") * lit(step)).as("doc_id"),
-      scaledText.as("text"),
-      col("lang"), col("source"),
-      length(scaledText).cast("long").as("n_chars"))
+    def write(df: DataFrame, name: String): Unit = {
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      val n = spark.read.parquet(s"$outDir/$name.parquet").count()
+      println(s"[scaledata] wrote $n $name rows ($factor x) to $outDir")
+    }
+    def exists(name: String): Boolean =
+      new java.io.File(s"$srcDir/$name.parquet").exists()
+    def reps(df: DataFrame, idCol: String): (DataFrame, Long) = {
+      val step = df.agg(max(col(idCol))).head().getLong(0) + 1
+      (df.crossJoin(spark.range(0, factor).select(col("id").as("rep"))), step)
+    }
 
-    scaled.repartition(32).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
-    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
-    println(s"[scaledata] wrote $n docs ($factor x $step) to $outDir")
+    if (tables("documents") && exists("documents")) {
+      val (d, step) = reps(spark.read.parquet(s"$srcDir/documents.parquet"), "doc_id")
+      val scaledText = when(col("rep") === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), col("rep").cast("string"))))
+      write(d.select(
+        (col("doc_id") + col("rep") * lit(step)).as("doc_id"),
+        scaledText.as("text"),
+        col("lang"), col("source"),
+        length(scaledText).cast("long").as("n_chars")), "documents")
+    }
+
+    if (tables("embeddings") && exists("embeddings")) {
+      val (e, step) = reps(spark.read.parquet(s"$srcDir/embeddings.parquet"), "vec_id")
+      // per-(dim, replica) sign mask: flip when a cheap integer hash of
+      // (dim, rep) lands in the low quarter; rep 0 never flips
+      val masked = transform(col("embedding"), (x, i) =>
+        when(col("rep") > 0 &&
+            pmod(i.cast("long") * 2654435761L + col("rep") * 40503L, lit(97L)) < 24,
+          -x).otherwise(x))
+      write(e.select(
+        (col("vec_id") + col("rep") * lit(step)).as("vec_id"),
+        masked.as("embedding"),
+        col("label")), "embeddings")
+    }
+
     spark.stop()
   }
 }

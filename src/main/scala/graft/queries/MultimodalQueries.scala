@@ -77,6 +77,30 @@ object MultimodalQueries {
           count(lit(1)).as("n_sampled"),
           min(md5(col("frame"))).as("min_frame_md5"))
         .orderBy("doc_id")
+    },
+
+    // mm03 puts the BATCHED DECODE PATH itself under the oracle gate:
+    // [[graft.operators.Multimodal.extractFeatures]] — the typed
+    // `Dataset[MediaRow].mapPartitions` analogue of `mapInPandas` (one
+    // decoder instance per partition, rows streamed, media bytes never
+    // leave the executor) — runs the stub decoder over every payload and
+    // the oracle recomputes the decoder-independent outputs (byte count,
+    // md5 checksum, kind routing) in SQL. The stub-only `brightness`
+    // feature (not SQL-expressible over blobs) stays spec-certified in
+    // MultimodalSpec; swapping the stub for a real codec changes neither
+    // the plumbing nor this query's checked columns.
+    Q("mm03_media_features",
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      graft.operators.Multimodal.extractFeatures(
+          s, graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+        .orderBy("media_id")
     }
   )
 }
