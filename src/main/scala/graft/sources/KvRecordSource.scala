@@ -135,18 +135,91 @@ final class KvRecordTable(paths: Seq[String],
   }
 }
 
-final class KvScanBuilder(paths: Seq[String],
-    tableSchema: StructType = KvRecordSource.Schema)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = tableSchema
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new KvScan(paths, required)
+/** Predicate pushdown support for the KV source: the subset of Spark's
+  * source filters the parse loop can evaluate EXACTLY on a record line
+  * (so Spark does not re-apply them post-scan). At 100 TB of record
+  * dumps this is the difference between a point-lookup by `ino` reading
+  * every line into an InternalRow and skipping non-matching lines inside
+  * the reader — no row object, no downstream filter work. Null field →
+  * comparison false (SQL semantics); numeric filter values compare as
+  * longs (Catalyst may hand Integer literals for a long column).
+  */
+private[sources] object KvFilters {
+  import org.apache.spark.sql.sources._
+  private val Cols = Set("ino", "file", "uid", "gid", "size")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Cols(a)
+    case GreaterThan(a, _) => Cols(a)
+    case GreaterThanOrEqual(a, _) => Cols(a)
+    case LessThan(a, _) => Cols(a)
+    case LessThanOrEqual(a, _) => Cols(a)
+    case In(a, _) => Cols(a)
+    case IsNotNull(a) => Cols(a)
+    case IsNull(a) => Cols(a)
+    case StringStartsWith(a, _) => Cols(a)
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** Three-way compare of a parsed field value against a filter value;
+    * None when either side is null or the types are incomparable.
+    */
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(get(a), v).contains(0))
+    case IsNotNull(a) => get(a) != null
+    case IsNull(a) => get(a) == null
+    case StringStartsWith(a, p) => get(a) match {
+      case s: String => s.startsWith(p)
+      case _ => false
+    }
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case other => throw new IllegalStateException(s"unsupported pushed filter $other")
+  }
 }
 
-final class KvScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+final class KvScanBuilder(paths: Seq[String],
+    tableSchema: StructType = KvRecordSource.Schema)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (sup, rest) = filters.partition(KvFilters.supported)
+    pushed = sup
+    rest // residual: Spark evaluates these post-scan; pushed ones it trusts us with
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new KvScan(paths, required, pushed)
+}
+
+final class KvScan(paths: Seq[String], required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaces the pushdown in .explain output (custom scans print their
+  // description inside BatchScan), so specs pin it the same way they pin
+  // parquet's PushedFilters
+  override def description(): String =
+    s"graft-kv ${paths.mkString(",")} " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   /** One partition per data file; directory paths expand RECURSIVELY to
     * their data files (driver-side Hadoop listing, like the built-in file
@@ -188,7 +261,7 @@ final class KvScan(paths: Seq[String], required: StructType) extends Scan with B
     // it serialized — executors resolve each path's FileSystem from it, so
     // credentials/filesystem settings flow exactly like the built-in file
     // sources'.
-    new KvReaderFactory(required.fieldNames,
+    new KvReaderFactory(required.fieldNames, filters,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -337,18 +410,22 @@ final class KvDataWriter(file: String, fields: Array[String],
 }
 
 final class KvReaderFactory(fields: Array[String],
+                            filters: Array[org.apache.spark.sql.sources.Filter],
                             conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(partition.asInstanceOf[KvInputPartition].path, fields,
-      conf.value)
+      filters, conf.value)
 }
 
 /** Reads one record file through the Hadoop FileSystem API, so any
   * Spark-supported scheme works (local, hdfs://, s3a://, ...) — record
-  * dumps on a 100 TB deployment live on distributed storage.
+  * dumps on a 100 TB deployment live on distributed storage. Pushed
+  * filters run on the raw line BEFORE an InternalRow exists: a rejected
+  * line costs only the filter fields' token extraction.
   */
 final class KvPartitionReader(path: String, fields: Array[String],
+                              filters: Array[org.apache.spark.sql.sources.Filter],
                               hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val reader = {
@@ -358,10 +435,29 @@ final class KvPartitionReader(path: String, fields: Array[String],
   }
   private var row: InternalRow = _
 
+  /** Scala-level field value for filter evaluation (Long / String / null). */
+  private def fieldVal(raw: String, name: String): Any = name match {
+    case "ino"  => KvParse.getLong(raw, "ino").map(Long.box).orNull
+    case "file" => KvParse.file(raw).orNull
+    case "uid"  => KvParse.get(raw, "uid").orNull
+    case "gid"  => KvParse.get(raw, "gid").orNull
+    case "size" => KvParse.getLong(raw, "size").map(Long.box).orNull
+    case "raw"  => raw
+    case other  => throw new IllegalArgumentException(s"unknown field: $other")
+  }
+
+  private def passes(raw: String): Boolean =
+    filters.isEmpty || {
+      // memoize per line: And-trees and multi-filter pushes share lookups
+      val memo = scala.collection.mutable.Map.empty[String, Any]
+      val get = (n: String) => memo.getOrElseUpdate(n, fieldVal(raw, n))
+      filters.forall(f => KvFilters.eval(f, get))
+    }
+
   override def next(): Boolean = {
     var raw = reader.readLine()
     while (raw != null) {
-      if (raw.nonEmpty) { row = parse(raw); return true }
+      if (raw.nonEmpty && passes(raw)) { row = parse(raw); return true }
       raw = reader.readLine()
     }
     false

@@ -177,6 +177,60 @@ class KvRecordSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L, 44L))
   }
 
+  test("filter pushdown reaches the parse loop (SupportsPushDownFilters)") {
+    val p = writeFixture()
+    val df = spark.read.format("graft-kv").load(p).where(col("ino") === 43L)
+    // the filter is in the scan (visible in the plan), and the scan's own
+    // evaluation is exact — Spark trusts it and plans no re-filter
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.nonEmpty && scans.head.contains("PushedFilters: [") &&
+      scans.head.contains("EqualTo(ino,43)"), s"pushdown missing in: $scans")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("ino") == 43L)
+
+    // range + prefix + In, each matching exactly what Scala-side
+    // filtering of the full read produces
+    val all = spark.read.format("graft-kv").load(p)
+      .select("ino", "file", "uid", "size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def pushedSet(dfq: org.apache.spark.sql.DataFrame) =
+      dfq.select("ino", "file", "uid", "size").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val base = spark.read.format("graft-kv").load(p)
+    assert(pushedSet(base.where(col("size") > 7L && col("size") <= 11L)) ==
+      all.filter(t => t._4 > 7 && t._4 <= 11).toSet)
+    assert(pushedSet(base.where(col("file").startsWith("/a/"))) ==
+      all.filter(_._2.startsWith("/a/")).toSet)
+    assert(pushedSet(base.where(col("uid").isin("u1", "u3"))) ==
+      all.filter(t => Set("u1", "u3")(t._3)).toSet)
+  }
+
+  test("unsupported predicates stay residual; missing fields obey SQL null semantics") {
+    import spark.implicits._
+    // a record with NO uid token: uid parses to null
+    val f = Files.createTempFile("kvnull", ".txt")
+    Files.writeString(f,
+      "keylength.file=2 file=/n pino=1 ino=50 gid=g9 size=1\n" + records.mkString("\n") + "\n")
+    f.toFile.deleteOnExit()
+    val base = spark.read.format("graft-kv").load(f.toString)
+    // comparisons never match null...
+    assert(base.where(col("uid") === "u1").count() == 1)
+    assert(base.where(col("uid") =!= "zzz").count() == 3) // null row dropped
+    // ...while IsNull selects exactly it
+    assert(base.where(col("uid").isNull).select("ino").as[Long].collect().toSeq == Seq(50L))
+    // a predicate the source cannot evaluate (length()) must still apply:
+    // Spark keeps it as a residual filter above the scan
+    val mixed = base.where(col("ino") >= 43L && length(col("file")) === 6)
+    assert(mixed.select("ino").as[Long].collect().sorted.toSeq == Seq(43L))
+    val desc = mixed.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.head
+    assert(desc.contains("GreaterThanOrEqual(ino,43)") && !desc.toLowerCase.contains("length"),
+      s"pushdown split wrong: $desc")
+  }
+
   test("KvParse equals the Column implementations (kvFile/kvGet)") {
     records.foreach { raw =>
       val row = spark.range(1).select(
