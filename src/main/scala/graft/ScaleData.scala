@@ -13,31 +13,76 @@ import org.apache.spark.sql.functions._
   * Both replications are duplication-neutral — replica 0 is the original
   * table byte-for-byte, and replicas do not alias each other:
   *
-  *  - `documents`: every replica r > 0 suffixes each whitespace token
-  *    with `~r`, which [[graft.functions.DedupFns.normText]] preserves
-  *    (it only lowercases and collapses whitespace). Within a replica the
-  *    shingle-set relationships — and therefore the near-dup pair
-  *    structure — are EXACTLY the original's; across replicas shingles
-  *    are disjoint (no token survives with two different suffixes).
-  *  - `embeddings`: every replica r > 0 applies a deterministic per-(dim,
-  *    replica) SIGN MASK (flip ~1/4 of the dimensions). A fixed sign
-  *    pattern is an isometry: within a replica every pairwise dot product
-  *    — so every cosine — is exactly the original's, while two replicas'
-  *    copies of the same vector agree only on the unflipped overlap and
-  *    land far below any near-dup threshold. Labels are kept, so label
-  *    cells grow by exactly N with unchanged internal geometry.
+  *  - [[scaleDocuments]]: every replica r > 0 suffixes each whitespace
+  *    token with `~r`, which [[graft.functions.DedupFns.normText]]
+  *    preserves (it only lowercases and collapses whitespace). Token and
+  *    word-shingle relationships within a replica are a BIJECTION of the
+  *    original's — so md5 fingerprint groups, df-capped inverted indexes
+  *    and chunk-hash structure replicate exactly (ScaleInvarianceSpec
+  *    asserts d01/d05/d06/d13 outputs are exactly the original's shifted
+  *    per replica) — while across replicas no token survives with two
+  *    different suffixes, so shingle sets are disjoint.
+  *  - [[scaleEmbeddings]]: every replica r > 0 applies a deterministic
+  *    per-(dim, replica) SIGN MASK (flip ~1/4 of the dimensions). A fixed
+  *    sign pattern is an isometry: within a replica every pairwise dot
+  *    product — so every cosine — is exactly the original's, while two
+  *    replicas' copies of the same vector agree only on the unflipped
+  *    overlap and land far below any near-dup threshold. Labels are
+  *    kept, so label cells grow by exactly N with unchanged internal
+  *    geometry.
   *
-  * Pair counts, band buckets, df caps and cells should therefore all
-  * scale ~linearly with N; super-linear growth in a smoke is an engine
-  * defect, not a data artifact. Ids re-key to `id + r * (max_id + 1)`,
-  * staying below the d14/d04 fixtures' `BatchIdOffset` guard at the
-  * factors used here.
+  * Ids re-key to `id + r * step` with `step` = max id + 1 rounded UP to a
+  * multiple of 100 — a multiple of every fixture modulus (`% 10`/`% 50`
+  * dup injection, `% 100` benchmark split), so each replica reproduces
+  * the fixtures' injected-duplicate structure exactly, and stays below
+  * the `BatchIdOffset` guard at the factors used here.
   *
   * Usage: `runMain graft.ScaleData <srcSfDir> <outDir> <factor> [tables]`
   * where `tables` is a comma list out of `documents,embeddings`
   * (default: both, skipping ones absent from `srcSfDir`).
   */
 object ScaleData {
+
+  /** Replica id step: max id + 1, rounded up to a multiple of 100 so
+    * every `id % {10, 50, 100}` fixture predicate sees the same residues
+    * in every replica.
+    */
+  def stepFor(df: DataFrame, idCol: String): Long = {
+    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    ((mx / 100) + 1) * 100
+  }
+
+  private def withReps(spark: SparkSession, df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(spark.range(0, factor).select(col("id").as("rep")))
+
+  /** N-fold duplication-neutral replication of a `documents` table. */
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    val step = stepFor(docs, "doc_id")
+    val scaledText = when(col("rep") === 0, col("text")).otherwise(
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1~"), col("rep").cast("string"))))
+    withReps(docs.sparkSession, docs, factor).select(
+      (col("doc_id") + col("rep") * lit(step)).as("doc_id"),
+      scaledText.as("text"),
+      col("lang"), col("source"),
+      length(scaledText).cast("long").as("n_chars"))
+  }
+
+  /** N-fold duplication-neutral replication of an `embeddings` table. */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val step = stepFor(emb, "vec_id")
+    // per-(dim, replica) sign mask: flip when a cheap integer hash of
+    // (dim, rep) lands in the low quarter; rep 0 never flips
+    val masked = transform(col("embedding"), (x, i) =>
+      when(col("rep") > 0 &&
+          pmod(i.cast("long") * 2654435761L + col("rep") * 40503L, lit(97L)) < 24,
+        -x).otherwise(x))
+    withReps(emb.sparkSession, emb, factor).select(
+      (col("vec_id") + col("rep") * lit(step)).as("vec_id"),
+      masked.as("embedding"),
+      col("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleData <srcSfDir> <outDir> <factor> [tables]")
     val Array(srcDir, outDir, factorStr) = args.take(3)
@@ -61,36 +106,13 @@ object ScaleData {
     }
     def exists(name: String): Boolean =
       new java.io.File(s"$srcDir/$name.parquet").exists()
-    def reps(df: DataFrame, idCol: String): (DataFrame, Long) = {
-      val step = df.agg(max(col(idCol))).head().getLong(0) + 1
-      (df.crossJoin(spark.range(0, factor).select(col("id").as("rep"))), step)
-    }
 
-    if (tables("documents") && exists("documents")) {
-      val (d, step) = reps(spark.read.parquet(s"$srcDir/documents.parquet"), "doc_id")
-      val scaledText = when(col("rep") === 0, col("text")).otherwise(
-        regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1~"), col("rep").cast("string"))))
-      write(d.select(
-        (col("doc_id") + col("rep") * lit(step)).as("doc_id"),
-        scaledText.as("text"),
-        col("lang"), col("source"),
-        length(scaledText).cast("long").as("n_chars")), "documents")
-    }
-
-    if (tables("embeddings") && exists("embeddings")) {
-      val (e, step) = reps(spark.read.parquet(s"$srcDir/embeddings.parquet"), "vec_id")
-      // per-(dim, replica) sign mask: flip when a cheap integer hash of
-      // (dim, rep) lands in the low quarter; rep 0 never flips
-      val masked = transform(col("embedding"), (x, i) =>
-        when(col("rep") > 0 &&
-            pmod(i.cast("long") * 2654435761L + col("rep") * 40503L, lit(97L)) < 24,
-          -x).otherwise(x))
-      write(e.select(
-        (col("vec_id") + col("rep") * lit(step)).as("vec_id"),
-        masked.as("embedding"),
-        col("label")), "embeddings")
-    }
+    if (tables("documents") && exists("documents"))
+      write(scaleDocuments(
+        spark.read.parquet(s"$srcDir/documents.parquet"), factor), "documents")
+    if (tables("embeddings") && exists("embeddings"))
+      write(scaleEmbeddings(
+        spark.read.parquet(s"$srcDir/embeddings.parquet"), factor), "embeddings")
 
     spark.stop()
   }

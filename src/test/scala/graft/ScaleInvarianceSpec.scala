@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+
+/** Scale EQUIVARIANCE: correctness (not just timing) above the generated
+  * scale factors. [[ScaleData.scaleDocuments]]' replication is a per-
+  * replica bijection of tokens, so for the dedup operators whose
+  * candidate generation is deterministic-complete — exact fingerprint
+  * groups (d01/d05), the df-capped inverted index (d06), chunk hashing
+  * (d13) — the output over an N-fold corpus must be EXACTLY the original
+  * output repeated N times with ids shifted by the replica step. Any
+  * deviation (a lost pair, a cross-replica pair, a df cap tripping
+  * early) is an engine defect at scale, caught row-for-row here.
+  * (d02/d03 are excluded by design: LSH band and SimHash candidate
+  * recall is hash-dependent, so their outputs are not bijection-stable —
+  * their scale behavior is covered by the recorded smokes instead.)
+  */
+class ScaleInvarianceSpec extends SparkTestBase {
+
+  private val src = "/root/testdata/sf0.001"
+  private val Factor = 3
+
+  private lazy val (scaledDir, step) = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dir = Files.createTempDirectory("graft-scale3").toString
+    ScaleData.scaleDocuments(docs, Factor)
+      .write.parquet(s"$dir/documents.parquet")
+    (dir, ScaleData.stepFor(docs, "doc_id"))
+  }
+
+  /** Map an original output id into replica r's id space (fixture-
+    * injected ids above BatchIdOffset shift within their band).
+    */
+  private def mapId(id: Long, r: Int): Long = {
+    val off = graft.queries.DedupQueries.BatchIdOffset
+    if (id >= off) id - off + r * step + off else id + r * step
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def assertEquivariant(name: String, idCols: Seq[String]): Unit = {
+    val cols = run(name, src).columns.toSeq
+    val idIdx = idCols.map(cols.indexOf)
+    assert(idIdx.forall(_ >= 0), s"$name lacks id cols $idCols in $cols")
+    val orig = run(name, src).collect().map(_.toSeq).toSeq
+    val expected = (0 until Factor).flatMap { r =>
+      orig.map(_.zipWithIndex.map {
+        case (v: Long, i) if idIdx.contains(i) => mapId(v, r)
+        case (v, _) => v
+      })
+    }
+    val actual = run(name, scaledDir).collect().map(_.toSeq).toSeq
+    assert(actual.size == expected.size,
+      s"$name: ${actual.size} rows at ${Factor}x vs ${expected.size} expected")
+    assert(actual.toSet == expected.toSet,
+      s"$name output is not the per-replica shift of the original")
+  }
+
+  test("d05 exact-dedup apply is exactly equivariant under 3x replication") {
+    assertEquivariant("d05_dedup_apply", Seq("doc_id"))
+  }
+
+  test("d06 n-gram Jaccard pairs are exactly equivariant under 3x replication") {
+    assertEquivariant("d06_ngram_jaccard", Seq("doc_a", "doc_b"))
+  }
+
+  test("d13 chunk dedup is exactly equivariant under 3x replication") {
+    assertEquivariant("d13_chunk_dedup", Seq("doc_id"))
+  }
+
+  test("d01 exact-dedup groups: keepers and copy counts replicate exactly") {
+    // fp is the md5 of the (suffixed) text, so it differs per replica —
+    // compare the (keeper, n_copies) multiset instead of full rows
+    val orig = run("d01_dedup_exact", src).collect()
+      .map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n_copies"))).toSeq
+    val expected = (0 until Factor).flatMap(r => orig.map {
+      case (k, n) => (mapId(k, r), n)
+    }).groupBy(identity).view.mapValues(_.size).toMap
+    val actual = run("d01_dedup_exact", scaledDir).collect()
+      .map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n_copies"))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(actual == expected, "d01 keeper/copy structure drifted under replication")
+  }
+}
