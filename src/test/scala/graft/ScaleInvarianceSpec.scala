@@ -70,6 +70,30 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assertEquivariant("d13_chunk_dedup", Seq("doc_id"))
   }
 
+  test("d04 embedding pairs are exactly equivariant under sign-mask replication") {
+    // below EmbMaxCell the in-cell candidate set is exact all-pairs
+    // (deterministic-complete), and the sign mask is an isometry, so the
+    // verified pairs — cosines included — must replicate exactly; the
+    // measured cross-replica cosines sit far below the 0.95 threshold
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-scale3e").toString
+    ScaleData.scaleEmbeddings(emb, Factor).write.parquet(s"$dir/embeddings.parquet")
+    val estep = ScaleData.stepFor(emb, "vec_id")
+    def emap(id: Long, r: Int): Long = {
+      val off = graft.queries.DedupQueries.BatchIdOffset
+      if (id >= off) id - off + r * estep + off else id + r * estep
+    }
+    val orig = run("d04_embedding_neardup", src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val expected = (0 until Factor).flatMap(r => orig.map {
+      case (a, b, l, c) => (emap(a, r), emap(b, r), l, c)
+    }).toSet
+    val actual = run("d04_embedding_neardup", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(actual == expected,
+      s"d04 pairs drifted under isometric replication (${actual.size} vs ${expected.size})")
+  }
+
   test("d01 exact-dedup groups: keepers and copy counts replicate exactly") {
     // fp is the md5 of the (suffixed) text, so it differs per replica —
     // compare the (keeper, n_copies) multiset instead of full rows
