@@ -29,6 +29,71 @@ final class InMemoryEpochLedger extends EpochLedger {
     done.add(s"$streamId|$epochId")
 }
 
+/** Durable ledger backed by a table NEXT TO the upsert target — the
+  * production form: a restarted driver recovering from a checkpoint asks
+  * the same database it writes to whether the replayed epoch already
+  * applied, so the exactly-once guarantee survives process death (the
+  * whole point; [[InMemoryEpochLedger]] cannot). `committed` is a point
+  * SELECT on the (stream_id, epoch_id) primary key; `commit` an INSERT
+  * whose duplicate-key violation is swallowed (a concurrent/racing
+  * commit of the same epoch is by definition already durable). Ledger
+  * calls run on the DRIVER at epoch cadence (foreachBatch executes the
+  * batch function there), so one short-lived connection per call is the
+  * right simplicity — there is no hot path to pool for.
+  */
+final class JdbcEpochLedger(url: String, table: String = "graft_epochs",
+                            props: Map[String, String] = Map.empty)
+    extends EpochLedger {
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val c = java.sql.DriverManager.getConnection(url, p)
+    try f(c) finally c.close()
+  }
+
+  /** Create the ledger table if absent (idempotent; tolerates the
+    * already-exists error so concurrent streams can share one ledger).
+    */
+  def ensureTable(): this.type = {
+    withConn { c =>
+      try c.createStatement().executeUpdate(
+        s"CREATE TABLE $table (stream_id VARCHAR(128) NOT NULL, " +
+          "epoch_id BIGINT NOT NULL, PRIMARY KEY (stream_id, epoch_id))")
+      catch { case _: java.sql.SQLException if tableExists(c) => () }
+    }
+    this
+  }
+
+  private def tableExists(c: java.sql.Connection): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally rs.close()
+  }
+
+  override def committed(streamId: String, epochId: Long): Boolean =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"SELECT 1 FROM $table WHERE stream_id = ? AND epoch_id = ?")
+      ps.setString(1, streamId); ps.setLong(2, epochId)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    }
+
+  override def commit(streamId: String, epochId: Long): Unit =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"INSERT INTO $table (stream_id, epoch_id) VALUES (?, ?)")
+      ps.setString(1, streamId); ps.setLong(2, epochId)
+      try { ps.executeUpdate(); () }
+      catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+    }
+}
+
 /** Streaming twin of the K1 keyed-upsert sink: an unbounded change-set
   * stream drains into [[JdbcUpsert.write]] one micro-batch at a time via
   * foreachBatch — the same per-partition connection + prepared-statement

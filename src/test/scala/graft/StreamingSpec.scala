@@ -354,6 +354,50 @@ class StreamingSpec extends SparkTestBase {
     assert(FakeJdbcStore.rows(store)(3L) == Vector("3", "/3", 3L, "/f3.dat"))
   }
 
+  test("JdbcEpochLedger: replay protection survives a 'restart' (durable, Derby-backed)") {
+    import spark.implicits._
+    import graft.operators.{FakeJdbcFactory, FakeJdbcStore, UpsertRow}
+    import graft.streaming.{JdbcEpochLedger, UpsertStreams}
+    val url = "jdbc:derby:memory:graftledger;create=true"
+    val available =
+      try { java.sql.DriverManager.getConnection(url).close(); true }
+      catch {
+        case _: Throwable =>
+          try {
+            Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+            java.sql.DriverManager.getConnection(url).close(); true
+          } catch { case _: Throwable => false }
+      }
+    assume(available, "Derby driver not on classpath")
+
+    val ledger = new JdbcEpochLedger(url).ensureTable()
+    new JdbcEpochLedger(url).ensureTable() // idempotent, shareable
+    assert(!ledger.committed("s1", 0L))
+    ledger.commit("s1", 0L)
+    ledger.commit("s1", 0L) // duplicate commit swallows the PK violation
+    assert(ledger.committed("s1", 0L))
+    assert(!ledger.committed("s1", 1L) && !ledger.committed("s2", 0L))
+
+    // the durability point: a FRESH ledger instance (a restarted driver)
+    // sees the committed epoch and skips the replayed batch
+    val store = "t-ledger-jdbc"
+    FakeJdbcStore.reset(store)
+    (1L to 3L).foreach(FakeJdbcStore.seed(store, _))
+    val restarted = new JdbcEpochLedger(url).ensureTable()
+    FakeJdbcStore.table(store).put(1L, Vector("sentinel", "", 0L, ""))
+    val replayed = UpsertStreams.applyEpoch(
+      Seq(UpsertRow(1L, "1", "/1", 1L, "/f1.dat")).toDS(), epochId = 0L,
+      new FakeJdbcFactory(store), restarted, "s1") { (_, _) => () }
+    assert(!replayed, "restarted driver re-applied a durably-committed epoch")
+    assert(FakeJdbcStore.rows(store)(1L) == Vector("sentinel", "", 0L, ""))
+    // a new epoch still applies through the durable ledger
+    assert(UpsertStreams.applyEpoch(
+      Seq(UpsertRow(2L, "2", "/2", 2L, "/f2.dat")).toDS(), epochId = 1L,
+      new FakeJdbcFactory(store), restarted, "s1") { (_, _) => () })
+    assert(restarted.committed("s1", 1L))
+    assert(FakeJdbcStore.rows(store)(2L) == Vector("2", "/2", 2L, "/f2.dat"))
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
