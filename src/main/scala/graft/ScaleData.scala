@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions._
   *    asserts d01/d05/d06/d13 outputs are exactly the original's shifted
   *    per replica) — while across replicas no token survives with two
   *    different suffixes, so shingle sets are disjoint.
-  *  - [[scaleEmbeddings]]: every replica r > 0 applies a deterministic
-  *    per-(dim, replica) SIGN MASK (flip ~1/4 of the dimensions). A fixed
-  *    sign pattern is an isometry: within a replica every pairwise dot
-  *    product — so every cosine — is exactly the original's, while two
-  *    replicas' copies of the same vector agree only on the unflipped
-  *    overlap and land far below any near-dup threshold. Labels are
-  *    kept, so label cells grow by exactly N with unchanged internal
-  *    geometry.
+  *  - [[scaleEmbeddings]]: replica r ROTATES the dimensions by
+  *    `r * 23 mod dim` (23 is coprime with the 64-dim fixture, so every
+  *    replica gets a distinct lag; r = 0 is the identity). A permutation
+  *    of dimensions is an isometry that also COMMUTES with the engine's
+  *    element-wise floor quantization — `quantize(rot(v)) ==
+  *    rot(quantize(v))` — so within a replica every pairwise dot
+  *    product and cosine is bit-identical to the original's THROUGH the
+  *    quantized pipeline, not merely at float level (a sign mask, the
+  *    previous design, is a float-level isometry but `floor(-x) !=
+  *    -floor(x)` shifts quantized values). Across replicas a vector
+  *    meets only rotated copies — circular autocorrelation at lags
+  *    >= 23, far below any near-dup threshold for these fixtures.
+  *    Labels are kept, so label cells grow by exactly N with unchanged
+  *    internal geometry.
   *
   * Ids re-key to `id + r * step` with `step` = max id + 1 rounded UP to a
   * multiple of 100 — a multiple of every fixture modulus (`% 10`/`% 50`
@@ -71,15 +77,15 @@ object ScaleData {
   /** N-fold duplication-neutral replication of an `embeddings` table. */
   def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
     val step = stepFor(emb, "vec_id")
-    // per-(dim, replica) sign mask: flip when a cheap integer hash of
-    // (dim, rep) lands in the low quarter; rep 0 never flips
-    val masked = transform(col("embedding"), (x, i) =>
-      when(col("rep") > 0 &&
-          pmod(i.cast("long") * 2654435761L + col("rep") * 40503L, lit(97L)) < 24,
-        -x).otherwise(x))
+    // replica r = rotation of the dimensions by r*23 (1-based element_at;
+    // rotation by 0 makes replica 0 the identity with no special case)
+    val rotated = transform(col("embedding"), (_, i) =>
+      element_at(col("embedding"),
+        (pmod(i.cast("long") + col("rep") * 23L, size(col("embedding")).cast("long")) + 1)
+          .cast("int")))
     withReps(emb.sparkSession, emb, factor).select(
       (col("vec_id") + col("rep") * lit(step)).as("vec_id"),
-      masked.as("embedding"),
+      rotated.as("embedding"),
       col("label"))
   }
 

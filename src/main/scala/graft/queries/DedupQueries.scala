@@ -184,18 +184,24 @@ object DedupQueries {
     * (df-capped inverted index, same quadratic guard as d06).
     */
   private def winnowPairs(s: SparkSession, d: String): DataFrame =
-    Stage.sharedTable(s, "winnow_pairs", d) {
-      val fp = winnowFp(s, d)
-      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, WinnowMaxDf))
-        .select("fp")
-      val idx = fp.join(rare, Seq("fp"))
-      idx.as("a").join(idx.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= WinnowMinShared)
-    }
+    Stage.sharedTable(s, "winnow_pairs", d)(winnowPairsUnstaged(s, d))
+
+  /** The winnow pair pipeline BEFORE staging — what the first stage
+    * writer executes; PlanShapeSpec asserts its join shape here (the
+    * staged form plans as a parquet scan, which would assert nothing).
+    */
+  private[graft] def winnowPairsUnstaged(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFp(s, d)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, WinnowMaxDf))
+      .select("fp")
+    val idx = fp.join(rare, Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+  }
 
   /** The d10 candidate pipeline as reusable oracle SQL (ends with a
     * `wpairs` CTE) — no leading WITH.
@@ -268,22 +274,27 @@ object DedupQueries {
     * per-consumer recomputation.
     */
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    Stage.sharedTable(s, "minhash_pairs", d) {
-      GraftNative.ensure(s)
-      val sh = shingleStage(s, d)
-      val bands = bandStage(s, d)
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    }
+    Stage.sharedTable(s, "minhash_pairs", d)(minhashPairsUnstaged(s, d))
+
+  /** The band-join + Jaccard-verify pipeline BEFORE staging — the plan
+    * PlanShapeSpec's join-shape assertions run against.
+    */
+  private[graft] def minhashPairsUnstaged(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val sh = shingleStage(s, d)
+    val bands = bandStage(s, d)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** The connected-component map over [[minhashPairs]] as a memoized
     * WRITTEN stage shared by d08 (listing) and d09 (apply) — the
@@ -327,7 +338,13 @@ object DedupQueries {
     * — shared by d06 (pair listing) and d12 (ensemble edges).
     */
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    Stage.sharedTable(s, "ngram_pairs", d) {
+    Stage.sharedTable(s, "ngram_pairs", d)(ngramPairsUnstaged(s, d))
+
+  /** The inverted-index self-join + Jaccard-verify pipeline BEFORE the
+    * outer staging (the df-capped index inside stays a shared stage) —
+    * the plan PlanShapeSpec's join-shape assertions run against.
+    */
+  private[graft] def ngramPairsUnstaged(s: SparkSession, d: String): DataFrame = {
       GraftNative.ensure(s)
       val sh = shingleStage(s, d)
       val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -666,7 +683,12 @@ object DedupQueries {
     def inv(df: DataFrame, idCol: String) = df
       .select(col("doc_id").as(idCol),
         explode(GraftNative.shingles(DedupFns.normText(col("text")))).as("shingle"))
-    val bench = inv(docs.where(col("doc_id") % 100 === 0), "bench_id")
+    val benchRaw = inv(docs.where(col("doc_id") % 100 === 0), "bench_id")
+    // the bloom path consumes the bench index three times (count, bloom
+    // build, join build side) — write it once so those are scans of one
+    // materialization, not three scan+shingle passes over the benchmark
+    // slice; the plain path keeps the single lazy use
+    val bench = if (bloomPrefilter) Stage.table(benchRaw, "d15_bench") else benchRaw
     val corpusRaw = inv(docs.where(col("doc_id") % 100 =!= 0), "doc_id")
     val corpus =
       if (!bloomPrefilter) corpusRaw

@@ -163,12 +163,19 @@ private[sources] object KvFilters {
   }
 
   /** Three-way compare of a parsed field value against a filter value;
-    * None when either side is null or the types are incomparable.
+    * None when either side is null or the types are incomparable. String
+    * order MUST be unsigned UTF-8 BYTE order — what Spark's UTF8String
+    * comparisons use — not Java's UTF-16 code-unit compareTo: the two
+    * disagree on supplementary characters (surrogates sort low in
+    * UTF-16), and a pushed filter Spark trusts as fully handled has no
+    * residual re-filter to correct a divergence.
     */
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (null, _) | (_, null) => None
     case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue))
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) => Some(java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
   }
 

@@ -89,8 +89,17 @@ final class JdbcEpochLedger(url: String, table: String = "graft_epochs",
       val ps = c.prepareStatement(
         s"INSERT INTO $table (stream_id, epoch_id) VALUES (?, ?)")
       ps.setString(1, streamId); ps.setLong(2, epochId)
+      // a duplicate-key violation means the epoch is already durably
+      // committed — the tolerated race. Not every driver signals it via
+      // the SQLIntegrityConstraintViolationException subclass (PostgreSQL
+      // throws a plain SQLException subclass), so also accept SQLState
+      // class 23 (integrity constraint violation, SQL standard).
       try { ps.executeUpdate(); () }
-      catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      catch {
+        case _: java.sql.SQLIntegrityConstraintViolationException => ()
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("23")) => ()
+      }
     }
 }
 
@@ -122,10 +131,14 @@ object UpsertStreams {
       }
 
   /** One epoch's application, replay-safe: skip if the ledger already has
-    * it; otherwise execute the upserts EXACTLY once (persist + count — so
-    * a consumer re-reading the outcome rows never re-runs the
-    * side-effecting mapPartitions), hand the materialized outcomes to the
-    * caller, then commit the epoch. Returns false for a skipped replay.
+    * it; otherwise execute the upserts EXACTLY once — the side-effecting
+    * write runs under a single `collect()` and the caller receives a
+    * LOCAL dataset of the materialized rows, severed from the write
+    * lineage, so no action the consumer ever takes on it (now or after
+    * this call returns) can re-issue the UPDATEs. Outcome volume is
+    * bounded by the micro-batch size, which is what makes driver
+    * materialization the honest choice here. Commits the epoch after the
+    * callback; returns false for a skipped replay.
     */
   def applyEpoch(batch: Dataset[UpsertRow], epochId: Long,
                  factory: UpsertConnectionFactory, ledger: EpochLedger,
@@ -134,11 +147,11 @@ object UpsertStreams {
                 (onOutcomes: (Dataset[UpsertOutcome], Long) => Unit): Boolean =
     if (ledger.committed(streamId, epochId)) false
     else {
-      val out = JdbcUpsert.write(batch, factory, dryRun, debug).persist()
-      try {
-        out.count() // the one execution of the side-effecting write
-        onOutcomes(out, epochId)
-      } finally out.unpersist()
+      val spark = batch.sparkSession
+      // the one execution of the side-effecting write
+      val rows = JdbcUpsert.write(batch, factory, dryRun, debug).collect()
+      onOutcomes(spark.createDataset(rows.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.product[UpsertOutcome]), epochId)
       ledger.commit(streamId, epochId)
       true
     }

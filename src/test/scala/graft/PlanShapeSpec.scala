@@ -136,13 +136,28 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("dedup self-joins and verifies are key-partitioned, not nested loops") {
-    Seq("d02_minhash_lsh", "d03_simhash_neardup", "d10_winnow_fingerprint",
-        "d11_winnow_verify", "d12_ensemble_clusters",
-        "d14_incremental_dedup").foreach { n =>
-      val p = planOf(n)
+    // the pair pipelines are memoized written stages, so the REGISTERED
+    // queries plan as scans of the stage parquet — asserting on those
+    // would be vacuous. Assert the join shape on the UNSTAGED builders
+    // (the exact plans the first stage writer executes), plus the
+    // queries that still join in their own plan.
+    import graft.queries.DedupQueries
+    val builders = Seq(
+      "minhashPairs" -> DedupQueries.minhashPairsUnstaged(spark, dir),
+      "ngramPairs" -> DedupQueries.ngramPairsUnstaged(spark, dir),
+      "winnowPairs" -> DedupQueries.winnowPairsUnstaged(spark, dir))
+    builders.foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Join"), s"$n stage builder lost its join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$n must join on band/key equality:\n$p")
     }
+    Seq("d03_simhash_neardup", "d11_winnow_verify", "d14_incremental_dedup")
+      .foreach { n =>
+        val p = planOf(n)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$n must join on band/key equality:\n$p")
+      }
   }
 
   test("t09 CMS: the fixed-size sketch broadcasts into the estimate join") {

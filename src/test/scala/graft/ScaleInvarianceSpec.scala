@@ -70,12 +70,26 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assertEquivariant("d13_chunk_dedup", Seq("doc_id"))
   }
 
-  test("d04 embedding pairs are exactly equivariant under sign-mask replication") {
+  test("d04 embedding pairs are exactly equivariant under rotation replication") {
     // below EmbMaxCell the in-cell candidate set is exact all-pairs
-    // (deterministic-complete), and the sign mask is an isometry, so the
-    // verified pairs — cosines included — must replicate exactly; the
-    // measured cross-replica cosines sit far below the 0.95 threshold
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // (deterministic-complete), and a dimension rotation is an isometry
+    // that COMMUTES with floor quantization, so the verified pairs —
+    // cosines included — must replicate bit-exactly. The fixture's own
+    // dup pairs are identical vectors (for which even a float-level
+    // isometry would suffice), so inject a TRUE near-dup — one component
+    // nudged, quantizing differently from its twin — to make the
+    // bit-exactness claim non-vacuous.
+    import org.apache.spark.sql.functions.{col, lit, max, transform, when}
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val twinId = base.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val nudged = base.where(col("vec_id") === 1L).select(
+      lit(twinId).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.0117f)).otherwise(x)).as("embedding"),
+      col("label"))
+    val emb = base.unionByName(nudged)
+    val oneDir = Files.createTempDirectory("graft-scale1e").toString
+    emb.write.parquet(s"$oneDir/embeddings.parquet")
     val dir = Files.createTempDirectory("graft-scale3e").toString
     ScaleData.scaleEmbeddings(emb, Factor).write.parquet(s"$dir/embeddings.parquet")
     val estep = ScaleData.stepFor(emb, "vec_id")
@@ -83,8 +97,10 @@ class ScaleInvarianceSpec extends SparkTestBase {
       val off = graft.queries.DedupQueries.BatchIdOffset
       if (id >= off) id - off + r * estep + off else id + r * estep
     }
-    val orig = run("d04_embedding_neardup", src).collect()
+    val orig = run("d04_embedding_neardup", oneDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(orig.exists(p => Set(p._1, p._2).contains(twinId)),
+      "the nudged twin produced no near-dup pair — the bit-exactness claim is untested")
     val expected = (0 until Factor).flatMap(r => orig.map {
       case (a, b, l, c) => (emap(a, r), emap(b, r), l, c)
     }).toSet
