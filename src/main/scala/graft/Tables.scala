@@ -25,24 +25,66 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses natively: the session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test bases
-    * all do — the loader itself is pure and never mutates session conf);
-    * the long nanos are then truncated to microsecond TimestampType
-    * (integer DIV — a double division would lose precision above 2^53 ns).
+  /** `events.ts` arrives in whatever physical encoding the upstream writer
+    * chose, and the loader normalizes every one of them to `TimestampType`:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 only reads it as a raw long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test bases
+    *    set it; the loader itself never mutates session conf); the long nanos
+    *    are truncated to microseconds with integer DIV — a double division
+    *    would lose precision above 2^53 ns.
+    *  - parquet timestamp[us] without a timezone (pandas/arrow/DuckDB default)
+    *    → `TIMESTAMP_NTZ`, cast to `TimestampType`. The session timezone is
+    *    UTC everywhere in this engine, so the cast is value-preserving and
+    *    matches DuckDB's naive-timestamp oracle semantics.
+    *  - tz-adjusted timestamp[us] → already `TimestampType`, passed through.
+    *
+    * Anything else fails here with one pointed message instead of scattering
+    * `DATATYPE_MISMATCH` analysis errors across every downstream query.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet uses TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; expected " +
+            "long nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
+  /** `documents.text` normalized to StringType: a writer that emits the
+    * column as raw bytes (arrow binary) is decoded as UTF-8 here, once,
+    * instead of breaking every text operator downstream.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = load(s, d, "documents")
+    df.schema("text").dataType match {
+      case BinaryType => df.withColumn("text", col("text").cast(StringType))
+      case _          => df
+    }
+  }
+
+  /** `embeddings.embedding` normalized to Array[Float]: a writer that
+    * emits float64 vectors is down-cast here, once, so the ANN/dedup
+    * operators (and their Float-typed Aggregators) see one element type
+    * regardless of upstream drift.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(DoubleType, n) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

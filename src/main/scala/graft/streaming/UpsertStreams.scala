@@ -132,12 +132,13 @@ object UpsertStreams {
 
   /** One epoch's application, replay-safe: skip if the ledger already has
     * it; otherwise execute the upserts EXACTLY once — the side-effecting
-    * write runs under a single `collect()` and the caller receives a
-    * LOCAL dataset of the materialized rows, severed from the write
-    * lineage, so no action the consumer ever takes on it (now or after
-    * this call returns) can re-issue the UPDATEs. Outcome volume is
-    * bounded by the micro-batch size, which is what makes driver
-    * materialization the honest choice here. Commits the epoch after the
+    * write runs under a single distributed parquet write of its outcome
+    * rows (a [[graft.operators.Stage]] table), and the caller receives a
+    * SCAN of that written table, severed from the write lineage, so no
+    * action the consumer ever takes on it (now or after this call returns)
+    * can re-issue the UPDATEs. Outcomes never pass through the driver:
+    * executors write them straight to storage, so epoch size is bounded by
+    * cluster capacity, not driver memory. Commits the epoch after the
     * callback; returns false for a skipped replay.
     */
   def applyEpoch(batch: Dataset[UpsertRow], epochId: Long,
@@ -147,10 +148,13 @@ object UpsertStreams {
                 (onOutcomes: (Dataset[UpsertOutcome], Long) => Unit): Boolean =
     if (ledger.committed(streamId, epochId)) false
     else {
-      val spark = batch.sparkSession
-      // the one execution of the side-effecting write
-      val rows = JdbcUpsert.write(batch, factory, dryRun, debug).collect()
-      onOutcomes(spark.createDataset(rows.toIndexedSeq)(
+      // the one execution of the side-effecting write: the parquet write
+      // action below drives JdbcUpsert's per-partition statements exactly
+      // once, and the returned frame is a scan of the written outcomes
+      val outcomes = graft.operators.Stage.table(
+        JdbcUpsert.write(batch, factory, dryRun, debug).toDF(),
+        s"upsert-outcomes-$streamId-$epochId")
+      onOutcomes(outcomes.as[UpsertOutcome](
         org.apache.spark.sql.Encoders.product[UpsertOutcome]), epochId)
       ledger.commit(streamId, epochId)
       true

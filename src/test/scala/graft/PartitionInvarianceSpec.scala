@@ -24,6 +24,8 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "v01_knn_brute",          // partial top-k heaps + ranking window
     "t06_repetition",         // per-doc token aggregates
     "e03_sessionize",         // gap windows + running session ids
+    "e04_funnel",             // ordered step matching over event times
+    "e05_asof_join",          // as-of backward join on event time
     "d13_chunk_dedup",        // staged chunk hash + df join-back
     "t11_skipgram_pairs",     // tie-broken top-k limit over pair counts
     "e10_event_paths",        // ordered collect_list (the nondeterminism trap)

@@ -354,6 +354,34 @@ class StreamingSpec extends SparkTestBase {
     assert(FakeJdbcStore.rows(store)(3L) == Vector("3", "/3", 3L, "/f3.dat"))
   }
 
+  test("applyEpoch outcomes are a written-table scan, severed from the write lineage") {
+    import spark.implicits._
+    import graft.operators.{FakeJdbcFactory, FakeJdbcStore, UpsertOutcome, UpsertRow}
+    import graft.streaming.{InMemoryEpochLedger, UpsertStreams}
+    val store = "t-stream-sever"
+    FakeJdbcStore.reset(store)
+    (1L to 2L).foreach(FakeJdbcStore.seed(store, _))
+    var captured: org.apache.spark.sql.Dataset[UpsertOutcome] = null
+    UpsertStreams.applyEpoch(
+      Seq(UpsertRow(1L, "1", "/1", 1L, "/f1.dat")).toDS(), epochId = 0L,
+      new FakeJdbcFactory(store), new InMemoryEpochLedger, "sever-s1") {
+      (o, _) => captured = o
+    }
+    assert(FakeJdbcStore.rows(store)(1L) == Vector("1", "/1", 1L, "/f1.dat"))
+    // the outcome frame the callback received is a SCAN of a written stage
+    // table — not the JdbcUpsert mapPartitions lineage, and nothing passed
+    // through the driver to get there
+    val leaves = captured.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.toString.toLowerCase.contains("parquet")),
+      s"outcomes not a written-table scan:\n${captured.queryExecution.optimizedPlan}")
+    // severed lineage: re-running actions on it must NOT re-issue UPDATEs
+    FakeJdbcStore.table(store).put(1L, Vector("sentinel", "", 0L, ""))
+    assert(captured.collect().map(_.id).toSeq == Seq(1L))
+    assert(captured.count() == 1L)
+    assert(FakeJdbcStore.rows(store)(1L) == Vector("sentinel", "", 0L, ""),
+      "an action on the outcome frame re-applied the upsert")
+  }
+
   test("JdbcEpochLedger: replay protection survives a 'restart' (durable, Derby-backed)") {
     import spark.implicits._
     import graft.operators.{FakeJdbcFactory, FakeJdbcStore, UpsertRow}
