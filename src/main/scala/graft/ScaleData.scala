@@ -89,6 +89,25 @@ object ScaleData {
       col("label"))
   }
 
+  /** N-fold duplication-neutral replication of an `events` table: replica
+    * r shifts `user_id` and `event_id` by r * their own step (both steps
+    * multiples of 100, as above), keeping ts/event_type/value/props
+    * byte-identical — so each replica's per-user event SEQUENCES are
+    * exactly the original's. User-keyed outputs (sessionization, funnels,
+    * as-of joins) must then replicate with ids shifted, and per-cohort
+    * distinct-user counts must scale by exactly N — the event-family
+    * twins of the documents/embeddings equivariance contracts.
+    */
+  def scaleEvents(events: DataFrame, factor: Int): DataFrame = {
+    val ustep = stepFor(events, "user_id")
+    val estep = stepFor(events, "event_id")
+    withReps(events.sparkSession, events, factor).select(
+      (col("event_id") + col("rep") * lit(estep)).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * lit(ustep)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleData <srcSfDir> <outDir> <factor> [tables]")
     val Array(srcDir, outDir, factorStr) = args.take(3)
@@ -96,11 +115,13 @@ object ScaleData {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val tables: Set[String] =
       if (args.length >= 4) args(3).split(",").map(_.trim).toSet
-      else Set("documents", "embeddings")
+      else Set("documents", "embeddings", "events")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts nanos case
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -119,6 +140,10 @@ object ScaleData {
     if (tables("embeddings") && exists("embeddings"))
       write(scaleEmbeddings(
         spark.read.parquet(s"$srcDir/embeddings.parquet"), factor), "embeddings")
+    if (tables("events") && exists("events"))
+      // through the normalizing loader: the replica is written with a
+      // canonical TimestampType ts whatever the source encoding was
+      write(scaleEvents(Tables.events(spark, srcDir), factor), "events")
 
     spark.stop()
   }

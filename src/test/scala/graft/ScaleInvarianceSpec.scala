@@ -110,6 +110,64 @@ class ScaleInvarianceSpec extends SparkTestBase {
       s"d04 pairs drifted under isometric replication (${actual.size} vs ${expected.size})")
   }
 
+  // --- event family: user-shift equivariance under ScaleData.scaleEvents ---
+
+  private lazy val (evDir, evUserStep, evIdStep) = {
+    val ev = Tables.events(spark, src)
+    val dir = Files.createTempDirectory("graft-scale3ev").toString
+    ScaleData.scaleEvents(ev, Factor).write.parquet(s"$dir/events.parquet")
+    (dir, ScaleData.stepFor(ev, "user_id"), ScaleData.stepFor(ev, "event_id"))
+  }
+
+  /** Expected N-fold output: original rows with the named id columns
+    * shifted per replica (user ids by the user step, event ids by the
+    * event step); null ids stay null (e05's unmatched as-of rows).
+    */
+  private def shiftedEvents(name: String, userCols: Set[String],
+                            eventCols: Set[String]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val cols = run(name, src).columns.toSeq
+    val orig = run(name, src).collect().map(_.toSeq).toSeq
+    val expected = (0 until Factor).flatMap { r =>
+      orig.map(_.zipWithIndex.map {
+        case (v: Long, i) if userCols(cols(i))  => v + r * evUserStep
+        case (v: Long, i) if eventCols(cols(i)) => v + r * evIdStep
+        case (v, _) => v
+      })
+    }
+    (expected, run(name, evDir).collect().map(_.toSeq).toSeq)
+  }
+
+  test("e03 sessionization is exactly equivariant under 3x user replication") {
+    val (expected, actual) = shiftedEvents("e03_sessionize", Set("user_id"), Set.empty)
+    assert(actual.size == expected.size && actual.toSet == expected.toSet,
+      s"e03 sessions drifted under replication (${actual.size} vs ${expected.size})")
+    assert(actual.nonEmpty, "e03 returned no rows — vacuous equivariance")
+  }
+
+  test("e05 as-of join is exactly equivariant under 3x user replication") {
+    val (expected, actual) = shiftedEvents("e05_asof_join",
+      Set("user_id"), Set("p_id", "c_id"))
+    assert(actual.size == expected.size && actual.toSet == expected.toSet,
+      s"e05 as-of pairs drifted under replication (${actual.size} vs ${expected.size})")
+    assert(actual.nonEmpty, "e05 returned no rows — vacuous equivariance")
+  }
+
+  test("e06 cohort retention counts scale by exactly N under user replication") {
+    // users are disjoint across replicas with identical activity patterns,
+    // so every (cohort_day, day_offset) cell's distinct-user count is
+    // exactly N x the original — the aggregate form of equivariance
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+    val orig = run("e06_cohort_retention", src).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    val scaled = run("e06_cohort_retention", evDir).collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    assert(scaled.keySet == orig.keySet, "retention matrix cells drifted")
+    val bad = orig.collect {
+      case (k, n) if scaled(k) != n * Factor => (k, n, scaled(k))
+    }
+    assert(bad.isEmpty, s"cells not exactly ${Factor}x: ${bad.take(5)}")
+  }
+
   test("d01 exact-dedup groups: keepers and copy counts replicate exactly") {
     // fp is the md5 of the (suffixed) text, so it differs per replica —
     // compare the (keeper, n_copies) multiset instead of full rows
