@@ -36,6 +36,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("o_comment"), "scan reads columns the query never uses")
   }
 
+  test("events.ts time-range filter pushes to parquet THROUGH the NTZ normalization cast") {
+    // Tables.events casts TIMESTAMP_NTZ to TimestampType; under the UTC
+    // session the cast is invertible, and Catalyst must unwrap it so a
+    // time-range predicate still reaches the scan — at 100 TB a
+    // non-pushed timestamp filter means reading the whole table
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val df = Tables.events(spark, dir)
+      .where(col("ts") > java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      .select("event_id", "ts")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(ts"),
+      s"ts range filter not pushed to the parquet scan:\n$p")
+  }
+
   test("q03 join + q05 pre-filtered dim join broadcast their small sides") {
     assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
     assert(planOf("q05_broadcast_dim_join").contains("BroadcastHashJoin"))
