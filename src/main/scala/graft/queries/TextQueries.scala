@@ -22,6 +22,15 @@ object TextQueries {
   val CmsDepth = 4
   val CmsWidth = 1024
 
+  /** t12 bigram-LM scale (scores are parts-per-million of conditional
+    * probability) and the keep floor on a document's mean bigram score —
+    * set near the synthetic corpus's median (~253k ppm) so the filter
+    * demonstrably splits; a production pipeline tunes it per corpus
+    * exactly like a perplexity cutoff.
+    */
+  val LmScale = 1000000L
+  val LmKeepMin = 250000L
+
   // ---- DuckDB twins of TextFns ----------------------------------------
 
   /** DuckDB twin of [[DedupFns.normText]] over the `text` column. */
@@ -431,6 +440,70 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // LM-based quality filtering — the CCNet/Gopher perplexity-filter
+    // shape: score every document under a character-bigram language model
+    // trained on the corpus itself, keep docs whose mean per-bigram
+    // likelihood clears a floor (real pipelines train KenLM on a clean
+    // reference corpus and threshold perplexity; the statistical shape —
+    // train counts, broadcast the model, score per token, filter on the
+    // mean — is identical). Everything is INTEGER arithmetic for
+    // cross-engine bit parity: a bigram's score is
+    // floor(n(c1c2) * 1e6 / n(c1·)) — the MLE conditional scaled to ppm —
+    // and a doc's avg_score is the floor-mean over its bigram
+    // occurrences. Scale shape: one pass builds the bigram table (a
+    // written stage, since both the LM aggregation and the scoring join
+    // consume it); the LM itself is |alphabet|^2 rows — broadcast — so
+    // scoring is a map-side join + one doc_id-keyed aggregate; nothing
+    // shuffles more than O(total chars) with map-side partial counts.
+    // n12 * 1e6 stays < 2^63 up to ~9e12 corpus bigrams per bigram key —
+    // beyond that, widen LmScale down or the counts to DECIMAL.
+    Q("t12_lm_quality",
+      s"""WITH nd AS (
+         |  SELECT doc_id, $normDocSql AS nt FROM documents
+         |),
+         |nd2 AS (SELECT doc_id, nt FROM nd WHERE len(nt) >= 2),
+         |bg AS (
+         |  SELECT doc_id, substr(nt, CAST(i AS INTEGER), 2) AS bg
+         |  FROM nd2, unnest(generate_series(1, len(nt) - 1)) AS t(i)
+         |),
+         |lm AS (SELECT bg, COUNT(*) AS n12 FROM bg GROUP BY bg),
+         |pre AS (SELECT substr(bg, 1, 1) AS c1, CAST(SUM(n12) AS BIGINT) AS n1
+         |        FROM lm GROUP BY 1),
+         |sc AS (
+         |  SELECT lm.bg, CAST(lm.n12 * $LmScale // pre.n1 AS BIGINT) AS s
+         |  FROM lm JOIN pre ON substr(lm.bg, 1, 1) = pre.c1
+         |),
+         |doc AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(sc.s) AS BIGINT) AS lm_sum
+         |  FROM bg b JOIN sc ON b.bg = sc.bg GROUP BY b.doc_id
+         |)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, lm_sum,
+         |       CAST(lm_sum // n_bigrams AS BIGINT) AS avg_score,
+         |       (lm_sum // n_bigrams) >= $LmKeepMin AS keep
+         |FROM doc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nd = Tables.documents(s, d)
+        .select(col("doc_id"), DedupFns.normText(col("text")).as("nt"))
+        // sequence(1, len-1) needs len >= 2 (Spark descends when stop < start)
+        .where(length(col("nt")) >= 2)
+      val bg = graft.operators.Stage.table(
+        nd.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(nt) - 1), i -> substring(nt, i, 2))"))
+            .as("bg")),
+        "t12_bg")
+      val lm = bg.groupBy("bg").agg(count(lit(1)).as("n12"))
+      val pre = lm.groupBy(substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum(col("n12")).as("n1"))
+      val scored = lm
+        .join(pre, substring(col("bg"), 1, 1) === col("c1"))
+        .select(col("bg"), expr(s"CAST(n12 * $LmScale DIV n1 AS BIGINT)").as("s"))
+      bg.join(broadcast(scored), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_sum"))
+        .withColumn("avg_score", expr("lm_sum DIV n_bigrams"))
+        .withColumn("keep", col("avg_score") >= LmKeepMin)
+        .orderBy("doc_id")
     }
   )
 }
