@@ -31,6 +31,12 @@ object TextQueries {
   val LmScale = 1000000L
   val LmKeepMin = 250000L
 
+  /** t13 deterministic PII fixture appended to every 25th doc (the corpus
+    * itself is PII-free); one of each pattern class, no SQL-quote chars.
+    */
+  val PiiSuffix =
+    "contact user.name+spam@example-mail.org via https://ex.org/u?id=7 or 555-123-4567"
+
   // ---- DuckDB twins of TextFns ----------------------------------------
 
   /** DuckDB twin of [[DedupFns.normText]] over the `text` column. */
@@ -503,6 +509,65 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("lm_sum"))
         .withColumn("avg_score", expr("lm_sum DIV n_bigrams"))
         .withColumn("keep", col("avg_score") >= LmKeepMin)
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing — the redaction pass every production corpus gets
+    // before training: detect emails / URLs / phone-shaped numbers,
+    // replace each with a typed placeholder token, and report per-doc
+    // match counts plus the md5 of the redacted text (the fingerprint
+    // downstream dedup would see). The synthetic corpus contains no PII,
+    // so every 25th doc gets a deterministic PII suffix injected (same
+    // dupdocs-style fixture convention as the d-family) — the counts and
+    // changed fingerprints make the oracle check non-vacuous. Patterns
+    // are RE2-safe (character classes + bounded repetition, no
+    // backreferences or lookaround) so Java regex and the oracle's RE2
+    // agree byte-for-byte; redaction order (url, then email, then phone)
+    // is fixed and identical in both engines, so overlapping matches
+    // resolve the same way. Scale shape: pure per-row expressions — one
+    // scan, map-only, no shuffle but the output order; at 100 TB this
+    // pipelines through whole-stage codegen with zero exchanges.
+    Q("t13_pii_scrub", {
+      // triple-quoted: single backslashes reach the SQL literal verbatim
+      // (DuckDB string literals are escape-free, RE2 sees \s / \. / \+)
+      val urlR = """https?://[^\s]+"""
+      val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
+      val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
+      val redacted =
+        s"""regexp_replace(regexp_replace(regexp_replace(t,
+           |  '$urlR', '<URL>', 'g'),
+           |  '$emailR', '<EMAIL>', 'g'),
+           |  '$phoneR', '<PHONE>', 'g')""".stripMargin
+      s"""WITH piidocs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' $PiiSuffix'
+         |              ELSE text END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$urlR')) AS BIGINT) AS n_url,
+         |       CAST(len(regexp_extract_all(t, '$emailR')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$phoneR')) AS BIGINT) AS n_phone,
+         |       md5($redacted) AS redacted_fp
+         |FROM piidocs ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val urlR = """https?://[^\s]+"""
+      val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
+      val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
+      val t = when(col("doc_id") % 25 === 0,
+        concat(col("text"), lit(s" $PiiSuffix"))).otherwise(col("text"))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(t, urlR, "<URL>"),
+          emailR, "<EMAIL>"),
+        phoneR, "<PHONE>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(urlR), lit(0))).cast("long").as("n_url"),
+        size(regexp_extract_all(t, lit(emailR), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(t, lit(phoneR), lit(0))).cast("long").as("n_phone"),
+        md5(redacted.cast("binary")).as("redacted_fp"))
         .orderBy("doc_id")
     }
   )

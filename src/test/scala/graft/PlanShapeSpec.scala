@@ -52,6 +52,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"ts range filter not pushed to the parquet scan:\n$p")
   }
 
+  test("t12 LM scoring joins the broadcast bigram model, never shuffling the corpus") {
+    val p = planOf("t12_lm_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t12 LM join did not broadcast the |alphabet|^2 model:\n$p")
+  }
+
+  test("t13 PII scrub is map-only: no exchange except the output sort") {
+    val p = planOf("t13_pii_scrub")
+    // one scan -> projected regex expressions -> global output sort. The
+    // sort's rangepartitioning exchange is the only legal one (the plan
+    // string repeats it in AQE's initial-plan section, so count KINDS,
+    // not occurrences); any hash exchange means the per-row pass
+    // acquired a shuffle
+    val illegal = "Exchange (?!rangepartitioning)".r.findAllIn(p).toSeq
+    assert(illegal.isEmpty, s"t13 plans a non-sort exchange:\n$p")
+    assert(p.contains("Exchange rangepartitioning"), s"expected the sort exchange in:\n$p")
+  }
+
   test("q03 join + q05 pre-filtered dim join broadcast their small sides") {
     assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
     assert(planOf("q05_broadcast_dim_join").contains("BroadcastHashJoin"))
