@@ -569,6 +569,63 @@ object TextQueries {
         size(regexp_extract_all(t, lit(phoneR), lit(0))).cast("long").as("n_phone"),
         md5(redacted.cast("binary")).as("redacted_fp"))
         .orderBy("doc_id")
+    },
+
+    // Domain-mixture reweighting (DoReMi / data-mixing shape): balance
+    // the corpus to a target mixture — here an equal CHARACTER budget per
+    // source (content-volume normalization; doc-count shares are already
+    // uniform in this corpus, char volume is not — production pipelines
+    // plug in learned target shares the same way). Each source gets
+    // weight_ppm = min(1e6, char_budget * 1e6 / source_chars),
+    // downsample-only, and a DETERMINISTIC per-doc sample hits it — the
+    // md5-uniform draw t05/t10 use, so the same doc is kept on every run
+    // and every engine. Integer arithmetic throughout. Scale shape: the
+    // per-source char count is a map-side-combined aggregate, the weight
+    // table is |sources| rows riding a broadcast join back onto the
+    // corpus, the keep decision is a per-row hash compare, and the final
+    // per-source rollup is a uniform-key aggregate — nothing shuffles
+    // more than one pass of partial counts at any corpus size.
+    Q("t14_source_mixture",
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM documents GROUP BY source
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(chars) AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM cnt
+         |),
+         |w AS (
+         |  SELECT source, n_docs, chars,
+         |         CAST(LEAST(1000000, (c // ns) * 1000000 // chars) AS BIGINT) AS weight_ppm
+         |  FROM cnt CROSS JOIN tot
+         |)
+         |SELECT d.source, w.n_docs, w.chars, w.weight_ppm,
+         |       CAST(COUNT(CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+         |                            % 1000000 < w.weight_ppm THEN 1 END) AS BIGINT) AS n_sampled
+         |FROM documents d JOIN w ON d.source = w.source
+         |GROUP BY d.source, w.n_docs, w.chars, w.weight_ppm
+         |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val cnt = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = cnt.agg(sum(col("chars")).as("c"), count(lit(1)).as("ns"))
+        .withColumn("j", lit(1))
+      val w = cnt.withColumn("j", lit(1))
+        .join(broadcast(tot), Seq("j")) // one-row scalar broadcast, as q26/t08
+        .withColumn("weight_ppm",
+          least(lit(1000000L), expr("(c DIV ns) * 1000000 DIV chars")))
+        .select("source", "n_docs", "chars", "weight_ppm")
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 1000000L
+      docs.join(broadcast(w), Seq("source"))
+        .groupBy("source")
+        .agg(
+          min(col("n_docs")).as("n_docs"),         // constant per source
+          min(col("chars")).as("chars"),           // constant per source
+          min(col("weight_ppm")).as("weight_ppm"), // constant per source
+          count(when(u < col("weight_ppm"), 1)).as("n_sampled"))
+        .orderBy("source")
     }
   )
 }
