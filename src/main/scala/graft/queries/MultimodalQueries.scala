@@ -11,6 +11,16 @@ import graft.{Q, Tables}
   */
 object MultimodalQueries {
 
+  /** mm04 stub-decode size: the leading bytes standing in for grayscale
+    * pixels, and the aHash bit width.
+    */
+  val AHashPixels = 64
+
+  /** mm04 duplicate-injection id offset — ≡ 0 mod 3 so an injected copy
+    * keeps the image kind routing, and far above any real doc_id.
+    */
+  val MmDupOffset = 300000L
+
   val entries: Seq[Q] = Seq(
 
     // Binary metadata per kind: payload byte sizes + per-kind counts.
@@ -101,6 +111,103 @@ object MultimodalQueries {
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
         .orderBy("media_id")
+    },
+
+    // Image near-dup via perceptual hash — the multimodal twin of d03's
+    // banded SimHash search, composing the two families: stub-decode the
+    // "image" payloads (first [[AHashPixels]] sanitized bytes stand in for
+    // grayscale pixels; a real decoder swaps into the same slot), compute
+    // a 64-bit average-hash (bit i = pixel i above the image's own
+    // floor-mean), band the hash into 4 x 16-bit keys, self-join on
+    // (band, key), and verify candidates by exact Hamming distance — the
+    // banding bounds every bucket, so image dedup at corpus scale never
+    // goes all-pairs, exactly like the text detectors. Every 30th image
+    // is injected as an exact duplicate (id + [[MmDupOffset]], which is
+    // ≡ 0 mod 3 so the copy routes as an image too) to keep the check
+    // non-vacuous; integer arithmetic end to end.
+    Q("mm04_image_neardup", {
+      val bandRows = (0 until DedupQueries.SimhashBands).map(b =>
+        s"  SELECT doc_id, $b AS band, substring(sig, ${b * DedupQueries.SimhashBandBits + 1}, ${DedupQueries.SimhashBandBits}) AS key FROM s")
+        .mkString(" UNION ALL\n")
+      val ham = (a: String, b: String) =>
+        s"CAST(list_sum(list_transform(generate_series(1, $AHashPixels), i -> CASE WHEN substring($a, i, 1) <> substring($b, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ct
+         |  FROM documents WHERE doc_id % 3 = 0
+         |),
+         |imgs AS (
+         |  SELECT doc_id, ct FROM cleaned
+         |  UNION ALL
+         |  SELECT doc_id + $MmDupOffset AS doc_id, ct FROM cleaned WHERE doc_id % 30 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * MmDupOffset} AS doc_id, 'Z' || substring(ct, 2) AS ct
+         |  FROM cleaned WHERE doc_id % 60 = 0
+         |),
+         |px AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, $AHashPixels),
+         |                        i -> ascii(substring(ct, CAST(i AS INTEGER), 1))) AS pxs
+         |  FROM imgs WHERE len(ct) >= $AHashPixels
+         |),
+         |m AS (SELECT doc_id, pxs, CAST(list_sum(pxs) AS BIGINT) // $AHashPixels AS mu FROM px),
+         |s AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(pxs, p -> CASE WHEN p > mu THEN '1' ELSE '0' END), '') AS sig
+         |  FROM m
+         |),
+         |bands AS (
+         |$bandRows
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                           AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b, ${ham("x.sig", "y.sig")} AS hamming
+         |FROM cand c JOIN s x ON c.doc_a = x.doc_id JOIN s y ON c.doc_b = y.doc_id
+         |WHERE ${ham("x.sig", "y.sig")} <= ${DedupQueries.HammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      graft.GraftNative.ensure(s)
+      val cleaned = Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("ct"))
+      val imgs = cleaned
+        .unionByName(cleaned.where(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + MmDupOffset).as("doc_id"), col("ct")))
+        // a TRUE near-dup per 60th image: first pixel perturbed, so its
+        // aHash differs in a few bits — the hamming-verify path is
+        // exercised at nonzero distance, not just on exact copies
+        .unionByName(cleaned.where(col("doc_id") % 60 === 0)
+          .select((col("doc_id") + 2 * MmDupOffset).as("doc_id"),
+            concat(lit("Z"), expr("substring(ct, 2, length(ct))")).as("ct")))
+      val sig = graft.operators.Stage.table(
+        imgs.where(length(col("ct")) >= AHashPixels)
+          .withColumn("pxs",
+            expr(s"transform(sequence(1, $AHashPixels), i -> ascii(substring(ct, i, 1)))"))
+          .withColumn("mu", expr(s"aggregate(pxs, 0L, (a, x) -> a + x) DIV $AHashPixels"))
+          .select(col("doc_id"),
+            expr("concat_ws('', transform(pxs, p -> CASE WHEN p > mu THEN '1' ELSE '0' END))")
+              .as("sig")),
+        "mm04_sig")
+      val bands = sig.select(col("doc_id"), posexplode(
+          array((0 until DedupQueries.SimhashBands).map(b =>
+            substring(col("sig"), b * DedupQueries.SimhashBandBits + 1,
+              DedupQueries.SimhashBandBits)): _*))
+          .as(Seq("band", "key")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .withColumn("hamming", graft.GraftNative.hamming(col("sig_a"), col("sig_b")))
+        .where(col("hamming") <= DedupQueries.HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
