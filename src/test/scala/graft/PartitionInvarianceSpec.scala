@@ -29,7 +29,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "d13_chunk_dedup",        // staged chunk hash + df join-back
     "t11_skipgram_pairs",     // tie-broken top-k limit over pair counts
     "e10_event_paths",        // ordered collect_list (the nondeterminism trap)
-    "d16_semantic_prune")     // components + centroid agg + keep window
+    "d16_semantic_prune",     // components + centroid agg + keep window
+    "t12_lm_quality",         // staged bigram table + broadcast LM join
+    "mm04_image_neardup")     // aHash banding self-join + hamming verify
 
   private def canonical(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
