@@ -374,6 +374,42 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(20)
+    },
+
+    // Burst / anomaly detection over the hourly series: flag hours whose
+    // event count exceeds 2x the trailing-24h average — the monitoring
+    // query every ingest pipeline runs over its own throughput, and the
+    // shape of "did a crawler dump a spike into this snapshot". The
+    // comparison is INTEGER (count * 24 > 2 * trailing_sum over full
+    // windows only), so both engines agree exactly; partial leading
+    // windows (fewer than 24 prior hours) are never flagged — a burst
+    // needs a full day of context. Scale shape: the raw scan collapses to
+    // an hourly aggregate FIRST (map-side partials onto |hours| rows —
+    // tiny), and the sliding window runs over that series, never over
+    // events; a years-long series is still only ~10k rows.
+    Q("e11_burst_detect",
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT h, n,
+        |         CAST(SUM(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
+        |         CAST(COUNT(*) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
+        |  FROM hourly
+        |)
+        |SELECT h, n, prev_sum,
+        |       (prev_n = 24 AND n * 24 > 2 * prev_sum) AS burst
+        |FROM w ORDER BY h""".stripMargin) { (s, d) =>
+      val trailing = Window.orderBy(col("h")).rowsBetween(-24, -1)
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_sum", sum(col("n")).over(trailing))
+        .withColumn("prev_n", count(lit(1)).over(trailing))
+        .select(col("h"), col("n"), col("prev_sum"),
+          (col("prev_n") === 24 && col("n") * 24 > col("prev_sum") * 2).as("burst"))
+        .orderBy("h")
     }
   )
 }

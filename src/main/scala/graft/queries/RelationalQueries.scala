@@ -791,6 +791,81 @@ object RelationalQueries {
           min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"))
         .orderBy("c_mktsegment", "quartile")
+    },
+
+    // Data-quality expectation suite (the Deequ/Great-Expectations shape):
+    // one pass emits a (check, n_checked, n_violations) row per rule —
+    // referential integrity via anti-join counts, null-rate, range, and
+    // column-consistency rules — the gate a production pipeline evaluates
+    // before promoting a snapshot, and the natural producer for the K4
+    // error channel. Scale shape: every FK rule is an aggregate over an
+    // anti-join (broadcast when the parent side is a dim, shuffled
+    // hash otherwise), every row rule is a map-side conditional count;
+    // the union glues together one-row results. A rule passing with 0
+    // violations is the healthy steady state — the tight quantity rule
+    // is deliberately violated so the nonzero path stays exercised.
+    Q("q33_dq_checks",
+      """SELECT 'nation_region_fk' AS check_name,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_checked,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+        |        WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS n_violations
+        |UNION ALL
+        |SELECT 'orders_customer_fk',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem_qty_positive',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE NOT (l_quantity > 0))
+        |UNION ALL
+        |SELECT 'lineitem_qty_at_most_25',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE NOT (l_quantity <= 25))
+        |UNION ALL
+        |SELECT 'orders_totalprice_nonnull',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice IS NULL)
+        |UNION ALL
+        |SELECT 'documents_nchars_consistent',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE n_chars <> len(text))
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      def rule(name: String, checked: org.apache.spark.sql.DataFrame,
+               violations: org.apache.spark.sql.DataFrame) = {
+        val n = checked.agg(count(lit(1)).as("n_checked")).withColumn("j", lit(1))
+        violations.agg(count(lit(1)).as("n_violations")).withColumn("j", lit(1))
+          .join(broadcast(n), Seq("j")) // two one-row aggregates glued
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      }
+      val nation = Tables.nation(s, d); val region = Tables.region(s, d)
+      val orders = Tables.orders(s, d); val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d); val documents = Tables.documents(s, d)
+      Seq(
+        rule("nation_region_fk", nation,
+          nation.join(broadcast(region),
+            nation("n_regionkey") === region("r_regionkey"), "left_anti")),
+        rule("orders_customer_fk", orders,
+          orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left_anti")),
+        rule("lineitem_orders_fk", lineitem,
+          lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
+        rule("lineitem_qty_positive", lineitem,
+          lineitem.where(!(col("l_quantity") > 0))),
+        rule("lineitem_qty_at_most_25", lineitem,
+          lineitem.where(!(col("l_quantity") <= 25))),
+        rule("orders_totalprice_nonnull", orders,
+          orders.where(col("o_totalprice").isNull)),
+        rule("documents_nchars_consistent", documents,
+          documents.where(col("n_chars") =!= length(col("text")))))
+        .reduce(_ unionByName _)
+        .orderBy("check_name")
     }
   )
 }
