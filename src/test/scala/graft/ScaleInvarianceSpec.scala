@@ -152,6 +152,26 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assert(actual.nonEmpty, "e05 returned no rows — vacuous equivariance")
   }
 
+  test("e11 burst flags are invariant and counts scale by exactly N under replication") {
+    // replication multiplies every hourly count AND every trailing sum by
+    // N, so the integer comparison n*24 > 2*prev_sum is scale-free: the
+    // flagged hours must be IDENTICAL, with n and prev_sum exactly N x
+    val key = (r: org.apache.spark.sql.Row) => r.getTimestamp(0)
+    val orig = run("e11_burst_detect", src).collect()
+      .map(r => key(r) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3))).toMap
+    val scaled = run("e11_burst_detect", evDir).collect()
+      .map(r => key(r) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(scaled.keySet == orig.keySet, "hourly grid drifted under replication")
+    val bad = orig.collect {
+      case (h, (n, ps, b)) if scaled(h) != ((n * Factor,
+        if (ps < 0) -1L else ps * Factor, b)) => (h, (n, ps, b), scaled(h))
+    }
+    assert(bad.isEmpty, s"burst series not exactly ${Factor}x-equivariant: ${bad.take(3)}")
+    assert(orig.values.exists(_._3), "no burst flagged — vacuous invariance")
+  }
+
   test("e06 cohort retention counts scale by exactly N under user replication") {
     // users are disjoint across replicas with identical activity patterns,
     // so every (cohort_day, day_offset) cell's distinct-user count is
