@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-smoke data builder: replicates the driver-generated `documents`
-  * and/or `embeddings` tables N-fold so the dedup/ANN families can be
-  * exercised above the largest generated scale factor (the quadratic
-  * guards — df caps, band indexes, the `EmbMaxCell` oversized-cell
-  * sub-bucketing — are argued in the plans but need recorded runs at
-  * 10-30x rows).
+/** Scale-smoke data builder: replicates the driver-generated `documents`,
+  * `embeddings`, and/or `events` tables N-fold so the dedup/ANN/event
+  * families can be exercised above the largest generated scale factor
+  * (the quadratic guards — df caps, band indexes, the `EmbMaxCell`
+  * oversized-cell sub-bucketing — are argued in the plans but need
+  * recorded runs at 10-30x rows; the event replication additionally
+  * backs the e03/e05/e06/e11 equivariance contracts).
   *
   * Both replications are duplication-neutral — replica 0 is the original
   * table byte-for-byte, and replicas do not alias each other:
@@ -44,8 +45,8 @@ import org.apache.spark.sql.functions._
   * the `BatchIdOffset` guard at the factors used here.
   *
   * Usage: `runMain graft.ScaleData <srcSfDir> <outDir> <factor> [tables]`
-  * where `tables` is a comma list out of `documents,embeddings`
-  * (default: both, skipping ones absent from `srcSfDir`).
+  * where `tables` is a comma list out of `documents,embeddings,events`
+  * (default: all three, skipping ones absent from `srcSfDir`).
   */
 object ScaleData {
 
@@ -134,15 +135,15 @@ object ScaleData {
     def exists(name: String): Boolean =
       new java.io.File(s"$srcDir/$name.parquet").exists()
 
+    // all three go through the normalizing Tables loaders, so a replica
+    // is written with the canonical engine-facing schema whatever the
+    // source's physical encoding was (binary text, float64 embeddings,
+    // NTZ/nanos timestamps)
     if (tables("documents") && exists("documents"))
-      write(scaleDocuments(
-        spark.read.parquet(s"$srcDir/documents.parquet"), factor), "documents")
+      write(scaleDocuments(Tables.documents(spark, srcDir), factor), "documents")
     if (tables("embeddings") && exists("embeddings"))
-      write(scaleEmbeddings(
-        spark.read.parquet(s"$srcDir/embeddings.parquet"), factor), "embeddings")
+      write(scaleEmbeddings(Tables.embeddings(spark, srcDir), factor), "embeddings")
     if (tables("events") && exists("events"))
-      // through the normalizing loader: the replica is written with a
-      // canonical TimestampType ts whatever the source encoding was
       write(scaleEvents(Tables.events(spark, srcDir), factor), "events")
 
     spark.stop()

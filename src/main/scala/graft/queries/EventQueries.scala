@@ -380,31 +380,49 @@ object EventQueries {
     // event count exceeds 2x the trailing-24h average — the monitoring
     // query every ingest pipeline runs over its own throughput, and the
     // shape of "did a crawler dump a spike into this snapshot". The
-    // comparison is INTEGER (count * 24 > 2 * trailing_sum over full
-    // windows only), so both engines agree exactly; partial leading
+    // series is GAP-FILLED onto the complete hour spine first (e08's
+    // sequence()-derived grid, zero-filled), so "24 PRECEDING" means 24
+    // WALL-CLOCK hours — an ingest pause contributes zeros to the
+    // baseline instead of silently stretching the window onto days-old
+    // rows. The comparison is INTEGER (count * 24 > 2 * trailing_sum over
+    // full windows only), so both engines agree exactly; partial leading
     // windows (fewer than 24 prior hours) are never flagged — a burst
     // needs a full day of context. Scale shape: the raw scan collapses to
     // an hourly aggregate FIRST (map-side partials onto |hours| rows —
-    // tiny), and the sliding window runs over that series, never over
-    // events; a years-long series is still only ~10k rows.
+    // tiny), and the spine join + sliding window run over that series,
+    // never over events; a years-long series is still only ~10k rows.
     Q("e11_burst_detect",
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1
         |),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+        |),
+        |grid AS (
+        |  SELECT s.h, COALESCE(hourly.n, 0) AS n
+        |  FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+        |),
         |w AS (
         |  SELECT h, n,
         |         CAST(SUM(n) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
         |         CAST(COUNT(*) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
-        |  FROM hourly
+        |  FROM grid
         |)
         |SELECT h, n, prev_sum,
         |       (prev_n = 24 AND n * 24 > 2 * prev_sum) AS burst
         |FROM w ORDER BY h""".stripMargin) { (s, d) =>
-      val trailing = Window.orderBy(col("h")).rowsBetween(-24, -1)
-      Tables.events(s, d)
+      val hourly = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
+      val spine = hourly
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val trailing = Window.orderBy(col("h")).rowsBetween(-24, -1)
+      spine.join(hourly, Seq("h"), "left")
+        .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
         .withColumn("prev_sum", sum(col("n")).over(trailing))
         .withColumn("prev_n", count(lit(1)).over(trailing))
         .select(col("h"), col("n"), col("prev_sum"),

@@ -17,9 +17,31 @@ object MultimodalQueries {
   val AHashPixels = 64
 
   /** mm04 duplicate-injection id offset — ≡ 0 mod 3 so an injected copy
-    * keeps the image kind routing, and far above any real doc_id.
+    * keeps the image kind routing, and far above any real doc_id (the
+    * loud-failure guard below enforces that, same convention as the
+    * d-family's BatchIdOffset guard). Note mm04's %3 kind routing does
+    * NOT survive `ScaleData.scaleDocuments` replication (the replica id
+    * step is a multiple of 100, and 100 % 3 != 0), so mm04 is excluded
+    * from the documents equivariance contract by design.
     */
   val MmDupOffset = 300000L
+
+  // one-time (per JVM, per dataset dir) max-id guard: a corpus whose real
+  // doc_ids reach MmDupOffset must FAIL, not silently alias injected
+  // copies with real documents (driver-side max, not in-plan assert_true —
+  // see DedupQueries.assertIdsBelowOffset for why)
+  private val mmOffsetChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def assertIdsBelowMmOffset(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+    mmOffsetChecked.computeIfAbsent(
+      s"$what|${System.identityHashCode(df.sparkSession)}", _ => {
+        val mx = Option(df.agg(max(col("doc_id"))).head.get(0)).fold(-1L)(_.toString.toLong)
+        // mx < MmDupOffset also keeps the two injected ranges disjoint
+        // (Off + mx < 2*Off ⟺ mx < Off)
+        require(mx < MmDupOffset,
+          s"$what.doc_id max=$mx must stay below MmDupOffset=$MmDupOffset " +
+            "or mm04's injected duplicate ids alias real documents")
+        "ok"
+      })
 
   val entries: Seq[Q] = Seq(
 
@@ -169,7 +191,9 @@ object MultimodalQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
       graft.GraftNative.ensure(s)
-      val cleaned = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      assertIdsBelowMmOffset(docs, s"documents@$d")
+      val cleaned = docs
         .where(col("doc_id") % 3 === 0)
         .select(col("doc_id"),
           regexp_replace(col("text"), "[^ -~]", "").as("ct"))

@@ -836,33 +836,38 @@ object RelationalQueries {
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE n_chars <> len(text))
         |ORDER BY check_name""".stripMargin) { (s, d) =>
-      def rule(name: String, checked: org.apache.spark.sql.DataFrame,
-               violations: org.apache.spark.sql.DataFrame) = {
-        val n = checked.agg(count(lit(1)).as("n_checked")).withColumn("j", lit(1))
-        violations.agg(count(lit(1)).as("n_violations")).withColumn("j", lit(1))
-          .join(broadcast(n), Seq("j")) // two one-row aggregates glued
-          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
-      }
       val nation = Tables.nation(s, d); val region = Tables.region(s, d)
       val orders = Tables.orders(s, d); val customer = Tables.customer(s, d)
       val lineitem = Tables.lineitem(s, d); val documents = Tables.documents(s, d)
+      // each table's n_checked is ONE one-row aggregate, shared by every
+      // rule over that table — three lineitem rules must not mean three
+      // full count scans of the biggest table
+      def countOf(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_checked")).withColumn("j", lit(1))
+      val nNation = countOf(nation); val nOrders = countOf(orders)
+      val nLineitem = countOf(lineitem); val nDocuments = countOf(documents)
+      def rule(name: String, nChecked: org.apache.spark.sql.DataFrame,
+               violations: org.apache.spark.sql.DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations")).withColumn("j", lit(1))
+          .join(broadcast(nChecked), Seq("j")) // two one-row aggregates glued
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
       Seq(
-        rule("nation_region_fk", nation,
+        rule("nation_region_fk", nNation,
           nation.join(broadcast(region),
             nation("n_regionkey") === region("r_regionkey"), "left_anti")),
-        rule("orders_customer_fk", orders,
+        rule("orders_customer_fk", nOrders,
           orders.join(customer,
             orders("o_custkey") === customer("c_custkey"), "left_anti")),
-        rule("lineitem_orders_fk", lineitem,
+        rule("lineitem_orders_fk", nLineitem,
           lineitem.join(orders,
             lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
-        rule("lineitem_qty_positive", lineitem,
+        rule("lineitem_qty_positive", nLineitem,
           lineitem.where(!(col("l_quantity") > 0))),
-        rule("lineitem_qty_at_most_25", lineitem,
+        rule("lineitem_qty_at_most_25", nLineitem,
           lineitem.where(!(col("l_quantity") <= 25))),
-        rule("orders_totalprice_nonnull", orders,
+        rule("orders_totalprice_nonnull", nOrders,
           orders.where(col("o_totalprice").isNull)),
-        rule("documents_nchars_consistent", documents,
+        rule("documents_nchars_consistent", nDocuments,
           documents.where(col("n_chars") =!= length(col("text")))))
         .reduce(_ unionByName _)
         .orderBy("check_name")

@@ -530,7 +530,7 @@ object TextQueries {
     Q("t13_pii_scrub", {
       // triple-quoted: single backslashes reach the SQL literal verbatim
       // (DuckDB string literals are escape-free, RE2 sees \s / \. / \+)
-      val urlR = """https?://[^\s]+"""
+      val urlR = """https?://[^ \t\n\r\f]+"""
       val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
       val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
       val redacted =
@@ -552,7 +552,7 @@ object TextQueries {
          |       md5($redacted) AS redacted_fp
          |FROM piidocs ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val urlR = """https?://[^\s]+"""
+      val urlR = """https?://[^ \t\n\r\f]+"""
       val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
       val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
       val t = when(col("doc_id") % 25 === 0,
@@ -597,7 +597,7 @@ object TextQueries {
          |),
          |w AS (
          |  SELECT source, n_docs, chars,
-         |         CAST(LEAST(1000000, (c // ns) * 1000000 // chars) AS BIGINT) AS weight_ppm
+         |         CAST(LEAST(1000000, (CAST(c AS HUGEINT) // ns) * 1000000 // chars) AS BIGINT) AS weight_ppm
          |  FROM cnt CROSS JOIN tot
          |)
          |SELECT d.source, w.n_docs, w.chars, w.weight_ppm,
@@ -613,8 +613,14 @@ object TextQueries {
         .withColumn("j", lit(1))
       val w = cnt.withColumn("j", lit(1))
         .join(broadcast(tot), Seq("j")) // one-row scalar broadcast, as q26/t08
+        // budget * 1e6 would overflow Long once the per-source character
+        // budget passes ~9.2e12 (~9 TB of text) — inside this engine's
+        // design scale — so the product runs in DECIMAL(38,0) (HUGEINT on
+        // the oracle side): exact integer floors, bit-identical engines,
+        // no silent wrap
         .withColumn("weight_ppm",
-          least(lit(1000000L), expr("(c DIV ns) * 1000000 DIV chars")))
+          least(lit(1000000L), expr(
+            "CAST(FLOOR(CAST(c DIV ns AS DECIMAL(38,0)) * 1000000 / chars) AS BIGINT)")))
         .select("source", "n_docs", "chars", "weight_ppm")
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("long") % 1000000L

@@ -148,6 +148,20 @@ object UpsertStreams {
                 (onOutcomes: (Dataset[UpsertOutcome], Long) => Unit): Boolean =
     if (ledger.committed(streamId, epochId)) false
     else {
+      // Fail BEFORE any side effect if the stage root cannot be shared
+      // across the cluster: Stage's unset-stageDir fallback is a
+      // driver-local tmp path, so on a multi-node master the executors'
+      // outcome writes would land on their own local disks and the
+      // read-back would fail AFTER the UPDATEs ran — a retry storm.
+      // Local masters (one machine) share the path and stay zero-config.
+      val sc = batch.sparkSession.sparkContext
+      require(sc.isLocal ||
+          batch.sparkSession.conf.getOption(graft.operators.Stage.StageDirKey)
+            .exists(_.nonEmpty),
+        s"writeStreamExactlyOnce on a cluster requires " +
+          s"${graft.operators.Stage.StageDirKey} to point at storage all " +
+          "executors and the driver can reach (hdfs://, s3a://, ...); the " +
+          "local-tmp fallback is only valid for local masters")
       // the one execution of the side-effecting write: the parquet write
       // action below drives JdbcUpsert's per-partition statements exactly
       // once, and the returned frame is a scan of the written outcomes
