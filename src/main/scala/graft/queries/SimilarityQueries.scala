@@ -440,6 +440,24 @@ object SimilarityQueries {
       knn(s, d, sameCellOnly = true)
     },
 
+    // Filtered ANN — vector search under a metadata predicate (the
+    // vector-db "filtered search" problem; vec_id parity stands in for a
+    // metadata attribute). The filter applies BEFORE ranking
+    // (PRE-filtering): top-k is exact over the eligible subset, whereas
+    // post-filtering an unfiltered top-k silently returns fewer than k
+    // rows and misses eligible neighbors ranked k+1 and beyond. At scale
+    // the predicate is a plain Catalyst filter on the candidate scan —
+    // pushed below the probe join, pruning before any distance math.
+    Q("v09_knn_filtered", knnSql("AND c.vec_id % 2 = 0")) { (s, d) =>
+      val qv = quantized(s, d)
+      val probes = qv.where(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      scoreAndRank(
+        qv.where(col("vec_id") % 2 === 0) // metadata filter BEFORE the join
+          .join(broadcast(probes), col("vec_id") =!= col("probe_id")))
+    },
+
     // LSH-bucketed: search only the probe's random-hyperplane bucket.
     Q("v04_knn_lsh",
       s"""WITH $qvSql,
