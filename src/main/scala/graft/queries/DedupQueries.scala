@@ -44,14 +44,24 @@ object DedupQueries {
     * ids >= offset (d09's component map), misfiring the assert.
     */
   private val offsetChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The parameterized form, shared with the mm-family's injection guard
+    * (same memo scheme, same driver-side max): `why` completes the
+    * failure message after "must stay below offset=N or ".
+    */
+  private[queries] def assertIdsBelow(df: DataFrame, idCol: String, what: String,
+                                      offset: Long, why: String): Unit =
+    offsetChecked.computeIfAbsent(
+      s"$what|$offset|${System.identityHashCode(df.sparkSession)}", _ => {
+        val mx = Option(df.agg(max(col(idCol))).head.get(0)).fold(-1L)(_.toString.toLong)
+        require(mx < offset,
+          s"$what.$idCol max=$mx must stay below offset=$offset or $why")
+        "ok"
+      })
+
   private def assertIdsBelowOffset(df: DataFrame, idCol: String, what: String): Unit =
-    offsetChecked.computeIfAbsent(s"$what|${System.identityHashCode(df.sparkSession)}", _ => {
-      val mx = Option(df.agg(max(col(idCol))).head.get(0)).fold(-1L)(_.toString.toLong)
-      require(mx < BatchIdOffset,
-        s"$what.$idCol max=$mx must stay below BatchIdOffset=$BatchIdOffset " +
-          "or d14's incremental batch/corpus split misclassifies")
-      "ok"
-    })
+    assertIdsBelow(df, idCol, what, BatchIdOffset,
+      "d14's incremental batch/corpus split misclassifies")
 
   /** documents + exact-dup copies of every 10th doc (id+[[BatchIdOffset]]). */
   private def dupDocs(s: SparkSession, d: String): DataFrame = {

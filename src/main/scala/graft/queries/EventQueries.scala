@@ -391,6 +391,10 @@ object EventQueries {
     // an hourly aggregate FIRST (map-side partials onto |hours| rows —
     // tiny), and the spine join + sliding window run over that series,
     // never over events; a years-long series is still only ~10k rows.
+    // The spine spans min(ts)..max(ts), so ONE corrupt far-future
+    // timestamp would inflate it (same exposure as e08's grid, and
+    // identically in the oracle) — q33's events_ts_in_range rule is the
+    // loud upstream catch; run the DQ suite before the time-series ones.
     Q("e11_burst_detect",
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n

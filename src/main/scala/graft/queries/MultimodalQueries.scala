@@ -28,20 +28,13 @@ object MultimodalQueries {
 
   // one-time (per JVM, per dataset dir) max-id guard: a corpus whose real
   // doc_ids reach MmDupOffset must FAIL, not silently alias injected
-  // copies with real documents (driver-side max, not in-plan assert_true —
-  // see DedupQueries.assertIdsBelowOffset for why)
-  private val mmOffsetChecked = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // copies with real documents. Shares DedupQueries' parameterized guard
+  // (driver-side max, memoized — see its doc for why not in-plan
+  // assert_true); mx < MmDupOffset also keeps the two injected ranges
+  // disjoint (Off + mx < 2*Off ⟺ mx < Off).
   private def assertIdsBelowMmOffset(df: org.apache.spark.sql.DataFrame, what: String): Unit =
-    mmOffsetChecked.computeIfAbsent(
-      s"$what|${System.identityHashCode(df.sparkSession)}", _ => {
-        val mx = Option(df.agg(max(col("doc_id"))).head.get(0)).fold(-1L)(_.toString.toLong)
-        // mx < MmDupOffset also keeps the two injected ranges disjoint
-        // (Off + mx < 2*Off ⟺ mx < Off)
-        require(mx < MmDupOffset,
-          s"$what.doc_id max=$mx must stay below MmDupOffset=$MmDupOffset " +
-            "or mm04's injected duplicate ids alias real documents")
-        "ok"
-      })
+    DedupQueries.assertIdsBelow(df, "doc_id", what, MmDupOffset,
+      "mm04's injected duplicate ids alias real documents")
 
   val entries: Seq[Q] = Seq(
 

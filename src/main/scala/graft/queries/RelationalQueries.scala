@@ -835,13 +835,21 @@ object RelationalQueries {
         |SELECT 'documents_nchars_consistent',
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE n_chars <> len(text))
+        |UNION ALL
+        |SELECT 'events_ts_in_range',
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |        WHERE ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2030-01-01' OR ts IS NULL)
         |ORDER BY check_name""".stripMargin) { (s, d) =>
       val nation = Tables.nation(s, d); val region = Tables.region(s, d)
       val orders = Tables.orders(s, d); val customer = Tables.customer(s, d)
       val lineitem = Tables.lineitem(s, d); val documents = Tables.documents(s, d)
-      // each table's n_checked is ONE one-row aggregate, shared by every
-      // rule over that table — three lineitem rules must not mean three
-      // full count scans of the biggest table
+      val events = Tables.events(s, d)
+      // each table's n_checked aggregate is hoisted and shared by every
+      // rule over that table; the actual scan dedup comes from Spark's
+      // ReuseExchange over the canonically-identical one-row aggregates —
+      // the hoisting makes that identity obvious to the reader (and keeps
+      // it canonical under future edits), it is not itself the mechanism
       def countOf(df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n_checked")).withColumn("j", lit(1))
       val nNation = countOf(nation); val nOrders = countOf(orders)
@@ -868,7 +876,15 @@ object RelationalQueries {
         rule("orders_totalprice_nonnull", nOrders,
           orders.where(col("o_totalprice").isNull)),
         rule("documents_nchars_consistent", nDocuments,
-          documents.where(col("n_chars") =!= length(col("text")))))
+          documents.where(col("n_chars") =!= length(col("text")))),
+        // timestamp sanity gates the time-series queries: e08/e11 build
+        // an hour spine from min(ts) to max(ts), so one corrupt
+        // far-future sentinel would blow the spine up to millions of
+        // rows — this rule is the loud upstream catch for that
+        rule("events_ts_in_range", countOf(events),
+          events.where(col("ts") < lit("2020-01-01").cast("timestamp") ||
+            col("ts") >= lit("2030-01-01").cast("timestamp") ||
+            col("ts").isNull)))
         .reduce(_ unionByName _)
         .orderBy("check_name")
     }

@@ -349,17 +349,24 @@ object SimilarityQueries {
     rerankAndRecall(s, d, adc)
   }
 
-  private def knn(s: SparkSession, d: String, sameCellOnly: Boolean): DataFrame = {
+  /** Brute/IVF/filtered top-k from one body: `candidateFilter` restricts
+    * the ELIGIBLE candidate set BEFORE the probe join (v09's metadata
+    * pre-filter); `sameCellOnly` restricts the search to the probe's cell
+    * (v02's IVF form).
+    */
+  private def knn(s: SparkSession, d: String, sameCellOnly: Boolean,
+                  candidateFilter: Option[Column] = None): DataFrame = {
     val qv = quantized(s, d)
     val probes = qv.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
         col("q").as("p_q"), col("n2").as("p_n2"))
+    val cands = candidateFilter.fold(qv)(qv.where)
     scoreAndRank(
       if (sameCellOnly)
-        qv.join(broadcast(probes), col("label") === col("p_label") &&
+        cands.join(broadcast(probes), col("label") === col("p_label") &&
           col("vec_id") =!= col("probe_id"))
       else
-        qv.join(broadcast(probes), col("vec_id") =!= col("probe_id")))
+        cands.join(broadcast(probes), col("vec_id") =!= col("probe_id")))
   }
 
   /** The exact brute-force top-K (the recall denominator) as a memoized
@@ -449,13 +456,8 @@ object SimilarityQueries {
     // the predicate is a plain Catalyst filter on the candidate scan —
     // pushed below the probe join, pruning before any distance math.
     Q("v09_knn_filtered", knnSql("AND c.vec_id % 2 = 0")) { (s, d) =>
-      val qv = quantized(s, d)
-      val probes = qv.where(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("probe_id"),
-          col("q").as("p_q"), col("n2").as("p_n2"))
-      scoreAndRank(
-        qv.where(col("vec_id") % 2 === 0) // metadata filter BEFORE the join
-          .join(broadcast(probes), col("vec_id") =!= col("probe_id")))
+      knn(s, d, sameCellOnly = false,
+        candidateFilter = Some(col("vec_id") % 2 === 0))
     },
 
     // LSH-bucketed: search only the probe's random-hyperplane bucket.

@@ -616,11 +616,13 @@ object TextQueries {
         // budget * 1e6 would overflow Long once the per-source character
         // budget passes ~9.2e12 (~9 TB of text) — inside this engine's
         // design scale — so the product runs in DECIMAL(38,0) (HUGEINT on
-        // the oracle side): exact integer floors, bit-identical engines,
-        // no silent wrap
+        // the oracle side). Integral DIV, not `/`+FLOOR: Spark's decimal
+        // `/` rounds HALF_UP at scale 6 BEFORE a floor could run, which
+        // diverges from DuckDB's exact `//` when the true fraction is
+        // ≥ .9999995; IntegralDivide on the decimal is exact
         .withColumn("weight_ppm",
           least(lit(1000000L), expr(
-            "CAST(FLOOR(CAST(c DIV ns AS DECIMAL(38,0)) * 1000000 / chars) AS BIGINT)")))
+            "CAST(CAST(c DIV ns AS DECIMAL(38,0)) * 1000000 DIV chars AS BIGINT)")))
         .select("source", "n_docs", "chars", "weight_ppm")
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("long") % 1000000L

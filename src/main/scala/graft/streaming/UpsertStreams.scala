@@ -153,9 +153,11 @@ object UpsertStreams {
       // driver-local tmp path, so on a multi-node master the executors'
       // outcome writes would land on their own local disks and the
       // read-back would fail AFTER the UPDATEs ran — a retry storm.
-      // Local masters (one machine) share the path and stay zero-config.
+      // Single-machine masters share the path and stay zero-config —
+      // including local-cluster[...] (multi-JVM, one host), which is why
+      // this tests master's prefix rather than sc.isLocal.
       val sc = batch.sparkSession.sparkContext
-      require(sc.isLocal ||
+      require(sc.master.startsWith("local") ||
           batch.sparkSession.conf.getOption(graft.operators.Stage.StageDirKey)
             .exists(_.nonEmpty),
         s"writeStreamExactlyOnce on a cluster requires " +
