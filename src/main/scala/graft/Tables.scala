@@ -46,10 +46,22 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     val df = load(s, d, "events")
+    // Both rebase paths below are value-preserving only under a UTC session:
+    // timestamp_micros interprets the long as micros-since-epoch-UTC, and the
+    // NTZ->TZ cast pins the wall-clock to the session zone. A non-UTC session
+    // would silently shift every event and diverge from the naive-timestamp
+    // oracle, so fail loudly instead.
+    def requireUtc(): Unit = require(
+      s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "graft.Tables.events requires spark.sql.session.timeZone=UTC; a " +
+        s"non-UTC session (got '${s.conf.get("spark.sql.session.timeZone", "<unset>")}') " +
+        "would shift event timestamps away from the oracle's naive semantics")
     df.schema("ts").dataType match {
       case LongType =>
+        requireUtc()
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
+        requireUtc()
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other =>

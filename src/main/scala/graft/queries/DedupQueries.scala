@@ -34,6 +34,26 @@ object DedupQueries {
     */
   val BatchIdOffset = 100000L
 
+  /** d17 minimum verbatim-match length in tokens (Lee et al. 2022 use 50
+    * BPE tokens; 20 whitespace tokens keeps the check non-vacuous on the
+    * 10-99-token synthetic docs). Any cross-doc verbatim overlap of
+    * >= this many tokens contains at least one length-L rolling shingle
+    * match, so the shingle inventory finds exactly the >=L overlaps.
+    */
+  val SubstrMinTokens = 20
+
+  /** d17 chimera fixture: injected docs are 40-token prefixes of two
+    * source docs concatenated, so span boundaries fall mid-document and
+    * one doc carries MULTIPLE maximal spans (the full-copy dups alone
+    * would only exercise whole-doc runs).
+    */
+  val SubstrPrefixTokens = 40
+
+  /** Id offset for d17's chimera injections — one step above
+    * [[BatchIdOffset]] so the two fixture families never collide.
+    */
+  val SubstrIdOffset: Long = 2 * BatchIdOffset
+
   /** One-time (per JVM, per dataset dir) loud-failure guard: d14's
     * batch/corpus split keys on `id >= BatchIdOffset`, so a corpus whose
     * real ids outgrow the offset must FAIL, not silently misclassify.
@@ -77,6 +97,38 @@ object DedupQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + $BatchIdOffset AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** d17 fixture: [[dupDocs]] plus "chimera" docs at id+[[SubstrIdOffset]]
+    * for every 20th doc — the first [[SubstrPrefixTokens]] tokens of doc i
+    * followed by the first [[SubstrPrefixTokens]] tokens of doc i+10
+    * (inner join: sources whose partner is absent inject nothing,
+    * deterministically in both engines). Chimeras give d17 mid-document
+    * span boundaries and multi-span docs; the full copies give whole-doc
+    * runs.
+    */
+  private def substrDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+    val chim = toks.where(col("doc_id") % 20 === 0).as("a")
+      .join(toks.as("b"), col("b.doc_id") === col("a.doc_id") + 10)
+      .select((col("a.doc_id") + SubstrIdOffset).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(col("a.ts"), 1, SubstrPrefixTokens)),
+          concat_ws(" ", slice(col("b.ts"), 1, SubstrPrefixTokens))).as("text"))
+    dupDocs(s, d).unionByName(chim)
+  }
+
+  private val substrDocsSql: String =
+    s"""substrdocs AS (
+      |  SELECT doc_id, text FROM dupdocs
+      |  UNION ALL
+  SELECT a.doc_id + $SubstrIdOffset AS doc_id,
+         concat_ws(' ',
+           array_to_string(array_slice(string_split_regex(trim(lower(a.text)), '\\s+'), 1, $SubstrPrefixTokens), ' '),
+           array_to_string(array_slice(string_split_regex(trim(lower(b.text)), '\\s+'), 1, $SubstrPrefixTokens), ' ')) AS text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+      |  WHERE a.doc_id % 20 = 0
       |)""".stripMargin
 
   /** embeddings + exact-dup copies of every 50th vector (id+[[BatchIdOffset]]);
@@ -1131,6 +1183,73 @@ object DedupQueries {
           min(col("doc_a")).as("first_match"),
           max(col("jaccard")).as("best_jaccard"))
         .orderBy("new_doc")
+    },
+
+    // Exact substring dedup (the verbatim-overlap operator of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better"):
+    // find every maximal cross-document verbatim overlap of
+    // >= SubstrMinTokens tokens. Their single-machine shape is a suffix
+    // array; the distributed shape here is a rolling length-L shingle
+    // inventory — any >=L verbatim overlap contains a length-L shingle
+    // shared across docs, and a maximal run of consecutive duplicated
+    // shingle positions [p0..p1] IS the maximal span, of p1-p0+L tokens
+    // (gaps-and-islands on position - row_number). Semantics: cross-doc
+    // only (a shingle repeated solely within one doc is not flagged).
+    // Scale shape: the shingle stage is ~|tokens| rows, WRITTEN once and
+    // scanned by both the df groupBy and the join-back; "duplicated" is
+    // decided by a hash-partitioned COUNT(DISTINCT doc) per shingle — no
+    // pair join exists anywhere, so boilerplate shingles shared by
+    // millions of docs cost one aggregate row, never a quadratic bucket
+    // (the reason this needs no df cap while d06's pair-emitting index
+    // does). The islands window partitions by doc — bounded by doc length.
+    Q("d17_substring_dedup",
+      s"""WITH $dupDocsSql,
+         |$substrDocsSql,
+         |toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM substrdocs
+         |),
+         |idx AS (
+         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${SubstrMinTokens - 1})) AS pos
+         |  FROM toks WHERE len(ts) >= $SubstrMinTokens
+         |),
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |         md5(array_to_string(ts[pos : pos + ${SubstrMinTokens - 1}], ' ')) AS h
+         |  FROM idx
+         |),
+         |dupsh AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (h)),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM hits
+         |)
+         |SELECT doc_id, MIN(pos) AS span_start,
+         |       MAX(pos) - MIN(pos) + $SubstrMinTokens AS span_tokens
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val L = SubstrMinTokens
+      val toks = substrDocs(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      val sh = Stage.table(
+        toks.where(size(col("ts")) >= L)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1L), (size(col("ts")) - lit(L - 1)).cast("long"))).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ", slice(col("ts"), col("pos"), lit(L)))).as("h")),
+        "d17_shingles")
+      val dupsh = sh.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") > 1).select("h")
+      val hits = sh.join(dupsh, Seq("h")).select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      hits
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+          min(col("pos")).as("span_start"),
+          (max(col("pos")) - min(col("pos")) + lit(L.toLong)).as("span_tokens"))
+        .select("doc_id", "span_start", "span_tokens")
+        .orderBy("doc_id", "span_start")
     }
   )
 

@@ -54,8 +54,19 @@ class ScaleInvarianceSpec extends SparkTestBase {
     val actual = run(name, scaledDir).collect().map(_.toSeq).toSeq
     assert(actual.size == expected.size,
       s"$name: ${actual.size} rows at ${Factor}x vs ${expected.size} expected")
-    assert(actual.toSet == expected.toSet,
+    assertSameMultiset(actual, expected,
       s"$name output is not the per-replica shift of the original")
+  }
+
+  /** True multiset equality: size + toSet misses multiplicity swaps
+    * (expected A,A,B vs actual A,B,B passes both), so compare per-row
+    * occurrence counts.
+    */
+  private def assertSameMultiset(actual: Seq[Seq[Any]], expected: Seq[Seq[Any]],
+                                 msg: String): Unit = {
+    val a = actual.groupBy(identity).view.mapValues(_.size).toMap
+    val e = expected.groupBy(identity).view.mapValues(_.size).toMap
+    assert(a == e, msg)
   }
 
   test("d05 exact-dedup apply is exactly equivariant under 3x replication") {
@@ -64,6 +75,14 @@ class ScaleInvarianceSpec extends SparkTestBase {
 
   test("d06 n-gram Jaccard pairs are exactly equivariant under 3x replication") {
     assertEquivariant("d06_ngram_jaccard", Seq("doc_a", "doc_b"))
+  }
+
+  test("d17 substring-dedup spans are exactly equivariant under 3x replication") {
+    // rolling-shingle inventory + islands is deterministic-complete like
+    // d01/d06/d13; replica token bijection preserves positions, so spans
+    // must replicate with doc ids shifted (chimera ids = source + offset
+    // shift by the same step; mapId's >=offset band covers them)
+    assertEquivariant("d17_substring_dedup", Seq("doc_id"))
   }
 
   test("d13 chunk dedup is exactly equivariant under 3x replication") {
@@ -139,7 +158,7 @@ class ScaleInvarianceSpec extends SparkTestBase {
 
   test("e03 sessionization is exactly equivariant under 3x user replication") {
     val (expected, actual) = shiftedEvents("e03_sessionize", Set("user_id"), Set.empty)
-    assert(actual.size == expected.size && actual.toSet == expected.toSet,
+    assertSameMultiset(actual, expected,
       s"e03 sessions drifted under replication (${actual.size} vs ${expected.size})")
     assert(actual.nonEmpty, "e03 returned no rows — vacuous equivariance")
   }
@@ -147,7 +166,7 @@ class ScaleInvarianceSpec extends SparkTestBase {
   test("e05 as-of join is exactly equivariant under 3x user replication") {
     val (expected, actual) = shiftedEvents("e05_asof_join",
       Set("user_id"), Set("p_id", "c_id"))
-    assert(actual.size == expected.size && actual.toSet == expected.toSet,
+    assertSameMultiset(actual, expected,
       s"e05 as-of pairs drifted under replication (${actual.size} vs ${expected.size})")
     assert(actual.nonEmpty, "e05 returned no rows — vacuous equivariance")
   }
