@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a STUB (this environment ships no image/audio
-  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
-  * bytes. Everything around it — the schema, the `Dataset[MediaRow]`
+  * Image payloads get a REAL codec: [[encodeGray]] / [[decodeGray]] are
+  * lossless 8-bit grayscale PNG via `javax.imageio` (on every JVM — no
+  * external codec dependency), and [[ImageDecoder]] runs the real decode
+  * for image rows, falling back to [[FakeDecoder]]'s deterministic
+  * byte-derived pseudo-features for payloads no installed reader accepts
+  * (audio/video stay stubbed: the JVM ships no audio/video codecs).
+  * Everything around the decoder — the schema, the `Dataset[MediaRow]`
   * encoder, the per-partition batched iteration (the Scala analogue of
   * `mapInPandas`: one decoder instance per partition, streamed batches,
   * never a full-partition materialization) — is the real 100 TB design:
   * media blobs stay distributed, metadata travels in columns, and the
-  * decoder is exchangeable for a JNI/codec implementation.
+  * codec slot is exchangeable (JNI/ffmpeg for the stubbed kinds).
   */
 object Multimodal {
 
@@ -48,6 +52,72 @@ object Multimodal {
     }
   }
 
+  /** Lossless 8-bit grayscale PNG encode of a square pixel array (row-
+    * major, values 0-255). PNG grayscale is bit-exact under round-trip,
+    * so `decodeGray(encodeGray(p)) == p` — the property that lets the
+    * DuckDB oracle compute image features from the SOURCE pixel values
+    * while the engine computes them from a real decode of real PNG bytes.
+    */
+  def encodeGray(pixels: Array[Int], side: Int): Array[Byte] = {
+    require(pixels.length == side * side,
+      s"need $side*$side pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < pixels.length) {
+      img.getRaster.setSample(i % side, i / side, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP on every
+    * JVM): grayscale pixel values row-major, or None when no installed
+    * reader accepts the bytes. `setUseCache(false)` keeps decode purely
+    * in-memory — an executor must never page image batches through
+    * temp files on local disk.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[Array[Int]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val (w, h) = (r.getWidth, r.getHeight)
+      // band 0 of a TYPE_BYTE_GRAY raster IS the gray sample; other image
+      // types fall back to the luminance of the default color conversion
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        Some(Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0)))
+      else {
+        val gray = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        val gr = gray.getRaster
+        Some(Array.tabulate(w * h)(i => gr.getSample(i % w, i / w, 0)))
+      }
+    }
+  }
+
+  /** Real decoder: image rows go through [[decodeGray]] (brightness from
+    * DECODED pixels); payloads no reader accepts — and the stubbed
+    * audio/video kinds — keep [[FakeDecoder]]'s deterministic features.
+    */
+  object ImageDecoder {
+    def features(row: MediaRow): MediaFeatures =
+      if (row.kind == "image") decodeGray(row.content) match {
+        case Some(pxs) =>
+          val fake = FakeDecoder.features(row)
+          fake.copy(brightness =
+            if (pxs.isEmpty) 0.0
+            else pxs.map(_.toLong).sum.toDouble / pxs.length / 255.0)
+        case None => FakeDecoder.features(row)
+      } else FakeDecoder.features(row)
+  }
+
   /** Build a deterministic media table from `documents` (text bytes stand
     * in for media payloads; ids/kinds/dims derived from doc_id).
     */
@@ -66,8 +136,9 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition decoder init would happen here (codec/JNI handle)
-      rows.map(FakeDecoder.features)
+      // per-partition decoder init (further codec/JNI handles go here)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(ImageDecoder.features)
     }
   }
 }

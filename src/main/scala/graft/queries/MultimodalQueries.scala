@@ -129,12 +129,14 @@ object MultimodalQueries {
     },
 
     // Image near-dup via perceptual hash — the multimodal twin of d03's
-    // banded SimHash search, composing the two families: stub-decode the
-    // "image" payloads (first [[AHashPixels]] sanitized bytes stand in for
-    // grayscale pixels; a real decoder swaps into the same slot), compute
-    // a 64-bit average-hash (bit i = pixel i above the image's own
-    // floor-mean), band the hash into 4 x 16-bit keys, self-join on
-    // (band, key), and verify candidates by exact Hamming distance — the
+    // banded SimHash search, composing the two families: build REAL 8x8
+    // grayscale PNGs (pixels = ascii codes of the first [[AHashPixels]]
+    // sanitized chars, so the oracle can recompute them), store them as a
+    // binary media stage, DECODE the stored bytes with javax.imageio, and
+    // compute a 64-bit average-hash from the decoded pixels (bit i =
+    // pixel i above the image's own floor-mean); band the hash into
+    // 4 x 16-bit keys, self-join on (band, key), and verify candidates
+    // by exact Hamming distance — the
     // banding bounds every bucket, so image dedup at corpus scale never
     // goes all-pairs, exactly like the text detectors. Every 30th image
     // is injected as an exact duplicate (id + [[MmDupOffset]], which is
@@ -199,14 +201,40 @@ object MultimodalQueries {
         .unionByName(cleaned.where(col("doc_id") % 60 === 0)
           .select((col("doc_id") + 2 * MmDupOffset).as("doc_id"),
             concat(lit("Z"), expr("substring(ct, 2, length(ct))")).as("ct")))
-      val sig = graft.operators.Stage.table(
+      // REAL image path: the pixel source (ascii codes of the first 64
+      // sanitized chars — what the oracle can also compute) is encoded as
+      // an 8x8 grayscale PNG per image, WRITTEN as a binary media stage,
+      // and the aHash is computed from a real javax.imageio DECODE of
+      // those stored PNG bytes (per-partition decoder, same contract as
+      // extractFeatures). PNG grayscale round-trips losslessly, so the
+      // decoded pixels equal the source values and the oracle stays an
+      // exact twin while the engine exercises encode -> binary storage ->
+      // decode -> perceptual hash end to end.
+      import s.implicits._
+      val side = math.sqrt(AHashPixels.toDouble).toInt
+      val pngs = graft.operators.Stage.table(
         imgs.where(length(col("ct")) >= AHashPixels)
           .withColumn("pxs",
             expr(s"transform(sequence(1, $AHashPixels), i -> ascii(substring(ct, i, 1)))"))
-          .withColumn("mu", expr(s"aggregate(pxs, 0L, (a, x) -> a + x) DIV $AHashPixels"))
-          .select(col("doc_id"),
-            expr("concat_ws('', transform(pxs, p -> CASE WHEN p > mu THEN '1' ELSE '0' END))")
-              .as("sig")),
+          .select(col("doc_id"), col("pxs"))
+          .as[(Long, Array[Int])]
+          .mapPartitions(_.map { case (id, pxs) =>
+            (id, graft.operators.Multimodal.encodeGray(pxs, side))
+          })
+          .toDF("doc_id", "png"),
+        "mm04_png")
+      val sig = graft.operators.Stage.table(
+        pngs.as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            javax.imageio.ImageIO.setUseCache(false)
+            rows.map { case (id, png) =>
+              val pxs = graft.operators.Multimodal.decodeGray(png).getOrElse(
+                throw new IllegalStateException(s"undecodable stored PNG for image $id"))
+              val mu = pxs.map(_.toLong).sum / AHashPixels
+              (id, pxs.map(p => if (p > mu) '1' else '0').mkString)
+            }
+          }
+          .toDF("doc_id", "sig"),
         "mm04_sig")
       val bands = sig.select(col("doc_id"), posexplode(
           array((0 until DedupQueries.SimhashBands).map(b =>

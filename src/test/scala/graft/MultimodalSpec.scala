@@ -31,4 +31,36 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(f => f.media_id -> f).toMap
     assert(rows.forall(f => again(f.media_id) == f))
   }
+
+  test("grayscale PNG codec round-trips pixel-exactly (incl. 0 and 255)") {
+    val pxs = Array.tabulate(64)(i => (i * 4) % 256) // hits 0..252
+    assert(Multimodal.decodeGray(Multimodal.encodeGray(pxs, 8)).get.sameElements(pxs))
+    val edge = Array.fill(64)(0); edge(0) = 255; edge(63) = 255
+    assert(Multimodal.decodeGray(Multimodal.encodeGray(edge, 8)).get.sameElements(edge))
+    // PNG bytes carry the real magic, not raw pixels
+    val png = Multimodal.encodeGray(pxs, 8)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+  }
+
+  test("image rows with real PNG payloads decode to pixel-true brightness") {
+    import spark.implicits._
+    val pxs = Array.tabulate(64)(i => 40 + i) // mean = 71.5
+    val png = Multimodal.encodeGray(pxs, 8)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 8, 8),
+      // image-kind payload no reader accepts -> FakeDecoder byte fallback
+      Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 0, 0))
+      .toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    val expected = pxs.map(_.toLong).sum.toDouble / 64 / 255.0
+    assert(math.abs(feats(1L).brightness - expected) < 1e-12,
+      s"real decode must see source pixels: ${feats(1L).brightness} vs $expected")
+    // and it must NOT equal the byte-mean of the compressed PNG stream
+    val byteMean = png.map(b => (b & 0xff).toLong).sum.toDouble / png.length / 255.0
+    assert(math.abs(feats(1L).brightness - byteMean) > 1e-6)
+    val fake = Multimodal.FakeDecoder.features(
+      Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 0, 0))
+    assert(feats(2L) == fake, "undecodable payload must fall back to FakeDecoder")
+  }
 }
