@@ -253,6 +253,82 @@ object MultimodalQueries {
         .where(col("hamming") <= DedupQueries.HammingMax)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Cross-modal retrieval: text queries against image media through a
+    // shared embedding space — the composition the ANN and multimodal
+    // families were built for. Docs embed via the hashing trick (64-dim
+    // token-count vector, dim = 28-bit md5 of the token mod 64 — the
+    // deterministic stand-in for a text encoder); the media side is the
+    // SAME memoized quantized-vector stage the v-family searches,
+    // restricted to image-kind ids (vec_id % 3 = 0, the mm routing), and
+    // both sides hash into the SAME random-hyperplane LSH buckets as
+    // v04/v06 — so retrieval is the bucket-pruned probe join + the
+    // shared bounded top-k reduce (WindowGroupLimit partial limit before
+    // the shuffle), never all-pairs. At 100 TB the probe side is a query
+    // batch (tiny, broadcast) and the media index is the written stage.
+    Q("mm05_crossmodal", {
+      val dim = SimilarityQueries.EmbDim
+      val k = SimilarityQueries.K
+      val np = SimilarityQueries.NumProbes
+      s"""WITH ${SimilarityQueries.qvSql},
+         |imgs AS (
+         |  SELECT vec_id, q, n2, ${SimilarityQueries.lshBucketSql("q")} AS bucket
+         |  FROM n WHERE vec_id % 3 = 0 AND n2 > 0
+         |),
+         |pb AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |                        t -> CAST('0x' || substring(md5(t), 1, 7) AS BIGINT) % $dim) AS bks
+         |  FROM documents WHERE doc_id < $np
+         |),
+         |pv AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, ${dim - 1}),
+         |                        j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)) AS q
+         |  FROM pb
+         |),
+         |pn AS (
+         |  SELECT doc_id, q,
+         |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2,
+         |         ${SimilarityQueries.lshBucketSql("q")} AS bucket
+         |  FROM pv
+         |),
+         |scored AS (
+         |  SELECT p.doc_id, c.vec_id AS media_id,
+         |         CAST(CAST(list_sum(list_transform(list_zip(p.q, c.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(p.n2 * c.n2 AS DOUBLE)) AS cosine
+         |  FROM pn p JOIN imgs c ON c.bucket = p.bucket
+         |  WHERE p.n2 > 0
+         |),
+         |ranked AS (
+         |  SELECT doc_id, media_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY cosine DESC, media_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, media_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+    }) { (s, d) =>
+      graft.GraftNative.ensure(s)
+      val dim = SimilarityQueries.EmbDim
+      val imgs = SimilarityQueries.quantized(s, d)
+        .where(col("vec_id") % 3 === 0 && col("n2") > 0)
+        .withColumn("bucket", SimilarityQueries.lshBucket(col("q")))
+      val probes = Tables.documents(s, d)
+        .where(col("doc_id") < SimilarityQueries.NumProbes)
+        .select(col("doc_id").as("probe_id"),
+          transform(split(lower(trim(col("text"))), "\\s+"),
+            t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
+        .select(col("probe_id"),
+          transform(sequence(lit(0L), lit(dim - 1L)),
+            j => size(filter(col("bks"), b => b === j)).cast("long")).as("p_q"))
+        .withColumn("p_n2", graft.GraftNative.longDot(col("p_q"), col("p_q")))
+        .withColumn("p_bucket", SimilarityQueries.lshBucket(col("p_q")))
+      SimilarityQueries.scoreAndRank(
+          imgs.join(broadcast(probes), col("bucket") === col("p_bucket")))
+        .select(col("probe_id").as("doc_id"), col("neighbor_id").as("media_id"),
+          col("rnk"), col("cosine"))
     }
   )
 }

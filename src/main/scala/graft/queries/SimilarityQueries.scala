@@ -63,7 +63,7 @@ object SimilarityQueries {
   val IvfCells = 8
   val IvfIters = 3
 
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[queries] def quantized(s: SparkSession, d: String): DataFrame = {
     GraftNative.ensure(s)
     Stage.sharedTable(s, "qv", d) {
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -72,7 +72,7 @@ object SimilarityQueries {
     }
   }
 
-  private val qvSql: String =
+  private[queries] val qvSql: String =
     """qv AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -146,7 +146,7 @@ object SimilarityQueries {
     * shuffle (WindowGroupLimit or heap, see [[useHeapTopK]]), exact rank
     * after — the shared tail of v01/v02/v04/v06.
     */
-  private def scoreAndRank(joined: DataFrame): DataFrame = {
+  private[queries] def scoreAndRank(joined: DataFrame): DataFrame = {
     val scored = joined
       .where(col("p_n2") > 0 && col("n2") > 0)
       .select(col("probe_id"), col("vec_id"),

@@ -100,6 +100,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected WindowGroupLimit bounding the shuffle in:\n$p")
   }
 
+  test("mm05 cross-modal: probe batch broadcast, bucket equi-join, bounded top-k") {
+    val p = planOf("mm05_crossmodal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"doc probe batch must broadcast into the media index scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit bounding the shuffle in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross-modal join went all-pairs:\n$p")
+  }
+
   test("v01 heap/window top-k reduce strategies agree row-for-row") {
     val run = () => SparkEntry.queries("v01_knn_brute")(spark, dir).collect().toSeq
     val window = run()
