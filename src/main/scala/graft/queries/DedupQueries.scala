@@ -769,6 +769,28 @@ object DedupQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** d18 ground-truth Jaccard threshold: pairs at or above this are the
+    * truth set the LSH banding is certified against. 0.8 targets the
+    * strong near-dups a production dedup MUST catch; the 3x3 banding's
+    * hit probability at J=0.8 is 1-(1-0.8^3)^3 ~ 0.88 per hash draw, and
+    * on the fixed seeds + fixture it is deterministic.
+    */
+  val DedupTruthJaccard = 0.8
+
+  /** d18 certified per-probe recall floor (same convention as the
+    * v-family's [[SimilarityQueries.RecallFloor]]): the Spark side emits
+    * `recall >= floor`, the oracle emits literal TRUE after recomputing
+    * the exact denominator — any probe dipping below the floor
+    * hash-mismatches the gate.
+    */
+  val DedupRecallFloor = 0.8
+
+  /** d18 probe sample: probes are docs with id % this == 0. Injected
+    * duplicate pairs survive the sample on BOTH ends (ids ≡ 0 mod 10 and
+    * offset ≡ 0 mod 10), so the certification is never vacuous.
+    */
+  val DedupProbeMod = 5
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -1250,6 +1272,68 @@ object DedupQueries {
           (max(col("pos")) - min(col("pos")) + lit(L.toLong)).as("span_tokens"))
         .select("doc_id", "span_start", "span_tokens")
         .orderBy("doc_id", "span_start")
+    },
+
+    // LSH-dedup recall certification — the d-family analogue of v07's
+    // certified floor: the v-family certifies its ANN indexes against
+    // brute-force truth, and this certifies the MinHash-LSH banding
+    // (d02's candidate generation) against the exact-Jaccard truth it
+    // approximates. Truth side (eval-time cost, like v05's brute force):
+    // an UNBOUNDED inverted shingle index restricted to a probe sample
+    // (doc_id % DedupProbeMod = 0) — complete by construction, since any
+    // pair with J >= DedupTruthJaccard shares shingles. Approx side: the
+    // shared verified-pair stage (band join), same threshold. Output per
+    // probe: exact truth count + `recall >= floor`; the oracle recomputes
+    // the truth count exactly and emits literal TRUE for the floor, so a
+    // recall regression (band drift, signature bug, seed change)
+    // hash-mismatches instead of silently shipping a worse index.
+    Q("d18_lsh_recall",
+      s"""WITH $minhashPairsSql,
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |probes AS (SELECT doc_id AS probe, s FROM inv WHERE doc_id % $DedupProbeMod = 0),
+         |candx AS (
+         |  SELECT DISTINCT p.probe, o.doc_id AS other
+         |  FROM probes p JOIN inv o ON o.s = p.s AND o.doc_id <> p.probe
+         |),
+         |truth AS (
+         |  SELECT c.probe, c.other
+         |  FROM candx c JOIN sh x ON c.probe = x.doc_id JOIN sh y ON c.other = y.doc_id
+         |  WHERE ${jaccardSql("x.sh", "y.sh")} >= $DedupTruthJaccard
+         |),
+         |found AS (
+         |  SELECT doc_a AS probe, doc_b AS other FROM pairs WHERE jaccard >= $DedupTruthJaccard
+         |  UNION ALL
+         |  SELECT doc_b AS probe, doc_a AS other FROM pairs WHERE jaccard >= $DedupTruthJaccard
+         |)
+         |SELECT t.probe AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |       TRUE AS recall_floor_met
+         |FROM truth t GROUP BY t.probe ORDER BY doc_id""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val sh = shingleStage(s, d)
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val probes = inv.where(col("doc_id") % DedupProbeMod === 0)
+        .select(col("doc_id").as("probe"), col("s"))
+      val cand = probes
+        .join(inv.select(col("doc_id").as("other"), col("s")), Seq("s"))
+        .where(col("other") =!= col("probe"))
+        .select("probe", "other").distinct()
+      val truth = cand
+        .join(sh.select(col("doc_id").as("probe"), col("sh").as("sh_a")), Seq("probe"))
+        .join(sh.select(col("doc_id").as("other"), col("sh").as("sh_b")), Seq("other"))
+        .where(GraftNative.jaccard(col("sh_a"), col("sh_b")) >= DedupTruthJaccard)
+        .select("probe", "other")
+      val strong = minhashPairs(s, d).where(col("jaccard") >= DedupTruthJaccard)
+      val found = strong.select(col("doc_a").as("probe"), col("doc_b").as("other"))
+        .unionByName(strong.select(col("doc_b").as("probe"), col("doc_a").as("other")))
+        .where(col("probe") % DedupProbeMod === 0)
+        .withColumn("hit", lit(1))
+      truth.join(found, Seq("probe", "other"), "left")
+        .groupBy("probe")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("probe").as("doc_id"), col("n_true"),
+          ((col("n_found").cast("double") / col("n_true").cast("double"))
+            >= DedupRecallFloor).as("recall_floor_met"))
+        .orderBy("doc_id")
     }
   )
 

@@ -31,6 +31,12 @@ object TextQueries {
   val LmScale = 1000000L
   val LmKeepMin = 250000L
 
+  /** t15 trained byte-pair vocabulary size: the top-N within-word
+    * character bigrams by corpus frequency (ties broken lexicographically
+    * — deterministic in both engines) become the merge vocabulary.
+    */
+  val BpeVocabPairs = 64
+
   /** t13 deterministic PII fixture appended to every 25th doc (the corpus
     * itself is PII-free); one of each pattern class, no SQL-quote chars.
     */
@@ -634,6 +640,100 @@ object TextQueries {
           min(col("weight_ppm")).as("weight_ppm"), // constant per source
           count(when(u < col("weight_ppm"), 1)).as("n_sampled"))
         .orderBy("source")
+    },
+
+    // Token-aware sequence packing with a TRAINED byte-pair vocabulary —
+    // t07 packs whitespace tokens; real pipelines pack what the tokenizer
+    // counts. Train (t12's train-broadcast-score shape): count all
+    // within-word character bigrams across the corpus, keep the top
+    // [[BpeVocabPairs]] (count desc, bigram asc — deterministic) as the
+    // merge vocabulary, a WRITTEN stage like any tokenizer artifact.
+    // Tokenize (order-free single-round BPE): each word's ALIGNED bigrams
+    // (positions 1,3,5,... — fixed alignment makes the merge set
+    // order-independent, so both engines compute it without a sequential
+    // scan) that hit the vocabulary merge to one token;
+    // tokens(word) = len(word) - merges. Pack: t07's exclusive
+    // running-sum assignment of docs to [[PackBudget]]-token sequences.
+    // Scale shape: the word stage is written once and feeds both the
+    // trainer and the tokenizer; the vocabulary is a constant-size
+    // broadcast; scoring is one map-side join + doc-keyed agg; packing
+    // is one shuffle (partition by source) + in-partition window.
+    Q("t15_bpe_packing",
+      s"""WITH nd AS (SELECT doc_id, source, $normDocSql AS nt FROM documents),
+         |ww AS (
+         |  SELECT doc_id, source, w FROM (
+         |    SELECT doc_id, source, unnest(string_split(nt, ' ')) AS w FROM nd
+         |  ) WHERE w <> ''
+         |),
+         |allbg AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 2) AS bg
+         |  FROM ww, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |),
+         |vocab AS (
+         |  SELECT bg FROM (
+         |    SELECT bg, COUNT(*) AS n FROM allbg GROUP BY bg
+         |    ORDER BY n DESC, bg LIMIT $BpeVocabPairs)
+         |),
+         |chars AS (
+         |  SELECT doc_id, source, CAST(SUM(len(w)) AS BIGINT) AS n_chars
+         |  FROM ww GROUP BY doc_id, source
+         |),
+         |apairs AS (
+         |  SELECT doc_id, substr(w, CAST(i AS INTEGER), 2) AS bg
+         |  FROM ww, unnest(generate_series(1, len(w) - 1, 2)) AS t(i)
+         |),
+         |hits AS (
+         |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM apairs a JOIN vocab v ON a.bg = v.bg GROUP BY a.doc_id
+         |),
+         |toks AS (
+         |  SELECT c.source, c.doc_id, c.n_chars - COALESCE(h.n_hits, 0) AS n_tok
+         |  FROM chars c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |),
+         |packed AS (
+         |  SELECT source, doc_id, n_tok,
+         |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM toks
+         |)
+         |SELECT source, CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS seq_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin) { (s, d) =>
+      val ww = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), DedupFns.normText(col("text")).as("nt"))
+          .select(col("doc_id"), col("source"), explode(split(col("nt"), " ")).as("w"))
+          .where(col("w") =!= ""),
+        "t15_words")
+      // guard: sequence(1, 0) DESCENDS in Spark; single-char words have
+      // no bigrams in either engine
+      def wordPairs(step: Int): org.apache.spark.sql.Column =
+        explode(when(length(col("w")) >= 2,
+          expr(s"transform(sequence(1, length(w) - 1, $step), i -> substring(w, i, 2))"))
+          .otherwise(array().cast("array<string>")))
+      val vocab = graft.operators.Stage.table(
+        ww.select(wordPairs(1).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg")).limit(BpeVocabPairs)
+          .select("bg"),
+        "t15_vocab")
+      val chars = ww.groupBy("doc_id", "source")
+        .agg(sum(length(col("w")).cast("long")).as("n_chars"))
+      val hits = ww.select(col("doc_id"), wordPairs(2).as("bg"))
+        .join(broadcast(vocab), Seq("bg"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val toks = chars.join(hits, Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
+          (col("n_chars") - coalesce(col("n_hits"), lit(0L))).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      toks.withColumn("cum", sum("n_tok").over(w))
+        .groupBy(col("source"),
+          floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("source", "seq_id")
     }
   )
 }
