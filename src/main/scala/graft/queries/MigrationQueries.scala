@@ -250,6 +250,84 @@ object MigrationQueries {
       val target = SyntheticShares.shares(orders).where(col("id") % 29 =!= 0)
       Migration.validateChangeset(Migration.changeset(resolved(s, d)), target)
         .orderBy("id")
+    },
+
+    // General keyed MERGE (m09): the insert/update/delete changeset
+    // applied to the share table — the superset of K1's update-only
+    // apply (m05) and the batch analogue of the streaming epoch ledger.
+    // Fixture ops are disjoint by modulus: every 9th id is deleted, every
+    // remaining 5th partially updated (only the two target paths; nulls
+    // keep base values — the coalesce semantics), and every 11th id
+    // spawns an insert keyed far above the real id range. The functional
+    // result is [[graft.operators.Merge]]'s three-join plan (update
+    // equi-join + delete anti-join + not-matched-insert anti-join, all
+    // hash-partitioned on the same key); the physical JDBC form of the
+    // same changeset is MergeSpec's embedded-Derby e2e.
+    Q("m09_keyed_merge",
+      s"""WITH ${SyntheticShares.sharesSql},
+         |upd AS (
+         |  SELECT id, '/moved/' || CAST(id AS VARCHAR) AS item_target,
+         |         '/merged/' || CAST(id AS VARCHAR) AS file_target
+         |  FROM shares WHERE id % 9 <> 0 AND id % 5 = 0
+         |),
+         |ins AS (
+         |  SELECT id + ${Merge0.InsertIdOffset} AS id, CAST(3 AS INTEGER) AS share_type,
+         |         'merge_user' AS uid_owner, 'file' AS item_type,
+         |         CAST(id AS VARCHAR) AS item_source,
+         |         '/new/' || CAST(id AS VARCHAR) AS item_target,
+         |         id AS file_source,
+         |         '/n' || CAST(id AS VARCHAR) || '.dat' AS file_target
+         |  FROM shares WHERE id % 11 = 0
+         |)
+         |SELECT s.id, s.share_type, s.uid_owner, s.item_type, s.item_source,
+         |       COALESCE(u.item_target, s.item_target) AS item_target,
+         |       s.file_source,
+         |       COALESCE(u.file_target, s.file_target) AS file_target
+         |FROM shares s LEFT JOIN upd u ON s.id = u.id
+         |WHERE s.id % 9 <> 0
+         |UNION ALL
+         |SELECT id, share_type, uid_owner, item_type, item_source, item_target,
+         |       file_source, file_target
+         |FROM ins
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Merge
+      val shares = SyntheticShares.shares(Tables.orders(s, d))
+      val nullS = lit(null).cast("string")
+      val nullI = lit(null).cast("int")
+      val nullL = lit(null).cast("long")
+      val csDel = shares.where(col("id") % 9 === 0)
+        .select(lit(Merge.OpDelete).as("op"), col("id"),
+          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+          nullS.as("item_source"), nullS.as("item_target"),
+          nullL.as("file_source"), nullS.as("file_target"))
+      val csUpd = shares.where(col("id") % 9 =!= 0 && col("id") % 5 === 0)
+        .select(lit(Merge.OpUpdate).as("op"), col("id"),
+          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+          nullS.as("item_source"),
+          concat(lit("/moved/"), col("id").cast("string")).as("item_target"),
+          nullL.as("file_source"),
+          concat(lit("/merged/"), col("id").cast("string")).as("file_target"))
+      val csIns = shares.where(col("id") % 11 === 0)
+        .select(lit(Merge.OpInsert).as("op"),
+          (col("id") + Merge0.InsertIdOffset).as("id"),
+          lit(3).as("share_type"), lit("merge_user").as("uid_owner"),
+          lit("file").as("item_type"), col("id").cast("string").as("item_source"),
+          concat(lit("/new/"), col("id").cast("string")).as("item_target"),
+          col("id").as("file_source"),
+          concat(lit("/n"), col("id").cast("string"), lit(".dat")).as("file_target"))
+      Merge(shares, csDel.unionByName(csUpd).unionByName(csIns), "id")
+        .orderBy("id")
     }
   )
+
+  /** m09 fixture constants (object-initialization-order-safe: declared in
+    * a nested object so the eagerly built oracle SQL above can reference
+    * them regardless of textual position).
+    */
+  object Merge0 {
+    /** Insert ids live this far above any real share id (orderkeys reach
+      * ~6M x sf; 1e9 is disjoint through sf ~160).
+      */
+    val InsertIdOffset = 1000000000L
+  }
 }
