@@ -134,7 +134,7 @@ object DedupQueries {
   /** embeddings + exact-dup copies of every 50th vector (id+[[BatchIdOffset]]);
     * same loud-failure offset guard as [[dupDocs]].
     */
-  private def dupEmb(s: SparkSession, d: String): DataFrame = {
+  private[queries] def dupEmb(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     assertIdsBelowOffset(e, "vec_id", s"embeddings@$d")
     e.unionByName(
@@ -156,7 +156,7 @@ object DedupQueries {
     }
   }
 
-  private val dupEmbSql: String =
+  private[queries] val dupEmbSql: String =
     s"""dupemb AS (
       |  SELECT vec_id, embedding, label FROM embeddings
       |  UNION ALL

@@ -146,7 +146,7 @@ object SimilarityQueries {
     * shuffle (WindowGroupLimit or heap, see [[useHeapTopK]]), exact rank
     * after — the shared tail of v01/v02/v04/v06.
     */
-  private[queries] def scoreAndRank(joined: DataFrame): DataFrame = {
+  private[graft] def scoreAndRank(joined: DataFrame): DataFrame = {
     val scored = joined
       .where(col("p_n2") > 0 && col("n2") > 0)
       .select(col("probe_id"), col("vec_id"),
@@ -399,7 +399,7 @@ object SimilarityQueries {
     Seq.fill(LshPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
 
-  private[queries] def lshBucket(q: Column): Column =
+  private[graft] def lshBucket(q: Column): Column =
     concat(planes.map(p =>
       when(GraftNative.longDot(q, typedlit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
@@ -458,6 +458,56 @@ object SimilarityQueries {
     Q("v09_knn_filtered", knnSql("AND c.vec_id % 2 = 0")) { (s, d) =>
       knn(s, d, sameCellOnly = false,
         candidateFilter = Some(col("vec_id") % 2 === 0))
+    },
+
+    // Incremental ANN ingest (batch twin of the streaming operator in
+    // [[graft.streaming.AnnStreams]]): the injected new-vector batch
+    // (vec_id >= BatchIdOffset, the d-family's dupEmb fixture) probes the
+    // WRITTEN corpus bucket index asymmetrically — d14's admission-control
+    // shape transplanted to the v-family. The corpus is bucketed ONCE
+    // (shared written stage) and never self-joined or re-signed; the
+    // batch is tiny and broadcasts into the index scan; top-k rides the
+    // same bounded reduce as every other v query. AnnStreamsSpec pins the
+    // streaming operator to this exact output (batch parity).
+    Q("v10_incremental_ann",
+      s"""WITH ${DedupQueries.dupEmbSql},
+         |qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM dupemb
+         |),
+         |n AS (SELECT vec_id, q,
+         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+         |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.bucket = p.bucket
+         |  WHERE p.vec_id >= ${DedupQueries.BatchIdOffset}
+         |    AND c.vec_id < ${DedupQueries.BatchIdOffset}
+         |    AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val bucketed = Stage.sharedTable(s, "v10_index_all", d) {
+        DedupQueries.dupEmb(s, d)
+          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+          .withColumn("bucket", lshBucket(col("q")))
+      }
+      val index = bucketed.where(col("vec_id") < DedupQueries.BatchIdOffset)
+      val probes = bucketed.where(col("vec_id") >= DedupQueries.BatchIdOffset)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      scoreAndRank(index.join(broadcast(probes),
+        col("bucket") === col("p_bucket")))
     },
 
     // LSH-bucketed: search only the probe's random-hyperplane bucket.
