@@ -109,6 +109,58 @@ object ScaleData {
       col("event_type"), col("value"), col("props"))
   }
 
+  /** Orderkey replica step: a multiple of every modulus the migration
+    * fixtures apply to `o_orderkey` (3,5,7,9,11,13,17,19,23,29 — routing,
+    * share_type, null traps, validation splits, m09's merge ops), so each
+    * replica reproduces the m-family's injected structure exactly.
+    * ~9.7e9 per replica; ids stay far inside Long range at any factor
+    * this tool would run.
+    */
+  val OrderkeyStep: Long = 9L * 5 * 7 * 11 * 13 * 17 * 19 * 23 * 29
+
+  /** N-fold replication of the TPC-H-ish star schema with CONSISTENT key
+    * shifts: orders+lineitem share the orderkey step, customer/orders the
+    * custkey step, part/lineitem the partkey step, supplier/lineitem the
+    * suppkey step — so every join relationship replicates per replica and
+    * nothing dangles. region/nation are dimension constants (copied
+    * unchanged; nationkeys are NOT shifted so customer/supplier keep
+    * valid references). Non-key attributes are byte-identical per
+    * replica, so per-replica distributions equal the original's.
+    *
+    * Note for reading ratios: self-join-shaped queries whose BOTH sides
+    * scale (q17's acctbal band join) produce ~N² output under
+    * replication — inherent to the operator, not a plan defect (real
+    * TPC-H scaling grows both sides the same way).
+    */
+  def scaleTpch(spark: SparkSession, srcDir: String, factor: Int): Map[String, DataFrame] = {
+    def load(n: String) = spark.read.parquet(s"$srcDir/$n.parquet")
+    val orders = load("orders"); val lineitem = load("lineitem")
+    val customer = load("customer"); val part = load("part"); val supplier = load("supplier")
+    val okStep = {
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      ((mx / OrderkeyStep) + 1) * OrderkeyStep
+    }
+    val ckStep = stepFor(customer, "c_custkey")
+    val pkStep = stepFor(part, "p_partkey")
+    val skStep = stepFor(supplier, "s_suppkey")
+    def rep(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      withReps(spark, df, factor).select(df.columns.map { c =>
+        shifts.get(c) match {
+          case Some(step) => (col(c) + col("rep") * lit(step)).as(c)
+          case None       => col(c)
+        }
+      }: _*)
+    Map(
+      "orders" -> rep(orders, Map("o_orderkey" -> okStep, "o_custkey" -> ckStep)),
+      "lineitem" -> rep(lineitem, Map("l_orderkey" -> okStep,
+        "l_partkey" -> pkStep, "l_suppkey" -> skStep)),
+      "customer" -> rep(customer, Map("c_custkey" -> ckStep)),
+      "part" -> rep(part, Map("p_partkey" -> pkStep)),
+      "supplier" -> rep(supplier, Map("s_suppkey" -> skStep)),
+      "region" -> load("region"),
+      "nation" -> load("nation"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleData <srcSfDir> <outDir> <factor> [tables]")
     val Array(srcDir, outDir, factorStr) = args.take(3)
@@ -145,6 +197,9 @@ object ScaleData {
       write(scaleEmbeddings(Tables.embeddings(spark, srcDir), factor), "embeddings")
     if (tables("events") && exists("events"))
       write(scaleEvents(Tables.events(spark, srcDir), factor), "events")
+    // "tpch" = the whole star schema with consistent key shifts
+    if (tables("tpch") && exists("orders"))
+      scaleTpch(spark, srcDir, factor).foreach { case (n, df) => write(df, n) }
 
     spark.stop()
   }
