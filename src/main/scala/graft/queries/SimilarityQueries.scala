@@ -37,6 +37,12 @@ object SimilarityQueries {
   val K = 10
   val NumProbes = 5 // probe set = vec_id < 5
 
+  /** v11 kNN-graph degree: neighbors kept per vector in the corpus-wide
+    * graph build (small by design — the artifact feeds clustering /
+    * SemDeDup, not user-facing search).
+    */
+  val KnnGraphK = 5
+
   /** v07 product-quantization shape: 64-dim vectors in 4 subspaces of 16
     * dims, 16 codes per subspace (codes fit a nibble; 3 Lloyd rounds —
     * 5 was measured too: it lifts several per-probe recalls ~0.1 but
@@ -508,6 +514,57 @@ object SimilarityQueries {
           col("q").as("p_q"), col("n2").as("p_n2"))
       scoreAndRank(index.join(broadcast(probes),
         col("bucket") === col("p_bucket")))
+    },
+
+    // Corpus-wide kNN GRAPH construction — every vector's top-k neighbors
+    // (not a small probe set): the input artifact of SemDeDup-style
+    // semantic curation, graph clustering, and label propagation. The
+    // all-pairs form is O(N^2) and never acceptable; this build restricts
+    // candidates to LSH bucket-mates (the same hyperplane buckets v04
+    // searches), making cost sum-of-squared-bucket-sizes — with
+    // [[LshPlanes]] planes the expected bucket is N/2^planes, and
+    // production raises the plane count with N (plus d04's oversized-cell
+    // sub-bucketing where a degenerate bucket forms) to keep every bucket
+    // bounded. Spark shape: the bucketed+quantized table is a WRITTEN
+    // stage scanned by both sides of ONE equi-join on the bucket key
+    // (never a cross product; md5-uniform keys, AQE splits any residual
+    // skew), each side's integer dot runs in the codegen'd native
+    // expression, and the per-source top-k rides the same
+    // WindowGroupLimit partial group limit as the probe queries — at most
+    // k rows per source leave each map partition.
+    Q("v11_knn_graph",
+      s"""WITH $qvSql,
+         |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |scored AS (
+         |  SELECT p.vec_id AS src_id, c.vec_id AS dst_id,
+         |         $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.n2 > 0 AND c.n2 > 0
+         |),
+         |ranked AS (
+         |  SELECT src_id, dst_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |                            ORDER BY cosine DESC, dst_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT src_id, dst_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $KnnGraphK ORDER BY src_id, rnk""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val b = Stage.sharedTable(s, "v11_bucketed", d) {
+        quantized(s, d).withColumn("bucket", lshBucket(col("q")))
+      }
+      val left = b.select(col("vec_id").as("src_id"), col("bucket"),
+        col("q").as("src_q"), col("n2").as("src_n2"))
+      val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
+        .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
+        .select(col("src_id"), col("vec_id").as("dst_id"),
+          (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
+            sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"))
+      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KnnGraphK)
+        .select("src_id", "dst_id", "rnk", "cosine")
+        .orderBy("src_id", "rnk")
     },
 
     // LSH-bucketed: search only the probe's random-hyperplane bucket.

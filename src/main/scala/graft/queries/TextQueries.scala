@@ -37,6 +37,20 @@ object TextQueries {
     */
   val BpeVocabPairs = 64
 
+  /** t16 BM25 retrieval shape: top-[[Bm25K]] docs per query; probe
+    * queries are every [[Bm25QueryEvery]]-th doc's first
+    * [[Bm25QueryTerms]] distinct normalized tokens (deterministic, like
+    * the v-family's `vec_id < NumProbes` probe sets).
+    */
+  val Bm25K = 10
+  val Bm25QueryEvery = 101
+  val Bm25QueryTerms = 8
+
+  /** t17 PMI floor: pairs must co-occur at least this often (raw-PMI's
+    * rare-pair noise guard).
+    */
+  val PmiMinCount = 5
+
   /** t13 deterministic PII fixture appended to every 25th doc (the corpus
     * itself is PII-free); one of each pattern class, no SQL-quote chars.
     */
@@ -734,6 +748,174 @@ object TextQueries {
           floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).as("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
         .orderBy("source", "seq_id")
+    },
+
+    // Full-text retrieval — BM25 top-k over an inverted index, the search
+    // side of a training-data pipeline (nearest-neighbor queries over
+    // TEXT, the lexical complement of the v-family's vector ANN; also the
+    // retrieval primitive of RAG data curation). Index = the classic
+    // postings shape (token -> (doc, tf) with stored doc length), a
+    // WRITTEN stage like any production index build. Queries = every
+    // [[Bm25QueryEvery]]-th doc's first [[Bm25QueryTerms]] distinct
+    // normalized tokens (deterministic probe fixtures, t05-style).
+    // Scoring is the BM25 shape with k1=1.2, b=0.5 in pure INTEGER
+    // arithmetic for cross-engine bit parity: the idf surrogate
+    // (N-df+0.5)/(df+0.5) is computed exactly as (2(N-df)+1)/(2df+1)
+    // scaled to 500000 ppm-halves, the length norm (1 - b + b*dl/avgdl)
+    // as norm1000 per doc, and each term's partial score with a single
+    // floor DIV — so the per-(query,doc) score is a SUM of longs (order-
+    // free), never a float sum whose accumulation order could diverge.
+    // idfs*tf*2200 stays < 2^63 up to ~N*tf ~ 4e14 doc-occurrences;
+    // beyond that widen to DECIMAL as t14 does. Scale shape: the index
+    // build is two uniform-key aggregates + one doc-keyed join, written
+    // once; the query-term table is tiny by construction and rides a
+    // broadcast (its df/idf join touches |q terms| vocab rows); scoring
+    // streams the postings of the queried terms only (common-term
+    // postings are the inherent BM25 cost — production engines bound it
+    // with impact-ordered/WAND pruning, a lossy shortcut deliberately
+    // not taken here so the oracle stays exact); the final top-k rides
+    // the same WindowGroupLimit partial-group-limit as the v-family.
+    Q("t16_bm25_search",
+      s"""WITH nd AS (SELECT doc_id, $normDocSql AS nt FROM documents),
+         |tok AS (
+         |  SELECT doc_id, t AS token, CAST(i AS BIGINT) AS i
+         |  FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS t,
+         |               unnest(range(len(string_split(nt, ' ')))) AS i FROM nd)
+         |  WHERE t <> ''
+         |),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1k FROM dl),
+         |idx AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf,
+         |         500 + (dl.dl * 500000) // n.avgdl1k AS norm1000
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN n
+         |),
+         |q AS (SELECT DISTINCT doc_id AS query_id, token
+         |      FROM tok WHERE doc_id % $Bm25QueryEvery = 0 AND i < $Bm25QueryTerms),
+         |qd AS (
+         |  SELECT q.query_id, q.token,
+         |         CAST((2 * (n.n_docs - df.df) + 1) * 500000 // (2 * df.df + 1) AS BIGINT) AS idfs
+         |  FROM q JOIN (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token) df
+         |         USING (token)
+         |       CROSS JOIN n
+         |),
+         |sc AS (
+         |  SELECT qd.query_id, idx.doc_id,
+         |         CAST(SUM((qd.idfs * idx.tf * 2200)
+         |           // (idx.tf * 1000 + (1200 * idx.norm1000) // 1000)) AS BIGINT) AS score
+         |  FROM idx JOIN qd USING (token)
+         |  GROUP BY qd.query_id, idx.doc_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc
+         |)
+         |SELECT query_id, doc_id, rnk, score FROM ranked
+         |WHERE rnk <= $Bm25K ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val tok = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .select(col("doc_id"), DedupFns.normText(col("text")).as("nt"))
+          .select(col("doc_id"), posexplode(split(col("nt"), " ")).as(Seq("i", "token")))
+          .where(col("token") =!= ""),
+        "t16_toks")
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(dl) * 1000 DIV count(1) AS BIGINT)").as("avgdl1k"))
+        .withColumn("j", lit(1))
+      // the inverted index: postings with the doc-length norm folded in,
+      // written once (the artifact a production search pipeline persists)
+      val idx = graft.operators.Stage.table(
+        tf.join(dl, Seq("doc_id"))
+          .withColumn("j", lit(1))
+          .join(broadcast(n), Seq("j")) // 1-row scalar broadcast, as t08
+          .select(col("doc_id"), col("token"), col("tf"),
+            expr("500 + (dl * 500000) DIV avgdl1k").as("norm1000")),
+        "t16_idx")
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val q = tok.where(col("doc_id") % Bm25QueryEvery === 0 && col("i") < Bm25QueryTerms)
+        .select(col("doc_id").as("query_id"), col("token")).distinct()
+      val qd = q.join(df_, Seq("token"))
+        .withColumn("j", lit(1))
+        .join(broadcast(n), Seq("j"))
+        .select(col("query_id"), col("token"),
+          expr("CAST((2 * (n_docs - df) + 1) * 500000 DIV (2 * df + 1) AS BIGINT)").as("idfs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      idx.join(broadcast(qd), Seq("token"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(expr(
+          "(idfs * tf * 2200) DIV (tf * 1000 + (1200 * norm1000) DIV 1000)")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= Bm25K)
+        .select("query_id", "doc_id", "rnk", "score")
+        .orderBy("query_id", "rnk")
+    },
+
+    // PMI collocations — the association-scoring pass over t11's skip-gram
+    // co-occurrence counts (the statistic behind word2vec's SGNS objective
+    // and phrase-mining "new york"-style merges). score = p(xy)/(p(x)p(y))
+    // over the PAIR event space: n_xy * T / (marg(x) * marg(y)) with T the
+    // total pair count and marg the per-slot marginals — the log is
+    // monotone, so ranking by the ratio IS ranking by PMI while staying
+    // libm-free. Numerator n_xy * T and denominator marg1 * marg2 are
+    // exact BIGINT products (each < 2^53 up to ~10^8 pairs — past that,
+    // pre-scale T down) and the score is ONE correctly-rounded IEEE
+    // division — bit-identical across engines, no float accumulation
+    // anywhere. A [[PmiMinCount]] floor drops the noise pairs classic PMI
+    // is notorious for promoting. Scale shape: identical to t11 (written
+    // token stage, positional equi-join) plus three uniform-key
+    // aggregates; the marginals join pair-keyed partials, never rows.
+    Q("t17_pmi_collocations",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+         |         unnest(range(len(string_split_regex(trim(lower(text)), '\\s+')))) AS i
+         |  FROM documents
+         |),
+         |pairs AS (
+         |  SELECT a.token AS w1, b.token AS w2
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND (b.i - a.i = 1 OR b.i - a.i = 2)
+         |),
+         |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY w1, w2),
+         |m1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM pc GROUP BY w1),
+         |m2 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS c2 FROM pc GROUP BY w2),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM pc)
+         |SELECT w1, w2, n,
+         |       CAST(n * total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS score
+         |FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+         |WHERE n >= $PmiMinCount
+         |ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("i", "token"))),
+        "t17_toks")
+      val shifted = toks
+        .withColumn("off", explode(array(lit(1), lit(2))))
+        .select(col("doc_id"), (col("i") + col("off")).as("i"), col("token").as("w1"))
+      val pc = shifted.join(toks, Seq("doc_id", "i"))
+        .groupBy(col("w1"), col("token").as("w2"))
+        .agg(count(lit(1)).as("n"))
+      val m1 = pc.groupBy("w1").agg(sum("n").as("c1"))
+      val m2 = pc.groupBy("w2").agg(sum("n").as("c2"))
+      val t = pc.agg(sum("n").as("total")).withColumn("j", lit(1))
+      pc.where(col("n") >= PmiMinCount)
+        .join(m1, Seq("w1"))
+        .join(m2, Seq("w2"))
+        .withColumn("j", lit(1))
+        .join(broadcast(t), Seq("j"))
+        .select(col("w1"), col("w2"), col("n"),
+          ((col("n") * col("total")).cast("double") /
+            (col("c1") * col("c2")).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.{SimilarityQueries, TextQueries}
+
+/** Semantics of the retrieval additions beyond their oracle hash checks:
+  * t16 BM25 (relevance ordering on an injected rare-term fixture, rank
+  * contiguity), t17 PMI (an injected collocation wins; floors hold), and
+  * v11 kNN graph (per-source rank structure + exact agreement with v04's
+  * bucketed search on the shared probe set).
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Write a synthetic documents table (driver schema) to a temp dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-retrieval").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t16: rare-term match outranks non-matches; non-matchers are absent") {
+    // doc 0 is the probe (0 % Bm25QueryEvery == 0): its terms include the
+    // rare 'zyzzyva'. doc 1 shares it; docs 2-9 share nothing.
+    val filler = (2L to 9L).map(i => i -> s"common filler words number $i here")
+    val dir = docsDir(Seq(
+      0L -> "zyzzyva alpha beta",
+      1L -> "zyzzyva gamma delta epsilon") ++ filler)
+    val rows = SparkEntry.queries("t16_bm25_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.map(_._2).toSet == Set(0L, 1L),
+      s"query 0 must retrieve exactly the two zyzzyva docs, got $q0")
+    assert(q0.head._2 == 0L, "the probe doc (all terms, 3x rare) must rank first")
+    assert(q0.map(_._3).toSeq == Seq(1, 2), "ranks must be contiguous from 1")
+  }
+
+  test("t16: sf0.001 ranks are contiguous with non-increasing scores") {
+    val rows = SparkEntry.queries("t16_bm25_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no BM25 results at sf0.001 — probe fixture vacuous")
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length).toSeq,
+        s"query $qid: ranks not contiguous")
+      assert(sorted.length <= TextQueries.Bm25K)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4,
+          s"query $qid: score rose with rank (${a._4} -> ${b._4})")
+        case _ =>
+      }
+    }
+  }
+
+  test("t17: an injected collocation is found, floors and ordering hold") {
+    // 'vorpal blade' co-occurs 6x (above PmiMinCount); every other word is
+    // unique to its doc, so every other pair count is 1 (below the floor)
+    val docs = (0L to 5L).map(i =>
+      i -> s"w${i}a w${i}b vorpal blade w${i}c w${i}d")
+    val dir = docsDir(docs)
+    val rows = SparkEntry.queries("t17_pmi_collocations")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall(_._3 >= TextQueries.PmiMinCount), "count floor violated")
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq(("vorpal", "blade")),
+      s"expected ('vorpal','blade') as the only above-floor pair, got ${rows.toSeq}")
+  }
+
+  test("v11: rank structure holds and probe rows equal v04's top-k prefix") {
+    val graph = SparkEntry.queries("v11_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(graph.nonEmpty)
+    graph.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= SimilarityQueries.KnnGraphK)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq,
+        s"src $src: ranks not contiguous")
+      assert(rs.forall(_._2 != src), s"src $src: self edge")
+    }
+    // same buckets, same scoring, same tie-break => the graph restricted
+    // to v04's probe set must equal v04's ranking truncated to KnnGraphK
+    val v04 = SparkEntry.queries("v04_knn_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .filter(_._3 <= SimilarityQueries.KnnGraphK)
+    val probeGraph = graph.filter(_._1 < SimilarityQueries.NumProbes)
+    assert(probeGraph.toSet == v04.toSet,
+      "kNN graph disagrees with v04 on the shared probe set")
+  }
+}
