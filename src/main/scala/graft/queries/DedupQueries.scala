@@ -791,6 +791,11 @@ object DedupQueries {
     */
   val DedupProbeMod = 5
 
+  /** d20 PageRank rounds: fixed and small (the oracle unrolls one CTE per
+    * round; rank ordering stabilizes within a few rounds on these graphs).
+    */
+  val PagerankIters = 5
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -1333,6 +1338,128 @@ object DedupQueries {
         .select(col("probe").as("doc_id"), col("n_true"),
           ((col("n_found").cast("double") / col("n_true").cast("double"))
             >= DedupRecallFloor).as("recall_floor_met"))
+        .orderBy("doc_id")
+    },
+
+    // Leakage-free train/test split — the dedup-aware version of t05: a
+    // doc-keyed hash split puts near-duplicates on OPPOSITE sides of the
+    // boundary (train/test contamination, the evaluation-inflating bug
+    // Lee et al. 2022 measure), while splitting on each doc's CLUSTER
+    // REPRESENTATIVE (connected-component label from the shared d08
+    // stage, own id for singletons) keeps every near-dup cluster on one
+    // side by construction. Both modes are computed and CERTIFIED side
+    // by side: per (mode, split) doc counts plus the number of verified
+    // near-dup pairs whose endpoints straddle the boundary — 0 for
+    // by_cluster always (the spec asserts it; the oracle hash pins it),
+    // > 0 for by_doc on the duplicated fixture corpus. Scale shape: one
+    // broadcast-free hash join of the corpus against the (tiny) component
+    // map, two uniform-key aggregates, and a pair-keyed join of the
+    // shared verified-pair stage — nothing new is quadratic; the split
+    // itself is t05's pure md5 hash of the representative, reproducible
+    // across runs, engines and repartitions.
+    Q("d19_leakfree_split",
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM v
+         |  UNION
+         |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+         |assigned AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+         |  FROM dupdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |),
+         |u AS (
+         |  SELECT 'by_doc' AS mode, doc_id,
+         |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+         |              THEN 'train' ELSE 'test' END AS split
+         |  FROM assigned
+         |  UNION ALL
+         |  SELECT 'by_cluster' AS mode, doc_id,
+         |         CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) < 'd'
+         |              THEN 'train' ELSE 'test' END AS split
+         |  FROM assigned
+         |),
+         |cnt AS (SELECT mode, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM u GROUP BY mode, split),
+         |lk AS (
+         |  SELECT a.mode, a.split, CAST(COUNT(*) AS BIGINT) AS leaked
+         |  FROM pairs p
+         |  JOIN u a ON a.doc_id = p.doc_a
+         |  JOIN u b ON b.mode = a.mode AND b.doc_id = p.doc_b
+         |  WHERE a.split <> b.split
+         |  GROUP BY a.mode, a.split
+         |)
+         |SELECT c.mode, c.split, c.n_docs, COALESCE(lk.leaked, 0) AS leaked_pairs
+         |FROM cnt c LEFT JOIN lk ON lk.mode = c.mode AND lk.split = c.split
+         |ORDER BY c.mode, c.split""".stripMargin) { (s, d) =>
+      val comp = minhashComponents(s, d)
+      val assigned = dupDocs(s, d).select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("rep"))
+      def hashSplit(c: org.apache.spark.sql.Column) =
+        when(substring(md5(c.cast("string")), 1, 1) < "d", "train").otherwise("test")
+      val u = assigned
+        .select(lit("by_doc").as("mode"), col("doc_id"), hashSplit(col("doc_id")).as("split"))
+        .unionByName(assigned.select(lit("by_cluster").as("mode"), col("doc_id"),
+          hashSplit(col("rep")).as("split")))
+      val cnt = u.groupBy("mode", "split").agg(count(lit(1)).as("n_docs"))
+      val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+      val lk = pairs
+        .join(u.select(col("mode"), col("doc_id").as("doc_a"), col("split")), Seq("doc_a"))
+        .join(u.select(col("mode"), col("doc_id").as("doc_b"), col("split").as("split_b")),
+          Seq("mode", "doc_b"))
+        .where(col("split") =!= col("split_b"))
+        .groupBy("mode", "split").agg(count(lit(1)).as("leaked"))
+      cnt.join(lk, Seq("mode", "split"), "left")
+        .select(col("mode"), col("split"), col("n_docs"),
+          coalesce(col("leaked"), lit(0L)).as("leaked_pairs"))
+        .orderBy("mode", "split")
+    },
+
+    // Duplication centrality — integer PageRank over the near-dup graph
+    // (the "how templated is this doc's neighborhood" signal: boilerplate
+    // hubs accumulate rank, one-off near-dups stay near the base). Edges
+    // are the SHARED verified-pair stage symmetrized; ranks iterate 5
+    // rounds of [[graft.operators.PageRank.ranksPpm]]'s exact ppm
+    // arithmetic — every contribution is a floor DIV and every sum a sum
+    // of longs, so the oracle's 5 unrolled CTE iterations hash-match
+    // bit-for-bit (float PageRank could not: accumulation order differs
+    // across engines). Scale: per iteration one O(|E|) hash join + one
+    // map-side-combined aggregate against a WRITTEN edge+degree stage;
+    // the doc corpus never re-enters after the pair stage is built.
+    Q("d20_dup_pagerank", {
+      val base = graft.operators.PageRank.BasePpm
+      val iters = (1 to PagerankIters).map(k =>
+        s"""pr$k AS (
+           |  SELECT e.dst AS id,
+           |         CAST($base + SUM((p.pr * 17) // (e.deg * 20)) AS BIGINT) AS pr
+           |  FROM ed e JOIN pr${k - 1} p ON p.id = e.src GROUP BY e.dst
+           |)""".stripMargin).mkString(",\n")
+      s"""WITH $minhashPairsSql,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+         |ed AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+         |pr0 AS (SELECT DISTINCT src AS id, CAST(${graft.operators.PageRank.ScalePpm} AS BIGINT) AS pr
+         |        FROM sym),
+         |$iters
+         |SELECT id AS doc_id, pr AS pr_ppm FROM pr$PagerankIters ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.operators.PageRank.ranksPpm(sym, PagerankIters)
+        .select(col("id").as("doc_id"), col("pr").as("pr_ppm"))
         .orderBy("doc_id")
     }
   )
