@@ -317,6 +317,52 @@ object MigrationQueries {
           concat(lit("/n"), col("id").cast("string"), lit(".dat")).as("file_target"))
       Merge(shares, csDel.unionByName(csUpd).unionByName(csIns), "id")
         .orderBy("id")
+    },
+
+    // SCD2 history build (m10): the slowly-changing-dimension type-2
+    // backfill — turn a keyed change log into validity intervals
+    // (valid_from / valid_to / is_current), the standard warehouse shape
+    // for "what did this row look like at version v". Fixture change log:
+    // version 0 is every share's base item_target, and versions 1..3
+    // update disjoint-modulus slices (%7, %5, %3 — overlapping ids get
+    // multi-row histories). The interval construction is ONE window pass:
+    // valid_to = lead(valid_from) over (key, version order), open
+    // interval = current row — no self-join, no per-key loop. Scale
+    // shape: one hash partition by key + in-partition sort (keys are
+    // uniform; the window never sees more rows per key than that key's
+    // versions); incremental maintenance of an EXISTING history is m09's
+    // MERGE machinery (close the open interval, insert the new one) —
+    // this query is the batch backfill twin.
+    Q("m10_scd2_history",
+      s"""WITH ${SyntheticShares.sharesSql},
+         |ch AS (
+         |  SELECT id, CAST(0 AS BIGINT) AS valid_from, item_target FROM shares
+         |  UNION ALL
+         |  SELECT id, CAST(1 AS BIGINT), '/v1/' || CAST(id AS VARCHAR) FROM shares WHERE id % 7 = 0
+         |  UNION ALL
+         |  SELECT id, CAST(2 AS BIGINT), '/v2/' || CAST(id AS VARCHAR) FROM shares WHERE id % 5 = 0
+         |  UNION ALL
+         |  SELECT id, CAST(3 AS BIGINT), '/v3/' || CAST(id AS VARCHAR) FROM shares WHERE id % 3 = 0
+         |)
+         |SELECT id, valid_from, valid_to, item_target, valid_to IS NULL AS is_current
+         |FROM (
+         |  SELECT id, valid_from, item_target,
+         |         LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS valid_to
+         |  FROM ch
+         |)
+         |ORDER BY id, valid_from""".stripMargin) { (s, d) =>
+      val shares = SyntheticShares.shares(Tables.orders(s, d))
+      def upd(v: Int, m: Int) = shares.where(col("id") % m === 0)
+        .select(col("id"), lit(v.toLong).as("valid_from"),
+          concat(lit(s"/v$v/"), col("id").cast("string")).as("item_target"))
+      val ch = shares.select(col("id"), lit(0L).as("valid_from"), col("item_target"))
+        .unionByName(upd(1, 7)).unionByName(upd(2, 5)).unionByName(upd(3, 3))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("valid_from")
+      ch.withColumn("valid_to", lead("valid_from", 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("id", "valid_from", "valid_to", "item_target", "is_current")
+        .orderBy("id", "valid_from")
     }
   )
 
