@@ -109,6 +109,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cross-modal join went all-pairs:\n$p")
   }
 
+  test("t16 BM25: query terms broadcast into the postings scan; top-k bounded") {
+    val p = planOf("t16_bm25_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-term (query, idf) table must broadcast into the index scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must plan a partial group limit:\n$p")
+  }
+
+  test("v11 kNN graph: bucket equi-join (never nested-loop), bounded top-k") {
+    val p = planOf("v11_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the self-join must key on the LSH bucket:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source top-k must plan a partial group limit:\n$p")
+  }
+
   test("v01 heap/window top-k reduce strategies agree row-for-row") {
     val run = () => SparkEntry.queries("v01_knn_brute")(spark, dir).collect().toSeq
     val window = run()
