@@ -119,6 +119,42 @@ object DedupQueries {
     dupDocs(s, d).unionByName(chim)
   }
 
+  /** DuckDB twin of [[substrShingleStage]] (no leading WITH; ends with
+    * the `sh` CTE), shared by the d17/d21 oracles. Lazy: it references
+    * [[substrDocsSql]], declared below (object-init order).
+    */
+  private lazy val substrShSql: String =
+    s"""$dupDocsSql,
+       |$substrDocsSql,
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM substrdocs
+       |),
+       |idx AS (
+       |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${SubstrMinTokens - 1})) AS pos
+       |  FROM toks WHERE len(ts) >= $SubstrMinTokens
+       |),
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |         md5(array_to_string(ts[pos : pos + ${SubstrMinTokens - 1}], ' ')) AS h
+       |  FROM idx
+       |)""".stripMargin
+
+  /** The d17/d21 shingle inventory — every length-[[SubstrMinTokens]]
+    * token-shingle start position with its md5, a memoized WRITTEN stage
+    * (the span detector and the apply both scan it).
+    */
+  private def substrShingleStage(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "substr_sh", d) {
+      val L = SubstrMinTokens
+      substrDocs(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+        .where(size(col("ts")) >= L)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1L), (size(col("ts")) - lit(L - 1)).cast("long"))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", slice(col("ts"), col("pos"), lit(L)))).as("h"))
+    }
+
   private val substrDocsSql: String =
     s"""substrdocs AS (
       |  SELECT doc_id, text FROM dupdocs
@@ -1230,20 +1266,7 @@ object DedupQueries {
     // (the reason this needs no df cap while d06's pair-emitting index
     // does). The islands window partitions by doc — bounded by doc length.
     Q("d17_substring_dedup",
-      s"""WITH $dupDocsSql,
-         |$substrDocsSql,
-         |toks AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM substrdocs
-         |),
-         |idx AS (
-         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${SubstrMinTokens - 1})) AS pos
-         |  FROM toks WHERE len(ts) >= $SubstrMinTokens
-         |),
-         |sh AS (
-         |  SELECT doc_id, pos,
-         |         md5(array_to_string(ts[pos : pos + ${SubstrMinTokens - 1}], ' ')) AS h
-         |  FROM idx
-         |),
+      s"""WITH $substrShSql,
          |dupsh AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
          |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (h)),
          |runs AS (
@@ -1256,15 +1279,7 @@ object DedupQueries {
          |FROM runs GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
       val L = SubstrMinTokens
-      val toks = substrDocs(s, d)
-        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
-      val sh = Stage.table(
-        toks.where(size(col("ts")) >= L)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1L), (size(col("ts")) - lit(L - 1)).cast("long"))).as("pos"))
-          .select(col("doc_id"), col("pos"),
-            md5(concat_ws(" ", slice(col("ts"), col("pos"), lit(L)))).as("h")),
-        "d17_shingles")
+      val sh = substrShingleStage(s, d)
       val dupsh = sh.groupBy("h").agg(countDistinct("doc_id").as("nd"))
         .where(col("nd") > 1).select("h")
       val hits = sh.join(dupsh, Seq("h")).select("doc_id", "pos")
@@ -1460,6 +1475,81 @@ object DedupQueries {
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.operators.PageRank.ranksPpm(sym, PagerankIters)
         .select(col("id").as("doc_id"), col("pr").as("pr_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // Exact substring dedup APPLY — d17 finds the verbatim-overlap spans;
+    // this removes them, keeping ONE canonical copy (Lee et al. 2022's
+    // actual corpus edit). Ownership is per duplicated shingle: the
+    // lowest doc_id containing it keeps its occurrences, every other doc
+    // drops the covered tokens — decided by ONE aggregate per shingle
+    // (MIN(doc_id)), never a pair join, same no-quadratic argument as
+    // d17. Coverage is the exact interval UNION of the foreign-owned
+    // shingle windows: islands break where consecutive starts are more
+    // than L apart (equal-length intervals chain through the previous
+    // start, so one LAG suffices — no running-max needed), and a merged
+    // island covers exactly max-min+L tokens. Output per doc: token
+    // count, dropped, retained — the corpus-edit ledger a production run
+    // writes next to the edited text. Scale shape: the shingle inventory
+    // is the SHARED written d17 stage; ownership and coverage are one
+    // uniform-key aggregate + one doc-partitioned window (two window fns,
+    // same partitioning, one exchange).
+    Q("d21_substring_apply",
+      s"""WITH $substrShSql,
+         |own AS (SELECT h, MIN(doc_id) AS owner FROM sh GROUP BY h),
+         |fhits AS (
+         |  SELECT s.doc_id, s.pos FROM sh s JOIN own o USING (h)
+         |  WHERE s.doc_id > o.owner
+         |),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+         |                                  ${-SubstrMinTokens - 1}) > $SubstrMinTokens
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM fhits
+         |),
+         |g AS (SELECT doc_id, pos,
+         |             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                          ROWS UNBOUNDED PRECEDING) AS grp
+         |      FROM brk),
+         |spans AS (
+         |  SELECT doc_id, MAX(pos) - MIN(pos) + $SubstrMinTokens AS t
+         |  FROM g GROUP BY doc_id, grp
+         |),
+         |drops AS (SELECT doc_id, CAST(SUM(t) AS BIGINT) AS n_dropped FROM spans GROUP BY doc_id),
+         |alltoks AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM substrdocs
+         |)
+         |SELECT a.doc_id, a.n_tokens,
+         |       COALESCE(dr.n_dropped, 0) AS n_dropped,
+         |       a.n_tokens - COALESCE(dr.n_dropped, 0) AS n_retained
+         |FROM alltoks a LEFT JOIN drops dr USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val L = SubstrMinTokens
+      val sh = substrShingleStage(s, d)
+      val own = sh.groupBy("h").agg(min("doc_id").as("owner"))
+      val fhits = sh.join(own, Seq("h"))
+        .where(col("doc_id") > col("owner"))
+        .select("doc_id", "pos")
+      val wo = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = fhits
+        .withColumn("b",
+          when(col("pos") - coalesce(lag("pos", 1).over(wo), lit(-L - 1L)) > L, 1L)
+            .otherwise(0L))
+        .withColumn("grp",
+          sum("b").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "grp")
+        .agg((max("pos") - min("pos") + lit(L.toLong)).as("t"))
+      val drops = spans.groupBy("doc_id").agg(sum("t").as("n_dropped"))
+      substrDocs(s, d)
+        .select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        .join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_tokens") - coalesce(col("n_dropped"), lit(0L))).as("n_retained"))
         .orderBy("doc_id")
     }
   )

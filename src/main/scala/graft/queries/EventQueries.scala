@@ -15,6 +15,9 @@ import graft.{Q, Tables}
   */
 object EventQueries {
 
+  /** e12 attribution lookback: 7 days in epoch microseconds. */
+  val AttribWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
   val entries: Seq[Q] = Seq(
 
     // JSON extraction + per-type aggregate: one scan, shuffle on the
@@ -432,6 +435,82 @@ object EventQueries {
         .select(col("h"), col("n"), col("prev_sum"),
           (col("prev_n") === 24 && col("n") * 24 > col("prev_sum") * 2).as("burst"))
         .orderBy("h")
+    },
+
+    // Multi-touch attribution (e12): split each purchase's conversion
+    // credit across the user's click/view touches in the preceding 7
+    // days, U-shaped 40/20/40 (first 40%, last 40%, middles share 20%;
+    // two touches split 50/50, a solo touch takes 100% — credit conserves
+    // up to the middle-share floor) — the marketing-analytics generalization of
+    // e05's single-touch as-of join. Credit is integer ppm with one
+    // floor DIV for the middle share (k >= 3 whenever a middle exists),
+    // so per-class sums are sums of longs — exact in both engines.
+    // Scale shape: the touch-to-conversion pairing is an EQUI-join on
+    // user_id with the 7-day bound as a residual range predicate (per
+    // user the pairing is bounded by activity density, never all-pairs
+    // across users); ranking partitions by conversion id — bounded by
+    // touches-per-conversion; the rollup is a tiny uniform-key
+    // aggregate. The streaming twin of the pairing is
+    // [[graft.streaming.EventStreams.viewPurchaseJoin]]'s watermarked
+    // interval join.
+    Q("e12_attribution",
+      s"""WITH c AS (
+         |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS t
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |tch AS (
+         |  SELECT event_id AS t_id, user_id, event_type, epoch_us(ts) AS t
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |),
+         |pr AS (
+         |  SELECT c.p_id, tch.t_id, tch.event_type, tch.t
+         |  FROM c JOIN tch ON tch.user_id = c.user_id
+         |                 AND tch.t >= c.t - $AttribWindowUs AND tch.t < c.t
+         |),
+         |rk AS (
+         |  SELECT p_id, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t, t_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY p_id) AS k
+         |  FROM pr
+         |),
+         |wgt AS (
+         |  SELECT event_type,
+         |         CASE WHEN k = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+         |              WHEN rn = k THEN 'last' ELSE 'middle' END AS pos_class,
+         |         CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+         |              WHEN rn = 1 THEN 400000
+         |              WHEN rn = k THEN 400000 ELSE 200000 // (k - 2) END AS w
+         |  FROM rk
+         |)
+         |SELECT event_type AS touch_type, pos_class,
+         |       CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |       CAST(SUM(w) AS BIGINT) AS credit_ppm_sum
+         |FROM wgt GROUP BY touch_type, pos_class
+         |ORDER BY touch_type, pos_class""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val c = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("t").as("ct"))
+      val tch = ev.where(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("t_id"), col("user_id"),
+          col("event_type"), col("t"))
+      val pr = c.join(tch, Seq("user_id"))
+        .where(col("t") >= col("ct") - AttribWindowUs && col("t") < col("ct"))
+      val wp = Window.partitionBy("p_id")
+      val rk = pr
+        .withColumn("rn", row_number().over(wp.orderBy("t", "t_id")))
+        .withColumn("k", count(lit(1)).over(wp))
+      rk.select(col("event_type"),
+          when(col("k") === 1, "solo").when(col("rn") === 1, "first")
+            .when(col("rn") === col("k"), "last").otherwise("middle").as("pos_class"),
+          when(col("k") === 1, 1000000L).when(col("k") === 2, 500000L)
+            .when(col("rn") === 1, 400000L)
+            .when(col("rn") === col("k"), 400000L)
+            .otherwise(expr("200000 DIV (k - 2)")).as("w"))
+        .groupBy(col("event_type").as("touch_type"), col("pos_class"))
+        .agg(count(lit(1)).as("n_touches"), sum("w").as("credit_ppm_sum"))
+        .orderBy("touch_type", "pos_class")
     }
   )
 }

@@ -89,6 +89,13 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assertEquivariant("d13_chunk_dedup", Seq("doc_id"))
   }
 
+  test("d21 substring-apply ledger is exactly equivariant under 3x replication") {
+    // same deterministic-complete inventory as d17; MIN-ownership is
+    // order-stable under the per-band id shift (shifts preserve order
+    // within and across bands), so drop/retain ledgers replicate exactly
+    assertEquivariant("d21_substring_apply", Seq("doc_id"))
+  }
+
   test("d04 embedding pairs are exactly equivariant under rotation replication") {
     // below EmbMaxCell the in-cell candidate set is exact all-pairs
     // (deterministic-complete), and a dimension rotation is an isometry
