@@ -12,12 +12,15 @@ can't wedge the whole recording; timed-out queries are reported as
 import json, subprocess, sys, time
 
 WORKER = r'''
-import duckdb, sys, time
+import duckdb, os, sys, time
 sf, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):  # Spark-written table = directory of part files
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 t0 = time.monotonic()
 con.sql(sql).fetchall()
 print(time.monotonic() - t0)
