@@ -43,6 +43,12 @@ object SimilarityQueries {
     */
   val KnnGraphK = 5
 
+  /** v12 per-label sample quota: sized so the generated fixtures exercise
+    * BOTH paths (labels under quota keep everything — the deficit path —
+    * and labels over it are capped at exactly the quota).
+    */
+  val StratQuota = 50
+
   /** v07 product-quantization shape: 64-dim vectors in 4 subspaces of 16
     * dims, 16 codes per subspace (codes fit a nibble; 3 Lloyd rounds —
     * 5 was measured too: it lifts several per-probe recalls ~0.1 but
@@ -565,6 +571,45 @@ object SimilarityQueries {
         .where(col("rnk") <= KnnGraphK)
         .select("src_id", "dst_id", "rnk", "cosine")
         .orderBy("src_id", "rnk")
+    },
+
+    // Exact-quota stratified sampling — the class-balancing primitive of
+    // dataset curation (equal per-class budgets for eval sets / balanced
+    // fine-tuning mixtures), complementing t14's EXPECTED-count ppm
+    // weighting with an EXACT-count draw: per label, keep precisely
+    // min(n, [[StratQuota]]) vectors, chosen by md5(vec_id) hash-rank —
+    // a deterministic uniform order, so the same vectors are kept on
+    // every run, engine, and partitioning (rand() could never certify).
+    // Scale shape: the rank window partitions by label with a LITERAL
+    // rank filter, so Spark plans WindowGroupLimit — at most quota rows
+    // per label leave each map partition before the shuffle — and the
+    // rollup is a |labels|-row aggregate. kept_id_sum is an order-free
+    // integer checksum certifying WHICH rows were kept, not just how
+    // many.
+    Q("v12_stratified_sample",
+      s"""WITH r AS (
+         |  SELECT label, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY label
+         |                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM embeddings
+         |),
+         |c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings GROUP BY label)
+         |SELECT r.label, c.n_total,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(r.vec_id) AS BIGINT) AS kept_id_sum
+         |FROM r JOIN c ON r.label = c.label
+         |WHERE r.rk <= $StratQuota
+         |GROUP BY r.label, c.n_total ORDER BY r.label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("label", "vec_id")
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val kept = emb.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= StratQuota)
+      val c = emb.groupBy("label").agg(count(lit(1)).as("n_total"))
+      kept.join(c, Seq("label"))
+        .groupBy("label", "n_total")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("kept_id_sum"))
+        .orderBy("label")
     },
 
     // LSH-bucketed: search only the probe's random-hyperplane bucket.

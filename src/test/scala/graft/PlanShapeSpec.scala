@@ -125,6 +125,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"per-source top-k must plan a partial group limit:\n$p")
   }
 
+  test("v12 stratified sample: literal quota plans WindowGroupLimit") {
+    val p = planOf("v12_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-label quota must bound rows before the shuffle:\n$p")
+  }
+
   test("v01 heap/window top-k reduce strategies agree row-for-row") {
     val run = () => SparkEntry.queries("v01_knn_brute")(spark, dir).collect().toSeq
     val window = run()

@@ -71,6 +71,18 @@ class RetrievalSpec extends SparkTestBase {
       s"expected ('vorpal','blade') as the only above-floor pair, got ${rows.toSeq}")
   }
 
+  test("v12: exact quotas — capped labels hit the quota, small labels keep all") {
+    val rows = SparkEntry.queries("v12_stratified_sample")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (label, n, kept) =>
+      assert(kept == math.min(n, SimilarityQueries.StratQuota.toLong),
+        s"label $label: kept $kept != min($n, quota)")
+    }
+    assert(rows.exists(_._2 > SimilarityQueries.StratQuota), "no capped label — vacuous")
+    assert(rows.exists(_._2 < SimilarityQueries.StratQuota), "no deficit label — vacuous")
+  }
+
   test("v11: rank structure holds and probe rows equal v04's top-k prefix") {
     val graph = SparkEntry.queries("v11_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
