@@ -14,7 +14,8 @@ object SparkEntry {
       SimilarityQueries.entries ++
       TextQueries.entries ++
       EventQueries.entries ++
-      MultimodalQueries.entries
+      MultimodalQueries.entries ++
+      PipelineQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftNative, Q, Tables}
+import graft.functions.TextFns
+import graft.operators.Stage
+
+/** End-to-end corpus curation — the composed pipeline every stage of this
+  * engine exists to feed, certified as ONE query: quality gate → PII
+  * scrub → exact dedup (keep the lowest-id copy of each redacted
+  * fingerprint) → sequence packing, with a per-source survivorship ledger
+  * at every stage. Each stage is the already-certified operator (t03's
+  * quality rule, t13's fixed-order redaction, d01's keeper rule, t07's
+  * exclusive running-sum packing) — p01 certifies their COMPOSITION,
+  * where stage-ordering bugs (scrubbing before fingerprinting, packing
+  * pre-dedup survivors) would hide from the per-operator oracles.
+  *
+  * Scale shape: quality + scrub are map-only over one scan; the scrubbed
+  * survivors are a WRITTEN stage (the corpus edit a production run
+  * persists) consumed by both the dedup aggregate and the packer; dedup
+  * is one uniform-key fingerprint aggregate + a key-partitioned
+  * semi-join; packing is t07's single shuffle-by-source window; the
+  * ledger is a |sources|-row join of four tiny aggregates.
+  */
+object PipelineQueries {
+
+  /** Quality floor (t03's keep rule). */
+  val QualityMin = 7
+
+  val entries: Seq[Q] = Seq(
+    Q("p01_curation_pipeline",
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${DedupQueries.BatchIdOffset} AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |),
+         |inj AS (
+         |  SELECT doc_id, source, text,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' ${TextQueries.PiiSuffix}'
+         |              ELSE text END AS itext
+         |  FROM base
+         |),
+         |qual AS (
+         |  SELECT doc_id, source, itext FROM inj
+         |  WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |scrub AS (
+         |  SELECT doc_id, source, ${TextQueries.redactedSqlOf("itext")} AS rtext
+         |  FROM qual
+         |),
+         |fp AS (
+         |  SELECT doc_id, source, rtext,
+         |         md5(${TextQueries.normSqlOf("rtext")}) AS fp
+         |  FROM scrub
+         |),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |uniq AS (SELECT f.doc_id, f.source, f.rtext FROM fp f JOIN keep k ON f.doc_id = k.doc_id),
+         |tok AS (
+         |  SELECT doc_id, source,
+         |         CAST(${TextQueries.wsTokSqlOf("rtext")} AS BIGINT) AS ws
+         |  FROM uniq
+         |),
+         |pk AS (
+         |  SELECT source, doc_id, ws,
+         |         SUM(ws) OVER (PARTITION BY source ORDER BY doc_id
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tok
+         |),
+         |seqs AS (
+         |  SELECT source, CAST(floor((cum - ws) / ${TextQueries.PackBudget}.0) AS BIGINT) AS seq_id, ws
+         |  FROM pk
+         |),
+         |a_in AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM inj GROUP BY source),
+         |a_q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality FROM qual GROUP BY source),
+         |a_u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique FROM uniq GROUP BY source),
+         |a_p AS (SELECT source, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+         |               CAST(SUM(ws) AS BIGINT) AS sum_tokens
+         |        FROM seqs GROUP BY source)
+         |SELECT i.source, i.n_in,
+         |       COALESCE(q.n_quality, 0) AS n_quality,
+         |       COALESCE(u.n_unique, 0) AS n_unique,
+         |       COALESCE(p.n_sequences, 0) AS n_sequences,
+         |       COALESCE(p.sum_tokens, 0) AS sum_tokens
+         |FROM a_in i
+         |LEFT JOIN a_q q ON q.source = i.source
+         |LEFT JOIN a_u u ON u.source = i.source
+         |LEFT JOIN a_p p ON p.source = i.source
+         |ORDER BY i.source""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      // the d-family's exact-copy fixture corpus (copies of every 10th
+      // doc at id+offset), so the dedup stage is non-vacuous: the raw
+      // corpus's injected near-dups differ by a token and survive exact
+      // fingerprinting
+      val raw = Tables.documents(s, d).select("doc_id", "source", "text")
+      val docs = raw.unionByName(
+        raw.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + DedupQueries.BatchIdOffset).as("doc_id"),
+            col("source"), col("text")))
+      val itext = when(col("doc_id") % 25 === 0,
+        concat(col("text"), lit(s" ${TextQueries.PiiSuffix}"))).otherwise(col("text"))
+      val q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+      // stages 1+2 fused map-only: gate on the RAW text, scrub the gated
+      val scrubbed = Stage.table(
+        docs.where(q10 >= QualityMin)
+          .select(col("doc_id"), col("source"),
+            TextQueries.redactedCol(itext).as("rtext")),
+        "p01_scrubbed")
+      // stage 3: exact dedup on the REDACTED fingerprint (post-scrub ids
+      // collide where raw ones would not — the ordering p01 certifies)
+      val withFp = scrubbed.withColumn("fp", TextFns.fingerprint(col("rtext")))
+      val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val uniq = withFp.join(keepers, Seq("doc_id"), "left_semi")
+      // stage 4: t07's packing over the survivors
+      val tok = uniq.select(col("doc_id"), col("source"),
+        GraftNative.textStats(col("rtext")).getField("ws_tokens").as("ws"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqs = tok.withColumn("cum", sum("ws").over(w))
+        .select(col("source"),
+          floor((col("cum") - col("ws")) / lit(TextQueries.PackBudget.toDouble)).as("seq_id"),
+          col("ws"))
+      val aIn = docs.groupBy("source").agg(count(lit(1)).as("n_in"))
+      val aQ = scrubbed.groupBy("source").agg(count(lit(1)).as("n_quality"))
+      val aU = uniq.groupBy("source").agg(count(lit(1)).as("n_unique"))
+      val aP = seqs.groupBy("source")
+        .agg(countDistinct("seq_id").as("n_sequences"), sum("ws").as("sum_tokens"))
+      aIn.join(aQ, Seq("source"), "left")
+        .join(aU, Seq("source"), "left")
+        .join(aP, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+          coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+        .orderBy("source")
+    }
+  )
+}

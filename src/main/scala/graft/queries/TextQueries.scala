@@ -58,15 +58,49 @@ object TextQueries {
     "contact user.name+spam@example-mail.org via https://ex.org/u?id=7 or 555-123-4567"
 
   // ---- DuckDB twins of TextFns ----------------------------------------
+  // (column-parametrized so composed pipelines — p01 — can apply them to
+  // derived columns; the `text`-bound vals below keep existing call sites)
 
-  /** DuckDB twin of [[DedupFns.normText]] over the `text` column. */
-  private val normDocSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** DuckDB twin of [[DedupFns.normText]]. */
+  private[queries] def normSqlOf(c: String) =
+    s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+  private val normDocSql = normSqlOf("text")
 
-  private val wsTokSql = "len(regexp_extract_all(trim(text), '\\S+'))"
+  private[queries] def wsTokSqlOf(c: String) =
+    s"len(regexp_extract_all(trim($c), '\\S+'))"
+  private val wsTokSql = wsTokSqlOf("text")
   private val bpeTokSql = """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
-  private val punctSql = """len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"""
-  private val stopSql =
-    """len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))"""
+  private def punctSqlOf(c: String) =
+    s"""len(regexp_extract_all($c, '[^A-Za-z0-9\\s]'))"""
+  private val punctSql = punctSqlOf("text")
+  private def stopSqlOf(c: String) =
+    s"""len(regexp_extract_all(lower($c), '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))"""
+  private val stopSql = stopSqlOf("text")
+
+  /** t13's RE2-safe PII patterns (shared with p01's scrub stage). */
+  private[queries] val UrlRe = """https?://[^ \t\n\r\f]+"""
+  private[queries] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
+  private[queries] val PhoneRe = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
+
+  /** Fixed-order url -> email -> phone redaction, DuckDB side. */
+  private[queries] def redactedSqlOf(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |  '$UrlRe', '<URL>', 'g'),
+       |  '$EmailRe', '<EMAIL>', 'g'),
+       |  '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+
+  /** The same redaction as Column expressions (t13 + p01). */
+  private[queries] def redactedCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  private[queries] def quality10SqlOf(c: String): String =
+    s"""(CASE WHEN length($c) BETWEEN 100 AND 2000 THEN 4 ELSE 0 END
+       | + CASE WHEN ${punctSqlOf(c)} * 10 <= ${wsTokSqlOf(c)} THEN 3 ELSE 0 END
+       | + CASE WHEN ${stopSqlOf(c)} > 0 THEN 3 ELSE 0 END)""".stripMargin
 
   private val langScoreSqls: Seq[(String, String)] = TextFns.langStopwords.map {
     case (lang, re) =>
@@ -547,17 +581,9 @@ object TextQueries {
     // resolve the same way. Scale shape: pure per-row expressions — one
     // scan, map-only, no shuffle but the output order; at 100 TB this
     // pipelines through whole-stage codegen with zero exchanges.
-    Q("t13_pii_scrub", {
-      // triple-quoted: single backslashes reach the SQL literal verbatim
-      // (DuckDB string literals are escape-free, RE2 sees \s / \. / \+)
-      val urlR = """https?://[^ \t\n\r\f]+"""
-      val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
-      val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
-      val redacted =
-        s"""regexp_replace(regexp_replace(regexp_replace(t,
-           |  '$urlR', '<URL>', 'g'),
-           |  '$emailR', '<EMAIL>', 'g'),
-           |  '$phoneR', '<PHONE>', 'g')""".stripMargin
+    Q("t13_pii_scrub",
+      // DuckDB string literals are escape-free; the shared raw patterns
+      // reach RE2 verbatim (\s / \. / \+)
       s"""WITH piidocs AS (
          |  SELECT doc_id,
          |         CASE WHEN doc_id % 25 = 0
@@ -566,28 +592,19 @@ object TextQueries {
          |  FROM documents
          |)
          |SELECT doc_id,
-         |       CAST(len(regexp_extract_all(t, '$urlR')) AS BIGINT) AS n_url,
-         |       CAST(len(regexp_extract_all(t, '$emailR')) AS BIGINT) AS n_email,
-         |       CAST(len(regexp_extract_all(t, '$phoneR')) AS BIGINT) AS n_phone,
-         |       md5($redacted) AS redacted_fp
-         |FROM piidocs ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val urlR = """https?://[^ \t\n\r\f]+"""
-      val emailR = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"""
-      val phoneR = """\+?[0-9][0-9]{2}[-. ]?[0-9][0-9]{2}[-. ]?[0-9][0-9]{3}"""
+         |       CAST(len(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_url,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |       md5(${redactedSqlOf("t")}) AS redacted_fp
+         |FROM piidocs ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = when(col("doc_id") % 25 === 0,
         concat(col("text"), lit(s" $PiiSuffix"))).otherwise(col("text"))
-      val redacted = regexp_replace(
-        regexp_replace(
-          regexp_replace(t, urlR, "<URL>"),
-          emailR, "<EMAIL>"),
-        phoneR, "<PHONE>")
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(regexp_extract_all(t, lit(urlR), lit(0))).cast("long").as("n_url"),
-        size(regexp_extract_all(t, lit(emailR), lit(0))).cast("long").as("n_email"),
-        size(regexp_extract_all(t, lit(phoneR), lit(0))).cast("long").as("n_phone"),
-        md5(redacted.cast("binary")).as("redacted_fp"))
+        size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_url"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        md5(redactedCol(t).cast("binary")).as("redacted_fp"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,50 @@
+package graft
+
+/** p01 composition semantics: the ledger is monotone, every stage
+  * actually fires, and the quality stage agrees exactly with t03's
+  * certified keep rule.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val ledger: Map[String, (Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("p01_curation_pipeline")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("survivorship is monotone and packing only counts survivors") {
+    assert(ledger.nonEmpty)
+    ledger.foreach { case (src, (nIn, nQ, nU, nSeq, toks)) =>
+      assert(nIn >= nQ && nQ >= nU, s"$src: ledger not monotone ($nIn, $nQ, $nU)")
+      assert((nU == 0) == (nSeq == 0), s"$src: sequences without survivors")
+      assert(nU == 0 || toks > 0, s"$src: survivors but zero tokens")
+    }
+  }
+
+  test("every stage fires somewhere: filter, dedup both drop rows") {
+    val (nIn, nQ, nU) = (ledger.values.map(_._1).sum,
+      ledger.values.map(_._2).sum, ledger.values.map(_._3).sum)
+    assert(nQ < nIn, "quality gate dropped nothing — threshold vacuous")
+    assert(nU < nQ, "dedup dropped nothing — corpus dup fixture vacuous")
+  }
+
+  test("the quality stage equals t03's certified keep counts per source") {
+    import org.apache.spark.sql.functions._
+    val t03 = SparkEntry.queries("t03_quality_filter")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // p01 runs on the copy-injected corpus: its quality survivors are
+    // t03's keepers plus the keepers among the injected %10 copies
+    GraftNative.ensure(spark)
+    val q10 = graft.functions.TextFns.qualityScore10From(
+      GraftNative.textStats(col("text")), col("text"))
+    val copyKeep = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 0 && q10 >= graft.queries.PipelineQueries.QualityMin)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ledger.foreach { case (src, (_, nQ, _, _, _)) =>
+      val expected = t03(src) + copyKeep.getOrElse(src, 0L)
+      assert(expected == nQ, s"$src: p01 n_quality $nQ != t03+copies $expected")
+    }
+  }
+}
