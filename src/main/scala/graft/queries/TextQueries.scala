@@ -89,8 +89,10 @@ object TextQueries {
        |  '$EmailRe', '<EMAIL>', 'g'),
        |  '$PhoneRe', '<PHONE>', 'g')""".stripMargin
 
-  /** The same redaction as Column expressions (t13 + p01). */
-  private[queries] def redactedCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** The same redaction as Column expressions (t13 + p01 + the streaming
+    * curation twin).
+    */
+  private[graft] def redactedCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, UrlRe, "<URL>"),

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.GraftNative
+import graft.functions.TextFns
+import graft.queries.{PipelineQueries, TextQueries}
+
+/** Streaming twin of the p01 curation pipeline: documents stream in,
+  * the map-only quality gate + PII scrub run per micro-batch with the
+  * EXACT batch expressions, and exact dedup keeps the first-arriving
+  * copy of each redacted fingerprint via keyed state — so a corpus
+  * replayed in id order yields precisely p01's survivor set
+  * (first-seen == lowest id), asserted row-for-row by
+  * CurationStreamsSpec.
+  *
+  * Scale notes: the gate/scrub stages are stateless per-row expressions
+  * (no shuffle, arbitrary parallelism); the dedup state is ONE long per
+  * distinct fingerprint, keyed uniformly by md5 — the smallest possible
+  * exact-dedup state — and evictable via TTL exactly like
+  * [[DedupStreams]]' horizon when the deployment wants
+  * dedup-within-a-window semantics rather than all-history.
+  */
+object CurationStreams {
+
+  final case class SrcDoc(doc_id: Long, source: String, text: String)
+
+  /** A curation survivor: kept doc + its post-scrub token count (the
+    * packer's input, carried so downstream needs no re-tokenize).
+    */
+  final case class Kept(doc_id: Long, source: String, ws_tokens: Long)
+
+  /** Internal keyed shape between the scrub stage and the dedup state. */
+  final case class FpDoc(fp: String, doc_id: Long, source: String, ws_tokens: Long)
+
+  /** Stages 1+2, exactly p01's expressions: PII-inject fixture, gate on
+    * the RAW text, scrub the survivors. Works on batch frames too (the
+    * parity test routes the batch twin through this same code).
+    */
+  def gateAndScrub(spark: SparkSession, docs: Dataset[SrcDoc]): DataFrame = {
+    GraftNative.ensure(spark)
+    val itext = when(col("doc_id") % 25 === 0,
+      concat(col("text"), lit(s" ${TextQueries.PiiSuffix}"))).otherwise(col("text"))
+    val q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+    docs.toDF()
+      .where(q10 >= PipelineQueries.QualityMin)
+      .select(col("doc_id"), col("source"),
+        TextQueries.redactedCol(itext).as("rtext"))
+  }
+
+  /** First-arrival-wins exact dedup keyed by fingerprint: state is one
+    * long (the keeper id) per fp. Within a micro-batch rows fold in
+    * doc_id order, so emission is deterministic under shuffle and an
+    * id-ordered replay reproduces batch p01's MIN-id keeper rule.
+    */
+  final class KeeperProcessor extends StatefulProcessor[String, FpDoc, Kept] {
+    @transient private var keeper: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      keeper = getHandle.getValueState[Long]("keeper",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(fp: String, rows: Iterator[FpDoc],
+                                 timerValues: TimerValues): Iterator[Kept] = {
+      if (keeper.exists()) { rows.foreach(_ => ()); Iterator.empty }
+      else {
+        val first = rows.minBy(_.doc_id)
+        keeper.update(first.doc_id)
+        Iterator.single(Kept(first.doc_id, first.source, first.ws_tokens))
+      }
+    }
+  }
+
+  /** The full streaming pipeline: gate -> scrub -> fingerprint -> keyed
+    * first-wins dedup. Emits the curation survivors incrementally.
+    */
+  def curationSurvivors(spark: SparkSession, docs: Dataset[SrcDoc]): Dataset[Kept] = {
+    import spark.implicits._
+    gateAndScrub(spark, docs)
+      .select(
+        TextFns.fingerprint(col("rtext")).as("fp"),
+        col("doc_id"), col("source"),
+        GraftNative.textStats(col("rtext")).getField("ws_tokens").as("ws_tokens"))
+      .as[FpDoc]
+      .groupByKey(_.fp)
+      .transformWithState(new KeeperProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}
