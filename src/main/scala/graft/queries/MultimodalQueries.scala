@@ -315,16 +315,24 @@ object MultimodalQueries {
       val imgs = SimilarityQueries.quantized(s, d)
         .where(col("vec_id") % 3 === 0 && col("n2") > 0)
         .withColumn("bucket", SimilarityQueries.lshBucket(col("q")))
-      val probes = Tables.documents(s, d)
-        .where(col("doc_id") < SimilarityQueries.NumProbes)
-        .select(col("doc_id").as("probe_id"),
-          transform(split(lower(trim(col("text"))), "\\s+"),
-            t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
-        .select(col("probe_id"),
-          transform(sequence(lit(0L), lit(dim - 1L)),
-            j => size(filter(col("bks"), b => b === j)).cast("long")).as("p_q"))
-        .withColumn("p_n2", graft.GraftNative.longDot(col("p_q"), col("p_q")))
-        .withColumn("p_bucket", SimilarityQueries.lshBucket(col("p_q")))
+      // the probe embeddings are a WRITTEN stage, not a lazy plan: the
+      // hashing-trick tree (64 dims x an interpreted filter over md5'd
+      // tokens) must evaluate once per probe — left lazy, scoreAndRank's
+      // p_n2 filter makes CollapseProject inline TWO copies of it into a
+      // per-joined-row predicate (interpreted, no CSE), which measured
+      // 14.8 s vs ~1 s at sf0.1 for five probes
+      val probes = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .where(col("doc_id") < SimilarityQueries.NumProbes)
+          .select(col("doc_id").as("probe_id"),
+            transform(split(lower(trim(col("text"))), "\\s+"),
+              t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
+          .select(col("probe_id"),
+            transform(sequence(lit(0L), lit(dim - 1L)),
+              j => size(filter(col("bks"), b => b === j)).cast("long")).as("p_q"))
+          .withColumn("p_n2", graft.GraftNative.longDot(col("p_q"), col("p_q")))
+          .withColumn("p_bucket", SimilarityQueries.lshBucket(col("p_q"))),
+        "mm05_probes")
       SimilarityQueries.scoreAndRank(
           imgs.join(broadcast(probes), col("bucket") === col("p_bucket")))
         .select(col("probe_id").as("doc_id"), col("neighbor_id").as("media_id"),
