@@ -107,6 +107,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit bounding the shuffle in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cross-modal join went all-pairs:\n$p")
+    // the probe hashing-trick tree must be STAGED out of the plan: left
+    // lazy, CollapseProject inlines two interpreted copies of it into the
+    // post-join p_n2 filter (measured 14.4 s vs 0.6 s at sf0.1)
+    assert(!p.contains("lambdafunction"),
+      s"an interpreted HOF leaked into the executed mm05 plan (stage the probe batch):\n$p")
   }
 
   test("t16 BM25: query terms broadcast into the postings scan; top-k bounded") {
