@@ -49,6 +49,13 @@ object SimilarityQueries {
     */
   val StratQuota = 50
 
+  /** v13 tombstone fixture: every Nth corpus vector is "deleted". 9 is
+    * coprime with the batch-injection modulus (50), so deletions hit
+    * buckets the probes actually search and several top-k lists must
+    * change vs v10 (pinned in RetrievalSpec).
+    */
+  val TombstoneMod = 9
+
   /** v07 product-quantization shape: 64-dim vectors in 4 subspaces of 16
     * dims, 16 codes per subspace (codes fit a nibble; 3 Lloyd rounds —
     * 5 was measured too: it lifts several per-probe recalls ~0.1 but
@@ -610,6 +617,67 @@ object SimilarityQueries {
         .groupBy("label", "n_total")
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("kept_id_sum"))
         .orderBy("label")
+    },
+
+    // ANN deletions without an index rebuild (v13): production vector
+    // stores take deletes as a keyed tombstone set and mask them at
+    // query time — rebuilding a 100 TB index per delete batch is not an
+    // option. The WRITTEN bucket index (the SAME shared stage v10
+    // probes) is anti-joined against the tombstone list before scoring:
+    // the tombstone side is small by construction (a delete batch), so
+    // the anti-join broadcasts and the index scan streams through it —
+    // the plan a compaction job later makes permanent. Fixture deletes
+    // every 9th corpus vector, which demonstrably changes several
+    // probes' top-k vs v10 (pinned non-vacuous in RetrievalSpec).
+    Q("v13_ann_tombstones",
+      s"""WITH ${DedupQueries.dupEmbSql},
+         |qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM dupemb
+         |),
+         |n AS (SELECT vec_id, q,
+         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+         |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |tomb AS (
+         |  SELECT vec_id FROM dupemb
+         |  WHERE vec_id % $TombstoneMod = 0 AND vec_id < ${DedupQueries.BatchIdOffset}
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.bucket = p.bucket
+         |  WHERE p.vec_id >= ${DedupQueries.BatchIdOffset}
+         |    AND c.vec_id < ${DedupQueries.BatchIdOffset}
+         |    AND c.vec_id NOT IN (SELECT vec_id FROM tomb)
+         |    AND p.n2 > 0 AND c.n2 > 0
+         |),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val bucketed = Stage.sharedTable(s, "v10_index_all", d) {
+        DedupQueries.dupEmb(s, d)
+          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+          .withColumn("bucket", lshBucket(col("q")))
+      }
+      val tomb = DedupQueries.dupEmb(s, d)
+        .where(col("vec_id") % TombstoneMod === 0 &&
+          col("vec_id") < DedupQueries.BatchIdOffset)
+        .select("vec_id")
+      val index = bucketed.where(col("vec_id") < DedupQueries.BatchIdOffset)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      val probes = bucketed.where(col("vec_id") >= DedupQueries.BatchIdOffset)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      scoreAndRank(index.join(broadcast(probes),
+        col("bucket") === col("p_bucket")))
     },
 
     // LSH-bucketed: search only the probe's random-hyperplane bucket.

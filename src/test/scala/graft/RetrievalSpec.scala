@@ -83,6 +83,23 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows.exists(_._2 < SimilarityQueries.StratQuota), "no deficit label — vacuous")
   }
 
+  test("v13: tombstoned neighbors vanish and the masking is non-vacuous") {
+    val v10 = SparkEntry.queries("v10_incremental_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v13 = SparkEntry.queries("v13_ann_tombstones")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(v13.nonEmpty)
+    v13.foreach { case (_, n) =>
+      assert(n % SimilarityQueries.TombstoneMod != 0,
+        s"tombstoned neighbor $n returned by v13")
+    }
+    // some v10 top-k entry must have been a now-deleted vector, so the
+    // two rankings must differ (else the fixture proves nothing)
+    assert(v10.exists(_._2 % SimilarityQueries.TombstoneMod == 0),
+      "no tombstoned id ever ranked in v10 — fixture vacuous")
+    assert(v13.toSet != v10, "deletions changed nothing in the top-k")
+  }
+
   test("v11: rank structure holds and probe rows equal v04's top-k prefix") {
     val graph = SparkEntry.queries("v11_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
