@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   * Callers pass a SYMMETRIZED (or otherwise dangling-free) edge list:
   * every node must appear as a `src` so rank mass has an outlet —
   * true by construction for the near-dup graphs this engine builds
-  * (pairs are emitted in both directions).
+  * (pairs are emitted in both directions). The contract is ENFORCED,
+  * not just documented: [[ranksPpm]] fails fast if any `dst` never
+  * appears as a `src` (a dangling node would silently lose rank mass
+  * and drop out of the output). The check is one cheap anti-join over
+  * the already-written edge stage, paid once per call.
   */
 object PageRank {
 
@@ -44,7 +48,16 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // one written stage feeds every iteration's join side
     val ed = Stage.table(edges.join(deg, Seq("src")), "pagerank_edges")
-    var r = ed.select(col("src").as("id")).distinct()
+    // contract check: distinct(dst) ⊆ distinct(src). A dangling dst
+    // (no out-edges) would lose its inbound mass and vanish from the
+    // output — fail fast instead of returning silently-wrong ranks.
+    val srcSet = ed.select(col("src").as("id")).distinct()
+    val dangling = ed.select(col("dst").as("id")).distinct()
+      .join(srcSet, Seq("id"), "left_anti")
+    require(dangling.isEmpty,
+      "PageRank.ranksPpm requires a dangling-free edge list: every dst " +
+        "must also appear as a src (symmetrize or add self-loops first)")
+    var r = srcSet
       .select(col("id"), lit(ScalePpm).as("pr"))
     for (_ <- 1 to iters) {
       r = ed.join(r, ed("src") === r("id"))

@@ -38,9 +38,11 @@ object TextQueries {
   val BpeVocabPairs = 64
 
   /** t16 BM25 retrieval shape: top-[[Bm25K]] docs per query; probe
-    * queries are every [[Bm25QueryEvery]]-th doc's first
-    * [[Bm25QueryTerms]] distinct normalized tokens (deterministic, like
-    * the v-family's `vec_id < NumProbes` probe sets).
+    * queries are the distinct normalized tokens among every
+    * [[Bm25QueryEvery]]-th doc's first [[Bm25QueryTerms]] token
+    * POSITIONS (repeated positions collapse, so a query can carry fewer
+    * than [[Bm25QueryTerms]] terms — deterministic, like the v-family's
+    * `vec_id < NumProbes` probe sets).
     */
   val Bm25K = 10
   val Bm25QueryEvery = 101
@@ -775,8 +777,9 @@ object TextQueries {
     // retrieval primitive of RAG data curation). Index = the classic
     // postings shape (token -> (doc, tf) with stored doc length), a
     // WRITTEN stage like any production index build. Queries = every
-    // [[Bm25QueryEvery]]-th doc's first [[Bm25QueryTerms]] distinct
-    // normalized tokens (deterministic probe fixtures, t05-style).
+    // [[Bm25QueryEvery]]-th doc's distinct normalized tokens among its
+    // first [[Bm25QueryTerms]] token positions (deterministic probe
+    // fixtures, t05-style; repeated positions collapse).
     // Scoring is the BM25 shape with k1=1.2, b=0.5 in pure INTEGER
     // arithmetic for cross-engine bit parity: the idf surrogate
     // (N-df+0.5)/(df+0.5) is computed exactly as (2(N-df)+1)/(2df+1)

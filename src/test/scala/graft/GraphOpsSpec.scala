@@ -32,6 +32,15 @@ class GraphOpsSpec extends SparkTestBase {
     assert(leaves.head >= PageRank.BasePpm)
   }
 
+  test("pagerank: a dangling dst (never a src) fails fast, not silently") {
+    import spark.implicits._
+    val dangling = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranksPpm(dangling, 2).collect()
+    }
+    assert(e.getMessage.contains("dangling-free"))
+  }
+
   test("d19: cluster split leaks zero pairs, doc split leaks some") {
     val rows = SparkEntry.queries("d19_leakfree_split")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))

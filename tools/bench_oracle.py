@@ -37,11 +37,17 @@ def main():
             p = subprocess.run([sys.executable, "-c", WORKER, sf],
                                input=oracle[name], capture_output=True,
                                text=True, timeout=limit)
-            if p.returncode == 0:
-                res[name] = float(p.stdout.strip().splitlines()[-1])
-                print(f"{name}: {res[name]:.2f}s", flush=True)
+            out_lines = p.stdout.strip().splitlines()
+            if p.returncode == 0 and out_lines:
+                try:
+                    res[name] = float(out_lines[-1])
+                    print(f"{name}: {res[name]:.2f}s", flush=True)
+                except ValueError:
+                    res[name] = {"error": f"unparseable stdout: {out_lines[-1][:200]}"}
+                    print(f"{name}: ERROR", flush=True)
             else:
-                res[name] = {"error": p.stderr.strip().splitlines()[-1][:200]}
+                err = (p.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+                res[name] = {"error": err[:200]}
                 print(f"{name}: ERROR", flush=True)
         except subprocess.TimeoutExpired:
             res[name] = {"timeout": limit}
