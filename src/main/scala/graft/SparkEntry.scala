@@ -13,6 +13,7 @@ object SparkEntry {
       DedupQueries.entries ++
       SimilarityQueries.entries ++
       TextQueries.entries ++
+      HybridQueries.entries ++
       EventQueries.entries ++
       MultimodalQueries.entries ++
       PipelineQueries.entries

@@ -91,16 +91,31 @@ object SimilarityQueries {
     }
   }
 
-  private[queries] val qvSql: String =
-    """qv AS (
-      |  SELECT vec_id, label,
-      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings
-      |),
-      |n AS (SELECT vec_id, label, q,
-      |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv)""".stripMargin
+  /** The quantized+bucketed corpus as ONE memoized written stage (v11's
+    * graph build and t18's hybrid-fusion vector side scan the same
+    * artifact — a production deployment maintains exactly one bucketed
+    * index table serving every consumer).
+    */
+  private[queries] def bucketedQv(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "v11_bucketed", d) {
+      quantized(s, d).withColumn("bucket", lshBucket(col("q")))
+    }
 
-  private val cosineSql: String =
+  /** [[qvSql]] with caller-chosen CTE names, so composed oracles (t18)
+    * can avoid colliding with their own `qv`/`n` CTEs.
+    */
+  private[queries] def qvSqlNamed(qvName: String, nName: String): String =
+    s"""$qvName AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |$nName AS (SELECT vec_id, label, q,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM $qvName)""".stripMargin
+
+  private[queries] val qvSql: String = qvSqlNamed("qv", "n")
+
+  private[queries] val cosineSql: String =
     """CAST(CAST(list_sum(list_transform(list_zip(p.q, c.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
       |  / sqrt(CAST(p.n2 * c.n2 AS DOUBLE))""".stripMargin
 
@@ -432,7 +447,7 @@ object SimilarityQueries {
     * two `LshPlanes`-char sign-bit strings is <= 1 (own bucket or one
     * plane flipped).
     */
-  private def bucketHamLe1Sql(a: String, b: String): String =
+  private[queries] def bucketHamLe1Sql(a: String, b: String): String =
     "(" + (1 to LshPlanes).map(i =>
       s"(CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) THEN 1 ELSE 0 END)")
       .mkString(" + ") + ") <= 1"
@@ -563,9 +578,7 @@ object SimilarityQueries {
          |SELECT src_id, dst_id, rnk, cosine FROM ranked
          |WHERE rnk <= $KnnGraphK ORDER BY src_id, rnk""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
-      val b = Stage.sharedTable(s, "v11_bucketed", d) {
-        quantized(s, d).withColumn("bucket", lshBucket(col("q")))
-      }
+      val b = bucketedQv(s, d)
       val left = b.select(col("vec_id").as("src_id"), col("bucket"),
         col("q").as("src_q"), col("n2").as("src_n2"))
       val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))

@@ -133,6 +133,99 @@ object TextQueries {
       |      c -> CAST(ascii(c) AS BIGINT))),
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** The t16 BM25 CTE chain (through the ranked-but-untruncated
+    * `bmranked`), shared verbatim by the t16 oracle and t18's lexical
+    * fusion side so the two can never drift.
+    */
+  private[queries] val bm25SqlCtes: String =
+    s"""bmnd AS (SELECT doc_id, $normDocSql AS nt FROM documents),
+       |bmtok AS (
+       |  SELECT doc_id, t AS token, CAST(i AS BIGINT) AS i
+       |  FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS t,
+       |               unnest(range(len(string_split(nt, ' ')))) AS i FROM bmnd)
+       |  WHERE t <> ''
+       |),
+       |bmtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM bmtok GROUP BY doc_id, token),
+       |bmdl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM bmtok GROUP BY doc_id),
+       |bmn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1k FROM bmdl),
+       |bmidx AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf,
+       |         500 + (dl.dl * 500000) // n.avgdl1k AS norm1000
+       |  FROM bmtf tf JOIN bmdl dl USING (doc_id) CROSS JOIN bmn n
+       |),
+       |bmq AS (SELECT DISTINCT doc_id AS query_id, token
+       |      FROM bmtok WHERE doc_id % $Bm25QueryEvery = 0 AND i < $Bm25QueryTerms),
+       |bmqd AS (
+       |  SELECT q.query_id, q.token,
+       |         CAST((2 * (n.n_docs - df.df) + 1) * 500000 // (2 * df.df + 1) AS BIGINT) AS idfs
+       |  FROM bmq q JOIN (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY token) df
+       |         USING (token)
+       |       CROSS JOIN bmn n
+       |),
+       |bmsc AS (
+       |  SELECT qd.query_id, idx.doc_id,
+       |         CAST(SUM((qd.idfs * idx.tf * 2200)
+       |           // (idx.tf * 1000 + (1200 * idx.norm1000) // 1000)) AS BIGINT) AS score
+       |  FROM bmidx idx JOIN bmqd qd USING (token)
+       |  GROUP BY qd.query_id, idx.doc_id
+       |),
+       |bmranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rnk
+       |  FROM bmsc
+       |)""".stripMargin
+
+  /** The t16 BM25 retrieval pipeline: memoized written token + postings
+    * stages ([[graft.operators.Stage.sharedTable]] — t18's hybrid fusion
+    * scans the SAME index artifacts), broadcast query terms, integer
+    * scoring, WindowGroupLimit top-k. Returns
+    * (query_id, doc_id, rnk, score) with rnk <= [[Bm25K]].
+    */
+  private[queries] def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tok = graft.operators.Stage.sharedTable(s, "t16_toks", d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), DedupFns.normText(col("text")).as("nt"))
+        .select(col("doc_id"), posexplode(split(col("nt"), " ")).as(Seq("i", "token")))
+        .where(col("token") =!= "")
+    }
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val n = dl.agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(dl) * 1000 DIV count(1) AS BIGINT)").as("avgdl1k"))
+      .withColumn("j", lit(1))
+    // the inverted index: postings with the doc-length norm folded in,
+    // written once (the artifact a production search pipeline persists)
+    val idx = graft.operators.Stage.sharedTable(s, "t16_idx", d) {
+      tf.join(dl, Seq("doc_id"))
+        .withColumn("j", lit(1))
+        .join(broadcast(n), Seq("j")) // 1-row scalar broadcast, as t08
+        .select(col("doc_id"), col("token"), col("tf"),
+          expr("500 + (dl * 500000) DIV avgdl1k").as("norm1000"))
+    }
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val q = tok.where(col("doc_id") % Bm25QueryEvery === 0 && col("i") < Bm25QueryTerms)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val qd = q.join(df_, Seq("token"))
+      .withColumn("j", lit(1))
+      .join(broadcast(n), Seq("j"))
+      .select(col("query_id"), col("token"),
+        expr("CAST((2 * (n_docs - df) + 1) * 500000 DIV (2 * df + 1) AS BIGINT)").as("idfs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    idx.join(broadcast(qd), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(
+        "(idfs * tf * 2200) DIV (tf * 1000 + (1200 * norm1000) DIV 1000)")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= Bm25K)
+      .select("query_id", "doc_id", "rnk", "score")
+      .orderBy("query_id", "rnk")
+  }
+
   val entries: Seq[Q] = Seq(
 
     // Language-ID + quality distribution: per detected language, doc count,
@@ -798,85 +891,10 @@ object TextQueries {
     // not taken here so the oracle stays exact); the final top-k rides
     // the same WindowGroupLimit partial-group-limit as the v-family.
     Q("t16_bm25_search",
-      s"""WITH nd AS (SELECT doc_id, $normDocSql AS nt FROM documents),
-         |tok AS (
-         |  SELECT doc_id, t AS token, CAST(i AS BIGINT) AS i
-         |  FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS t,
-         |               unnest(range(len(string_split(nt, ' ')))) AS i FROM nd)
-         |  WHERE t <> ''
-         |),
-         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |       FROM tok GROUP BY doc_id, token),
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |             CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1k FROM dl),
-         |idx AS (
-         |  SELECT tf.doc_id, tf.token, tf.tf,
-         |         500 + (dl.dl * 500000) // n.avgdl1k AS norm1000
-         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN n
-         |),
-         |q AS (SELECT DISTINCT doc_id AS query_id, token
-         |      FROM tok WHERE doc_id % $Bm25QueryEvery = 0 AND i < $Bm25QueryTerms),
-         |qd AS (
-         |  SELECT q.query_id, q.token,
-         |         CAST((2 * (n.n_docs - df.df) + 1) * 500000 // (2 * df.df + 1) AS BIGINT) AS idfs
-         |  FROM q JOIN (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token) df
-         |         USING (token)
-         |       CROSS JOIN n
-         |),
-         |sc AS (
-         |  SELECT qd.query_id, idx.doc_id,
-         |         CAST(SUM((qd.idfs * idx.tf * 2200)
-         |           // (idx.tf * 1000 + (1200 * idx.norm1000) // 1000)) AS BIGINT) AS score
-         |  FROM idx JOIN qd USING (token)
-         |  GROUP BY qd.query_id, idx.doc_id
-         |),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score,
-         |         ROW_NUMBER() OVER (PARTITION BY query_id
-         |                            ORDER BY score DESC, doc_id) AS rnk
-         |  FROM sc
-         |)
-         |SELECT query_id, doc_id, rnk, score FROM ranked
+      s"""WITH $bm25SqlCtes
+         |SELECT query_id, doc_id, rnk, score FROM bmranked
          |WHERE rnk <= $Bm25K ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-      val tok = graft.operators.Stage.table(
-        Tables.documents(s, d)
-          .select(col("doc_id"), DedupFns.normText(col("text")).as("nt"))
-          .select(col("doc_id"), posexplode(split(col("nt"), " ")).as(Seq("i", "token")))
-          .where(col("token") =!= ""),
-        "t16_toks")
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val n = dl.agg(count(lit(1)).as("n_docs"),
-          expr("CAST(sum(dl) * 1000 DIV count(1) AS BIGINT)").as("avgdl1k"))
-        .withColumn("j", lit(1))
-      // the inverted index: postings with the doc-length norm folded in,
-      // written once (the artifact a production search pipeline persists)
-      val idx = graft.operators.Stage.table(
-        tf.join(dl, Seq("doc_id"))
-          .withColumn("j", lit(1))
-          .join(broadcast(n), Seq("j")) // 1-row scalar broadcast, as t08
-          .select(col("doc_id"), col("token"), col("tf"),
-            expr("500 + (dl * 500000) DIV avgdl1k").as("norm1000")),
-        "t16_idx")
-      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val q = tok.where(col("doc_id") % Bm25QueryEvery === 0 && col("i") < Bm25QueryTerms)
-        .select(col("doc_id").as("query_id"), col("token")).distinct()
-      val qd = q.join(df_, Seq("token"))
-        .withColumn("j", lit(1))
-        .join(broadcast(n), Seq("j"))
-        .select(col("query_id"), col("token"),
-          expr("CAST((2 * (n_docs - df) + 1) * 500000 DIV (2 * df + 1) AS BIGINT)").as("idfs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-      idx.join(broadcast(qd), Seq("token"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(expr(
-          "(idfs * tf * 2200) DIV (tf * 1000 + (1200 * norm1000) DIV 1000)")).as("score"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= Bm25K)
-        .select("query_id", "doc_id", "rnk", "score")
-        .orderBy("query_id", "rnk")
+      bm25Ranked(s, d)
     },
 
     // PMI collocations — the association-scoring pass over t11's skip-gram

@@ -122,6 +122,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"per-query top-k must plan a partial group limit:\n$p")
   }
 
+  test("t18 hybrid RRF: no cartesian, bounded top-k, probe sides broadcast") {
+    val p = planOf("t18_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"fusion went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term table and vector probes must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"each side's top-k and the fused re-rank must plan partial group limits:\n$p")
+  }
+
   test("v11 kNN graph: bucket equi-join (never nested-loop), bounded top-k") {
     val p = planOf("v11_knn_graph")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -100,6 +100,36 @@ class RetrievalSpec extends SparkTestBase {
     assert(v13.toSet != v10, "deletions changed nothing in the top-k")
   }
 
+  test("t18: RRF score is exactly recomputable and fusion is non-vacuous") {
+    val rows = SparkEntry.queries("t18_hybrid_rrf")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // the integer-ppm RRF contract: score derives from the two ranks alone
+    rows.foreach { case (q, doc, _, lex, vec, rrf) =>
+      val expected = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+        (if (vec > 0) 1000000L / (60 + vec) else 0L)
+      assert(rrf == expected, s"query $q doc $doc: rrf $rrf != $expected")
+      assert(lex > 0 || vec > 0, s"query $q doc $doc in neither list")
+    }
+    // fusion must demonstrably mix: lex-only, vec-only, and (on this
+    // fixture) at least one doc ranked by BOTH lists
+    assert(rows.exists(r => r._4 > 0 && r._5 == 0), "no lex-only row — vacuous")
+    assert(rows.exists(r => r._4 == 0 && r._5 > 0), "no vec-only row — vacuous")
+    assert(rows.exists(r => r._4 > 0 && r._5 > 0), "no dual-list row — vacuous")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length).toSeq,
+        s"query $q: ranks not contiguous")
+      assert(sorted.length <= TextQueries.Bm25K)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 >= b._6,
+          s"query $q: rrf rose with rank (${a._6} -> ${b._6})")
+        case _ =>
+      }
+    }
+  }
+
   test("v11: rank structure holds and probe rows equal v04's top-k prefix") {
     val graph = SparkEntry.queries("v11_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
