@@ -51,4 +51,43 @@ object Compaction {
     laid.write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Tombstone compaction: rewrite the table at `inDir` into `outDir`
+    * MINUS the keyed `tombstones` set — the job that makes query-time
+    * tombstone masking (v13's broadcast anti-join) permanent, so
+    * steady-state reads stop paying the mask. Same sizing/layout rules
+    * as [[compact]] (file count from the INPUT's bytes — a conservative
+    * over-estimate when the delete fraction is large; the next routine
+    * compaction converges it). The tombstone side is a delete batch,
+    * small by construction, so the anti-join broadcasts and the rewrite
+    * stays one map-side pass over the input files.
+    */
+  def compactMinus(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long, tombstones: org.apache.spark.sql.DataFrame,
+      key: String, sortBy: Seq[String] = Nil): Int = {
+    val n = math.max(1L, (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+      .join(org.apache.spark.sql.functions.broadcast(tombstones), Seq(key), "left_anti")
+    val laid =
+      if (sortBy.nonEmpty) {
+        val cols = sortBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      } else df.repartition(n)
+    laid.write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Parquet data-file count under `dir` (the post-compaction audit). */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var nFiles = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) nFiles += 1
+    }
+    nFiles
+  }
 }

@@ -64,7 +64,28 @@ object Stage {
     * passes stay independent.
     */
   def sharedTable(spark: org.apache.spark.sql.SparkSession, name: String,
-                  dir: String)(df: => DataFrame): DataFrame = {
+                  dir: String)(df: => DataFrame): DataFrame =
+    sharedTableWithPath(spark, name, dir)(df)._1
+
+  /** [[sharedTable]] that also exposes the written directory — for
+    * consumers that operate on the FILES of a stage rather than its rows
+    * (compaction, file-count audits).
+    */
+  def sharedTableWithPath(spark: org.apache.spark.sql.SparkSession, name: String,
+                          dir: String)(df: => DataFrame): (DataFrame, String) = {
+    val p = sharedDir(spark, name, dir) { path =>
+      df.write.mode("overwrite").parquet(path)
+    }
+    (spark.read.parquet(p), p)
+  }
+
+  /** Memoized shared OUTPUT DIRECTORY: like [[sharedTable]] but the
+    * builder writes the path itself (e.g. [[Compaction.compact]], whose
+    * output layout is the whole point). First caller builds; later
+    * callers get the same path.
+    */
+  def sharedDir(spark: org.apache.spark.sql.SparkSession, name: String,
+                dir: String)(write: String => Unit): String = {
     val root = rootFor(spark) // memo key includes it: a re-pointed stageDir
     val key = s"$root|$name|$dir"
     // get-then-putIfAbsent rather than computeIfAbsent: stages COMPOSE
@@ -88,7 +109,7 @@ object Stage {
               .delete(hp, true)
           } catch { case _: Throwable => () } // best-effort cleanup
         try {
-          df.write.mode("overwrite").parquet(p)
+          write(p)
         } catch { case e: Throwable =>
           dropDir() // a failed write must not orphan a partial dir either
           throw e
@@ -100,7 +121,7 @@ object Stage {
             winner
         }
     }
-    spark.read.parquet(path)
+    path
   }
 
   // keys this thread is currently building (self-recursion detector)

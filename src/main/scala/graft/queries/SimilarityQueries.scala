@@ -56,6 +56,12 @@ object SimilarityQueries {
     */
   val TombstoneMod = 9
 
+  /** v14 compaction target file size: the ~128 MB parquet sweet spot
+    * (the test-sf index compacts to exactly one file; at production N
+    * the same constant yields totalBytes/128MB files).
+    */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
   /** v07 product-quantization shape: 64-dim vectors in 4 subspaces of 16
     * dims, 16 codes per subspace (codes fit a nibble; 3 Lloyd rounds —
     * 5 was measured too: it lifts several per-probe recalls ~0.1 but
@@ -90,6 +96,29 @@ object SimilarityQueries {
         .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
     }
   }
+
+  /** The v10/v13/v14 LSH bucket index over the dupEmb fixture (corpus +
+    * injected batch), as ONE memoized written stage plus its directory —
+    * the directory is what v14's compaction job rewrites.
+    */
+  private[graft] def dupEmbIndexWithPath(s: SparkSession, d: String): (DataFrame, String) = {
+    GraftNative.ensure(s)
+    Stage.sharedTableWithPath(s, "v10_index_all", d) {
+      DedupQueries.dupEmb(s, d)
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+        .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+        .withColumn("bucket", lshBucket(col("q")))
+    }
+  }
+
+  /** The v13/v14 tombstone fixture: every [[TombstoneMod]]-th corpus
+    * vector is deleted (batch rows are never tombstoned).
+    */
+  private[graft] def tombstones(s: SparkSession, d: String): DataFrame =
+    DedupQueries.dupEmb(s, d)
+      .where(col("vec_id") % TombstoneMod === 0 &&
+        col("vec_id") < DedupQueries.BatchIdOffset)
+      .select("vec_id")
 
   /** The quantized+bucketed corpus as ONE memoized written stage (v11's
     * graph build and t18's hybrid-fusion vector side scan the same
@@ -469,6 +498,42 @@ object SimilarityQueries {
        |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
        |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin
 
+  /** DuckDB twin of the tombstone-masked probe (shared by v13, which
+    * masks at query time, and v14, which compacts the deletes into the
+    * files — both must produce exactly these answers).
+    */
+  private def tombstoneMaskedSql: String =
+    s"""WITH ${DedupQueries.dupEmbSql},
+       |qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM dupemb
+       |),
+       |n AS (SELECT vec_id, q,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+       |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+       |tomb AS (
+       |  SELECT vec_id FROM dupemb
+       |  WHERE vec_id % $TombstoneMod = 0 AND vec_id < ${DedupQueries.BatchIdOffset}
+       |),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         $cosineSql AS cosine
+       |  FROM b p JOIN b c ON c.bucket = p.bucket
+       |  WHERE p.vec_id >= ${DedupQueries.BatchIdOffset}
+       |    AND c.vec_id < ${DedupQueries.BatchIdOffset}
+       |    AND c.vec_id NOT IN (SELECT vec_id FROM tomb)
+       |    AND p.n2 > 0 AND c.n2 > 0
+       |),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
+       |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin
+
   val entries: Seq[Q] = Seq(
 
     // Exact top-k cosine, brute force over a broadcast probe set.
@@ -529,13 +594,7 @@ object SimilarityQueries {
          |)
          |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
          |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val bucketed = Stage.sharedTable(s, "v10_index_all", d) {
-        DedupQueries.dupEmb(s, d)
-          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
-          .withColumn("bucket", lshBucket(col("q")))
-      }
+      val bucketed = dupEmbIndexWithPath(s, d)._1
       val index = bucketed.where(col("vec_id") < DedupQueries.BatchIdOffset)
       val probes = bucketed.where(col("vec_id") >= DedupQueries.BatchIdOffset)
         .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
@@ -642,51 +701,39 @@ object SimilarityQueries {
     // the plan a compaction job later makes permanent. Fixture deletes
     // every 9th corpus vector, which demonstrably changes several
     // probes' top-k vs v10 (pinned non-vacuous in RetrievalSpec).
-    Q("v13_ann_tombstones",
-      s"""WITH ${DedupQueries.dupEmbSql},
-         |qv AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM dupemb
-         |),
-         |n AS (SELECT vec_id, q,
-         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
-         |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
-         |tomb AS (
-         |  SELECT vec_id FROM dupemb
-         |  WHERE vec_id % $TombstoneMod = 0 AND vec_id < ${DedupQueries.BatchIdOffset}
-         |),
-         |scored AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |         $cosineSql AS cosine
-         |  FROM b p JOIN b c ON c.bucket = p.bucket
-         |  WHERE p.vec_id >= ${DedupQueries.BatchIdOffset}
-         |    AND c.vec_id < ${DedupQueries.BatchIdOffset}
-         |    AND c.vec_id NOT IN (SELECT vec_id FROM tomb)
-         |    AND p.n2 > 0 AND c.n2 > 0
-         |),
-         |ranked AS (
-         |  SELECT probe_id, neighbor_id, cosine,
-         |         ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
-         |  FROM scored
-         |)
-         |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
-         |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val bucketed = Stage.sharedTable(s, "v10_index_all", d) {
-        DedupQueries.dupEmb(s, d)
-          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
-          .withColumn("bucket", lshBucket(col("q")))
-      }
-      val tomb = DedupQueries.dupEmb(s, d)
-        .where(col("vec_id") % TombstoneMod === 0 &&
-          col("vec_id") < DedupQueries.BatchIdOffset)
-        .select("vec_id")
+    Q("v13_ann_tombstones", tombstoneMaskedSql) { (s, d) =>
+      val bucketed = dupEmbIndexWithPath(s, d)._1
       val index = bucketed.where(col("vec_id") < DedupQueries.BatchIdOffset)
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
       val probes = bucketed.where(col("vec_id") >= DedupQueries.BatchIdOffset)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      scoreAndRank(index.join(broadcast(probes),
+        col("bucket") === col("p_bucket")))
+    },
+
+    // Tombstone COMPACTION (v14): the other half of the delete lifecycle
+    // v13's own comment promises — a compaction job rewrites the written
+    // bucket index MINUS the tombstone set ([[graft.operators.Compaction
+    // .compactMinus]]: broadcast anti-join, file count sized from the
+    // input's bytes, range-layout restored on the bucket key), and
+    // steady-state queries probe the compacted files with NO mask at all.
+    // Certification: the compacted probe must produce EXACTLY v13's
+    // masked answers (same oracle SQL) — if compaction dropped a live
+    // row, kept a deleted one, or perturbed the layout-sensitive scoring,
+    // the hash fails. CompactionSpec additionally pins the physical
+    // facts: tombstoned ids absent from the FILES, row-count parity, and
+    // the file count the byte-sizing predicts.
+    Q("v14_ann_compaction", tombstoneMaskedSql) { (s, d) =>
+      val (_, idxPath) = dupEmbIndexWithPath(s, d)
+      val tomb = tombstones(s, d)
+      val compactedDir = Stage.sharedDir(s, "v14_compacted", d) { out =>
+        graft.operators.Compaction.compactMinus(s, idxPath, out,
+          CompactTargetBytes, tomb, "vec_id", sortBy = Seq("bucket"))
+      }
+      val compacted = s.read.parquet(compactedDir)
+      val index = compacted.where(col("vec_id") < DedupQueries.BatchIdOffset)
+      val probes = compacted.where(col("vec_id") >= DedupQueries.BatchIdOffset)
         .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
           col("q").as("p_q"), col("n2").as("p_n2"))
       scoreAndRank(index.join(broadcast(probes),

@@ -31,6 +31,36 @@ class CompactionSpec extends SparkTestBase {
     assert(sig(s"$root/frag") == sig(s"$root/compact"))
   }
 
+  test("v14: compaction physically removes tombstones and probes match v13 row-for-row") {
+    val queries = SparkEntry.queries
+    val v13 = queries("v13_ann_tombstones")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val v14 = queries("v14_ann_compaction")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(v14.nonEmpty)
+    assert(v14.toSeq == v13.toSeq,
+      "compacted-index probe diverged from the masked-index probe")
+    // the physical facts: files contain NO tombstoned corpus id, live
+    // rows all survive, and the byte-sizing yields the predicted count
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    val (idx, idxPath) = SimilarityQueries.dupEmbIndexWithPath(spark, sfDir)
+    val root = Files.createTempDirectory("graft_tomb").toString
+    val tomb = SimilarityQueries.tombstones(spark, sfDir)
+    val planned = Compaction.compactMinus(spark, idxPath, s"$root/compacted",
+      SimilarityQueries.CompactTargetBytes, tomb, "vec_id", sortBy = Seq("bucket"))
+    assert(planned == Compaction.dataFileCount(spark, s"$root/compacted"),
+      "written file count differs from the byte-sized plan")
+    val compacted = spark.read.parquet(s"$root/compacted")
+    val deletedPresent = compacted
+      .where(col("vec_id") % SimilarityQueries.TombstoneMod === 0 &&
+        col("vec_id") < DedupQueries.BatchIdOffset).count()
+    assert(deletedPresent == 0L, "a tombstoned id survived compaction")
+    val nTomb = tomb.count()
+    assert(nTomb > 0L, "tombstone fixture vacuous")
+    assert(compacted.count() == idx.count() - nTomb,
+      "compaction changed live-row count")
+  }
+
   test("sorted compaction restores narrow per-file min/max on the sort key") {
     val root = Files.createTempDirectory("graft_compact").toString
     val li = Tables.lineitem(spark, sfDir)
