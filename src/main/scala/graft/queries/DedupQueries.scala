@@ -347,6 +347,108 @@ object DedupQueries {
   private def hammingSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN substring($a, i, 1) <> substring($b, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
 
+  /** The d03 SimHash pipeline (signature -> 16-bit band self-join ->
+    * full-Hamming verify) as prefixable oracle CTEs over `dupdocs`,
+    * ending in `${p}pairs` — shared by the d03 oracle and d22's
+    * recall-certification oracle so the two can never drift.
+    */
+  private def simhashPairsBodySql(p: String): String =
+    s"""${p}t AS (SELECT doc_id,
+       |  list_transform($shinglesSql,
+       |                 s -> [CAST('0x' || substring(md5(s), 1, 8) AS BIGINT),
+       |                       CAST('0x' || substring(md5(s), 9, 8) AS BIGINT)]) AS hs
+       |  FROM dupdocs),
+       |${p}s AS (SELECT doc_id, $simhash64Sql AS sig FROM ${p}t),
+       |${p}bands AS (
+       |${(0 until SimhashBands).map(b =>
+           s"  SELECT doc_id, $b AS band, substring(sig, ${b * SimhashBandBits + 1}, $SimhashBandBits) AS key FROM ${p}s").mkString(" UNION ALL\n")}
+       |),
+       |${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.key = b.key
+       |                           AND a.doc_id < b.doc_id
+       |),
+       |${p}pairs AS (
+       |  SELECT c.doc_a, c.doc_b, ${hammingSql("x.sig", "y.sig")} AS hamming
+       |  FROM ${p}cand c JOIN ${p}s x ON c.doc_a = x.doc_id JOIN ${p}s y ON c.doc_b = y.doc_id
+       |  WHERE ${hammingSql("x.sig", "y.sig")} <= $HammingMax
+       |)""".stripMargin
+
+  /** d03's verified SimHash pairs as a memoized WRITTEN stage — d03
+    * lists them, d22 certifies their recall; one band join per suite.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "simhash_pairs", d)(simhashPairsUnstaged(s, d))
+
+  /** The SimHash band-join + Hamming-verify pipeline BEFORE staging. */
+  private[graft] def simhashPairsUnstaged(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val sig = Stage.sharedTable(s, "d03_sig", d) {
+      shingleStage(s, d)
+        .select(col("doc_id"), GraftNative.simhash64(col("sh")).as("sig"))
+    }
+    val bands = sig.select(col("doc_id"), posexplode(
+        array((0 until SimhashBands).map(b =>
+          substring(col("sig"), b * SimhashBandBits + 1, SimhashBandBits)): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("hamming", GraftNative.hamming(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact-Jaccard ground-truth pairs over the probe sample (probe,
+    * other; J >= [[DedupTruthJaccard]], both directions probe-side) as a
+    * memoized WRITTEN stage — the truth denominator d18 (MinHash-LSH) and
+    * d22 (SimHash) certify against; the unbounded inverted index builds
+    * once per suite. Complete by construction: any pair at or above the
+    * threshold shares shingles.
+    */
+  private def jaccardTruth(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "dedup_truth", d) {
+      val sh = shingleStage(s, d)
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val probes = inv.where(col("doc_id") % DedupProbeMod === 0)
+        .select(col("doc_id").as("probe"), col("s"))
+      val cand = probes
+        .join(inv.select(col("doc_id").as("other"), col("s")), Seq("s"))
+        .where(col("other") =!= col("probe"))
+        .select("probe", "other").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("probe"), col("sh").as("sh_a")), Seq("probe"))
+        .join(sh.select(col("doc_id").as("other"), col("sh").as("sh_b")), Seq("other"))
+        .where(GraftNative.jaccard(col("sh_a"), col("sh_b")) >= DedupTruthJaccard)
+        .select("probe", "other")
+    }
+
+  /** The shared tail of d22/d23: per-probe truth/found counts + the
+    * corpus-aggregate recall floor boolean (a 1-row aggregate broadcast
+    * onto every row, t08-style), over symmetrized found pairs.
+    */
+  private def aggRecallCertified(truth: DataFrame, foundPairs: DataFrame,
+      aCol: String, bCol: String, idName: String, floor: Double): DataFrame = {
+    val found = foundPairs.select(col(aCol).as("probe"), col(bCol).as("other"))
+      .unionByName(foundPairs.select(col(bCol).as("probe"), col(aCol).as("other")))
+      .withColumn("hit", lit(1))
+    val per = truth.join(found, Seq("probe", "other"), "left")
+      .groupBy("probe")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+    val tot = per.agg(((sum("n_found").cast("double") / sum("n_true").cast("double"))
+        >= floor).as("recall_floor_met"))
+      .withColumn("j", lit(1))
+    per.withColumn("j", lit(1)).join(broadcast(tot), Seq("j"))
+      .select(col("probe").as(idName), col("n_true"), col("n_found"),
+        col("recall_floor_met"))
+      .orderBy(idName)
+  }
+
   /** The d02 MinHash+LSH pipeline up to verified pairs (doc_a, doc_b,
     * jaccard >= 0.5) — shared by d02 (pair listing) and d08 (connected
     * components over the pairs).
@@ -832,6 +934,36 @@ object DedupQueries {
     */
   val PagerankIters = 5
 
+  /** d22 CORPUS-AGGREGATE recall floor for the SimHash detector. Unlike
+    * d18's per-probe floor, SimHash at Hamming <= [[HammingMax]] honestly
+    * MISSES some individual J >= 0.8 pairs outright (a 0.8-Jaccard pair
+    * can sit > 3 signature bits apart — measured: 4 of 107 sf0.01 probes
+    * have recall 0), so a per-probe floor would certify nothing. The
+    * aggregate Σfound/Σtrue is the meaningful detector-level statistic
+    * (measured: 0.800 at sf0.001, 0.933 at sf0.01, 0.912 at sf0.1 —
+    * floor 0.75 sits under the observed minimum with margin); both
+    * engines recompute BOTH sides exactly, so the floor boolean — and
+    * every per-probe n_found — is hash-gated against the real candidate
+    * sets.
+    */
+  val SimhashAggRecallFloor = 0.75
+
+  /** d23 probe sample over the dupEmb fixture: every 100th vector. 100
+    * is a multiple of the copy-injection modulus (50), so every probe has
+    * an exact duplicate in the corpus — the certification is never
+    * vacuous at any test sf.
+    */
+  val EmbProbeMod = 100
+
+  /** d23 corpus-aggregate recall floor for the embedding multi-band LSH
+    * detector (measured 1.0 on the fixtures — the injected duplicates
+    * agree on every band; the floor leaves headroom for genuine
+    * cross-label >= 0.95-cosine pairs d04's label-restricted candidate
+    * generation cannot see, which is the honest blind spot this
+    * certification watches).
+    */
+  val EmbAggRecallFloor = 0.95
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -917,46 +1049,10 @@ object DedupQueries {
     // [[DedupFns.simhash64]] for the measured difference.
     Q("d03_simhash_neardup",
       s"""WITH $dupDocsSql,
-         |t AS (SELECT doc_id,
-         |  list_transform($shinglesSql,
-         |                 s -> [CAST('0x' || substring(md5(s), 1, 8) AS BIGINT),
-         |                       CAST('0x' || substring(md5(s), 9, 8) AS BIGINT)]) AS hs
-         |  FROM dupdocs),
-         |s AS (SELECT doc_id, $simhash64Sql AS sig FROM t),
-         |bands AS (
-         |${(0 until SimhashBands).map(b =>
-             s"  SELECT doc_id, $b AS band, substring(sig, ${b * SimhashBandBits + 1}, $SimhashBandBits) AS key FROM s").mkString(" UNION ALL\n")}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |                           AND a.doc_id < b.doc_id
-         |)
-         |SELECT c.doc_a, c.doc_b, ${hammingSql("x.sig", "y.sig")} AS hamming
-         |FROM cand c JOIN s x ON c.doc_a = x.doc_id JOIN s y ON c.doc_b = y.doc_id
-         |WHERE ${hammingSql("x.sig", "y.sig")} <= $HammingMax
+         |${simhashPairsBodySql("sim_")}
+         |SELECT doc_a, doc_b, hamming FROM sim_pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val sig = Stage.table(
-        shingleStage(s, d)
-          .select(col("doc_id"), GraftNative.simhash64(col("sh")).as("sig")),
-        "d03_sig")
-      val bands = sig.select(col("doc_id"), posexplode(
-          array((0 until SimhashBands).map(b =>
-            substring(col("sig"), b * SimhashBandBits + 1, SimhashBandBits)): _*))
-          .as(Seq("band", "key")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .withColumn("hamming", GraftNative.hamming(col("sig_a"), col("sig_b")))
-        .where(col("hamming") <= HammingMax)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+      simhashPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Cluster APPLY: the deduplicated corpus given the d08 components —
@@ -1329,19 +1425,7 @@ object DedupQueries {
          |       TRUE AS recall_floor_met
          |FROM truth t GROUP BY t.probe ORDER BY doc_id""".stripMargin) { (s, d) =>
       GraftNative.ensure(s)
-      val sh = shingleStage(s, d)
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val probes = inv.where(col("doc_id") % DedupProbeMod === 0)
-        .select(col("doc_id").as("probe"), col("s"))
-      val cand = probes
-        .join(inv.select(col("doc_id").as("other"), col("s")), Seq("s"))
-        .where(col("other") =!= col("probe"))
-        .select("probe", "other").distinct()
-      val truth = cand
-        .join(sh.select(col("doc_id").as("probe"), col("sh").as("sh_a")), Seq("probe"))
-        .join(sh.select(col("doc_id").as("other"), col("sh").as("sh_b")), Seq("other"))
-        .where(GraftNative.jaccard(col("sh_a"), col("sh_b")) >= DedupTruthJaccard)
-        .select("probe", "other")
+      val truth = jaccardTruth(s, d)
       val strong = minhashPairs(s, d).where(col("jaccard") >= DedupTruthJaccard)
       val found = strong.select(col("doc_a").as("probe"), col("doc_b").as("other"))
         .unionByName(strong.select(col("doc_b").as("probe"), col("doc_a").as("other")))
@@ -1551,6 +1635,98 @@ object DedupQueries {
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
           (col("n_tokens") - coalesce(col("n_dropped"), lit(0L))).as("n_retained"))
         .orderBy("doc_id")
+    },
+
+    // SimHash recall certification (d22) — d18's shape for the d03
+    // detector, with TWO upgrades: (1) both engines recompute the FOUND
+    // side exactly too (the SimHash pipeline is SQL-expressible, unlike
+    // nothing — d18's oracle only recomputed the denominator), so every
+    // per-probe n_found is hash-gated, and (2) the floor is
+    // CORPUS-AGGREGATE ([[SimhashAggRecallFloor]]'s scaladoc explains
+    // why a per-probe floor would be dishonest for SimHash). Truth side
+    // = the shared written [[jaccardTruth]] stage d18 also scans.
+    Q("d22_simhash_recall",
+      s"""WITH $dupDocsSql,
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |probes AS (SELECT doc_id AS probe, s FROM inv WHERE doc_id % $DedupProbeMod = 0),
+         |candx AS (
+         |  SELECT DISTINCT p.probe, o.doc_id AS other
+         |  FROM probes p JOIN inv o ON o.s = p.s AND o.doc_id <> p.probe
+         |),
+         |truth AS (
+         |  SELECT c.probe, c.other
+         |  FROM candx c JOIN sh x ON c.probe = x.doc_id JOIN sh y ON c.other = y.doc_id
+         |  WHERE ${jaccardSql("x.sh", "y.sh")} >= $DedupTruthJaccard
+         |),
+         |${simhashPairsBodySql("sim_")},
+         |sfound AS (
+         |  SELECT doc_a AS probe, doc_b AS other FROM sim_pairs
+         |  UNION ALL
+         |  SELECT doc_b AS probe, doc_a AS other FROM sim_pairs
+         |),
+         |per AS (
+         |  SELECT t.probe AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |         CAST(COUNT(f.other) AS BIGINT) AS n_found
+         |  FROM truth t LEFT JOIN sfound f
+         |    ON f.probe = t.probe AND f.other = t.other
+         |  GROUP BY t.probe
+         |),
+         |tot AS (SELECT CAST(SUM(n_found) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+         |               >= $SimhashAggRecallFloor AS fl FROM per)
+         |SELECT per.doc_id, per.n_true, per.n_found, tot.fl AS recall_floor_met
+         |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      aggRecallCertified(jaccardTruth(s, d), simhashPairs(s, d),
+        "doc_a", "doc_b", "doc_id", SimhashAggRecallFloor)
+    },
+
+    // Embedding-LSH recall certification (d23) — the same certified
+    // statement for d04's multi-band hyperplane detector: truth side is
+    // the exact probe x corpus cosine at [[EmbCosMin]] (brute force over
+    // a probe sample, v05-style eval-only cost; the probe side is tiny
+    // and broadcasts into one map-side scan of the quantized stage),
+    // found side is the shared written verified-pair stage d04/d16 scan.
+    // d04's ~0.98 measured recall previously lived in a code comment;
+    // this makes it a hash-gated floor — and the aggregate statistic
+    // deliberately covers d04's honest blind spot (cross-label pairs its
+    // label-restricted candidates cannot see).
+    Q("d23_embedding_recall",
+      s"""WITH $embPairsCtesSql,
+         |eprobes AS (SELECT vec_id AS probe, q, n2 FROM n WHERE vec_id % $EmbProbeMod = 0),
+         |etruth AS (
+         |  SELECT p.probe, c.vec_id AS other
+         |  FROM eprobes p JOIN n c ON c.vec_id <> p.probe
+         |  WHERE p.n2 > 0 AND c.n2 > 0 AND ${embCosSql("p", "c")} >= $EmbCosMin
+         |),
+         |efound AS (
+         |  SELECT vec_a AS probe, vec_b AS other FROM epairs
+         |  UNION ALL
+         |  SELECT vec_b AS probe, vec_a AS other FROM epairs
+         |),
+         |per AS (
+         |  SELECT t.probe AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |         CAST(COUNT(f.other) AS BIGINT) AS n_found
+         |  FROM etruth t LEFT JOIN efound f
+         |    ON f.probe = t.probe AND f.other = t.other
+         |  GROUP BY t.probe
+         |),
+         |tot AS (SELECT CAST(SUM(n_found) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+         |               >= $EmbAggRecallFloor AS fl FROM per)
+         |SELECT per.vec_id, per.n_true, per.n_found, tot.fl AS recall_floor_met
+         |FROM per CROSS JOIN tot ORDER BY vec_id""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val qv = embQvStage(s, d)
+      val probes = qv.where(col("vec_id") % EmbProbeMod === 0)
+        .select(col("vec_id").as("probe"), col("q").as("q_a"), col("n2").as("n2_a"))
+      val truth = qv.select(col("vec_id").as("other"), col("q").as("q_b"), col("n2").as("n2_b"))
+        .join(broadcast(probes), col("other") =!= col("probe"))
+        .where(col("n2_a") > 0 && col("n2_b") > 0)
+        .where((GraftNative.longDot(col("q_a"), col("q_b")).cast("double") /
+          sqrt((col("n2_a") * col("n2_b")).cast("double"))) >= EmbCosMin)
+        .select("probe", "other")
+      aggRecallCertified(truth, embPairsStage(s, d).select("vec_a", "vec_b"),
+        "vec_a", "vec_b", "vec_id", EmbAggRecallFloor)
     }
   )
 

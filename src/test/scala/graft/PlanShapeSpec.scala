@@ -223,6 +223,7 @@ class PlanShapeSpec extends SparkTestBase {
     import graft.queries.DedupQueries
     val builders = Seq(
       "minhashPairs" -> DedupQueries.minhashPairsUnstaged(spark, dir),
+      "simhashPairs" -> DedupQueries.simhashPairsUnstaged(spark, dir),
       "ngramPairs" -> DedupQueries.ngramPairsUnstaged(spark, dir),
       "winnowPairs" -> DedupQueries.winnowPairsUnstaged(spark, dir))
     builders.foreach { case (n, df) =>

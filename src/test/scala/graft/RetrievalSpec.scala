@@ -130,6 +130,31 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("d22/d23: aggregate recall floors derive from the real counts") {
+    import graft.queries.DedupQueries
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val d22 = rows("d22_simhash_recall")
+    assert(d22.nonEmpty)
+    d22.foreach { case (id, nt, nf, _) =>
+      assert(nf <= nt, s"probe $id found more than truth ($nf > $nt)")
+      assert(nt > 0, s"probe $id with empty truth should not appear")
+    }
+    // the floor boolean is the aggregate statistic, recomputed here
+    val agg22 = d22.map(_._3).sum.toDouble / d22.map(_._2).sum
+    assert(d22.forall(_._4 == (agg22 >= DedupQueries.SimhashAggRecallFloor)))
+    // SimHash honestly misses some strong pairs — certification must not
+    // be vacuous (all-found would certify nothing about the floor)
+    assert(d22.exists(r => r._3 < r._2), "no missed truth pair — fixture vacuous")
+    val d23 = rows("d23_embedding_recall")
+    assert(d23.nonEmpty)
+    d23.foreach { case (id, nt, nf, _) => assert(nf <= nt && nt > 0, s"probe $id") }
+    val agg23 = d23.map(_._3).sum.toDouble / d23.map(_._2).sum
+    assert(d23.forall(_._4 == (agg23 >= DedupQueries.EmbAggRecallFloor)))
+    assert(agg23 >= DedupQueries.EmbAggRecallFloor,
+      s"embedding detector recall regressed to $agg23")
+  }
+
   test("v11: rank structure holds and probe rows equal v04's top-k prefix") {
     val graph = SparkEntry.queries("v11_knn_graph")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
