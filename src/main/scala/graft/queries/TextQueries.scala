@@ -956,6 +956,142 @@ object TextQueries {
             (col("c1") * col("c2")).cast("double")).as("score"))
         .orderBy(col("score").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // Multi-ROUND BPE training (t19) — the iterative trainer t15's
+    // single-round approximation deliberately skips (documented there):
+    // TWO aligned-merge rounds, each a full train-then-apply pass, so
+    // round 2's vocabulary is learned over the TOKENS round 1 produced
+    // and its merges can fuse a round-1 merged pair with a neighbor —
+    // producing 3- and 4-character tokens a single-round trainer can
+    // never form (RetrievalSpec pins multichar_merges > 0). Order-free
+    // by the same alignment trick as t15: round-r merges apply only at
+    // EVEN round-r token positions, so both engines compute every merge
+    // closed-form (no sequential within-word scan), and the token index
+    // after round 1 is reconstructible arithmetically (2j − merges
+    // before j — a prefix-sum window, not a scan). Scale shape: the
+    // word, token and vocabulary stages are WRITTEN shared tables; both
+    // vocabularies broadcast; the round-2 pair build is a (doc, word,
+    // position) equi-join of the token stage with itself (t17's shape);
+    // every aggregate is uniform-key with map-side partials. Output =
+    // per-source totals after each round + the multichar-merge count,
+    // hash-sensitive to every individual merge decision in both rounds.
+    Q("t19_bpe_multiround",
+      s"""WITH nd AS (SELECT doc_id, source, $normDocSql AS nt FROM documents),
+         |ww AS (
+         |  SELECT doc_id, source, wpos, w FROM (
+         |    SELECT doc_id, source, unnest(string_split(nt, ' ')) AS w,
+         |           unnest(range(len(string_split(nt, ' ')))) AS wpos FROM nd)
+         |  WHERE w <> ''
+         |),
+         |vocab1 AS (SELECT bg FROM (
+         |  SELECT substr(w, CAST(i AS INTEGER), 2) AS bg, COUNT(*) AS n
+         |  FROM ww, unnest(generate_series(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 2
+         |  GROUP BY bg ORDER BY n DESC, bg LIMIT $BpeVocabPairs)),
+         |segs AS (
+         |  SELECT doc_id, source, wpos, j, substr(w, CAST(2*j+1 AS INTEGER), 2) AS seg
+         |  FROM ww, unnest(range(CAST(ceil(len(w) / 2.0) AS BIGINT))) AS t(j)
+         |),
+         |m AS (SELECT s.doc_id, s.source, s.wpos, s.j, s.seg,
+         |        (len(s.seg) = 2 AND v.bg IS NOT NULL) AS merged
+         |      FROM segs s LEFT JOIN vocab1 v ON s.seg = v.bg),
+         |mb AS (SELECT *, COALESCE(SUM(CASE WHEN merged THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY doc_id, wpos ORDER BY j
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mbefore
+         |       FROM m),
+         |tokens AS (
+         |  SELECT doc_id, source, wpos, 2*j - mbefore AS t_idx, seg AS tok
+         |  FROM mb WHERE merged
+         |  UNION ALL
+         |  SELECT doc_id, source, wpos, 2*j - mbefore AS t_idx, substr(seg, 1, 1) AS tok
+         |  FROM mb WHERE NOT merged
+         |  UNION ALL
+         |  SELECT doc_id, source, wpos, 2*j - mbefore + 1 AS t_idx, substr(seg, 2, 1) AS tok
+         |  FROM mb WHERE NOT merged AND len(seg) = 2
+         |),
+         |pairs2 AS (
+         |  SELECT a.doc_id, a.wpos, a.t_idx, a.tok AS t1, b.tok AS t2
+         |  FROM tokens a JOIN tokens b
+         |    ON a.doc_id = b.doc_id AND a.wpos = b.wpos AND b.t_idx = a.t_idx + 1
+         |),
+         |vocab2 AS (SELECT t1, t2 FROM (
+         |  SELECT t1, t2, COUNT(*) AS n FROM pairs2 GROUP BY t1, t2
+         |  ORDER BY n DESC, t1, t2 LIMIT $BpeVocabPairs)),
+         |h AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS h2,
+         |         CAST(SUM(CASE WHEN len(p.t1) + len(p.t2) >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mc
+         |  FROM pairs2 p JOIN vocab2 v ON p.t1 = v.t1 AND p.t2 = v.t2
+         |  WHERE p.t_idx % 2 = 0 GROUP BY p.doc_id
+         |),
+         |t1c AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n1
+         |        FROM tokens GROUP BY doc_id, source)
+         |SELECT t1c.source, CAST(SUM(n1) AS BIGINT) AS sum_tok_r1,
+         |       CAST(SUM(n1 - COALESCE(h.h2, 0)) AS BIGINT) AS sum_tok_r2,
+         |       CAST(SUM(COALESCE(h.mc, 0)) AS BIGINT) AS multichar_merges
+         |FROM t1c LEFT JOIN h ON t1c.doc_id = h.doc_id
+         |GROUP BY t1c.source ORDER BY t1c.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ww = graft.operators.Stage.sharedTable(s, "t19_words", d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), DedupFns.normText(col("text")).as("nt"))
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("nt"), " ")).as(Seq("wpos", "w")))
+          .where(col("w") =!= "")
+      }
+      // round-1 vocabulary: t15's definition (all-position char bigrams,
+      // count desc / bigram asc). sequence(1, 0) DESCENDS in Spark, so
+      // single-char words are guarded to an empty array.
+      val vocab1 = graft.operators.Stage.sharedTable(s, "t19_vocab1", d) {
+        ww.select(explode(when(length(col("w")) >= 2,
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg")).limit(BpeVocabPairs)
+          .select("bg")
+      }
+      val segs = ww.select(col("doc_id"), col("source"), col("wpos"),
+        posexplode(expr(
+          "transform(sequence(0, CAST(ceil(length(w) / 2.0) AS INT) - 1), " +
+            "j -> substring(w, 2*j+1, 2))")).as(Seq("j", "seg")))
+      val m = segs.join(broadcast(vocab1.select(col("bg").as("seg"),
+          lit(1).as("inv"))), Seq("seg"), "left")
+        .withColumn("merged", length(col("seg")) === 2 && col("inv").isNotNull)
+      val wj = Window.partitionBy("doc_id", "wpos").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mb = m.withColumn("mbefore",
+        coalesce(sum(col("merged").cast("long")).over(wj), lit(0L)))
+      val tokens = graft.operators.Stage.sharedTable(s, "t19_tokens", d) {
+        mb.select(col("doc_id"), col("source"), col("wpos"),
+            (col("j") * 2 - col("mbefore")).as("t_start"),
+            posexplode(when(col("merged"), array(col("seg")))
+              .otherwise(expr(
+                "transform(sequence(1, length(seg)), i -> substring(seg, i, 1))")))
+              .as(Seq("p", "tok")))
+          .select(col("doc_id"), col("source"), col("wpos"),
+            (col("t_start") + col("p")).as("t_idx"), col("tok"))
+      }
+      val a = tokens.select(col("doc_id"), col("wpos"), col("t_idx"), col("tok").as("t1"))
+      val bnext = tokens.select(col("doc_id"), col("wpos"),
+        (col("t_idx") - 1).as("t_idx"), col("tok").as("t2"))
+      val pairs2 = a.join(bnext, Seq("doc_id", "wpos", "t_idx"))
+      val vocab2 = graft.operators.Stage.sharedTable(s, "t19_vocab2", d) {
+        pairs2.groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2")).limit(BpeVocabPairs)
+          .select("t1", "t2")
+      }
+      val hits2 = pairs2.where(col("t_idx") % 2 === 0)
+        .join(broadcast(vocab2), Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("h2"),
+          sum(when(length(col("t1")) + length(col("t2")) >= 3, 1L).otherwise(0L)).as("mc"))
+      val t1c = tokens.groupBy("doc_id", "source").agg(count(lit(1)).as("n1"))
+      t1c.join(hits2, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(sum("n1").as("sum_tok_r1"),
+          sum(col("n1") - coalesce(col("h2"), lit(0L))).as("sum_tok_r2"),
+          sum(coalesce(col("mc"), lit(0L))).as("multichar_merges"))
+        .orderBy("source")
     }
   )
 }

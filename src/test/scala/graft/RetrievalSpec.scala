@@ -130,6 +130,34 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("t19: round 2 merges round-1 tokens — the merge t15 cannot produce") {
+    // every word is 'abcd': round 1 learns {ab, cd} (among others) and
+    // merges both aligned pairs -> 2 tokens/word; round 2 learns the
+    // TOKEN pair (ab, cd) and fuses it -> 1 four-char token/word. A
+    // single-round trainer can never emit a >2-char token.
+    val dir = docsDir((0L to 9L).map(i => i -> "abcd abcd abcd"))
+    val rows = SparkEntry.queries("t19_bpe_multiround")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 1)
+    val (_, r1, r2, mc) = rows.head
+    val nWords = 30L
+    assert(r1 == 2 * nWords, s"round 1 should merge both aligned pairs: $rows")
+    assert(r2 == nWords, s"round 2 should fuse (ab, cd) in every word: $rows")
+    assert(mc == nWords, s"every round-2 merge fuses two 2-char tokens: $rows")
+  }
+
+  test("t19: on the corpus, round 2 strictly reduces and multichar merges exist") {
+    val rows = SparkEntry.queries("t19_bpe_multiround")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, r1, r2, mc) =>
+      assert(r2 <= r1, s"$src: round 2 grew the token count")
+      assert(mc >= 0)
+    }
+    assert(rows.map(_._3).sum < rows.map(_._2).sum, "round 2 merged nothing — vacuous")
+    assert(rows.map(_._4).sum > 0, "no multichar merge anywhere — round 2 is not compounding")
+  }
+
   test("d22/d23: aggregate recall floors derive from the real counts") {
     import graft.queries.DedupQueries
     def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
