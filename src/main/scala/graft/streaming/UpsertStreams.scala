@@ -120,6 +120,28 @@ final class JdbcEpochLedger(url: String, table: String = "graft_epochs",
   */
 object UpsertStreams {
 
+  /** Fail BEFORE any side effect if the stage root cannot be shared
+    * across the cluster: Stage's unset-stageDir fallback is a
+    * driver-local tmp path, so on a multi-node master the executors'
+    * outcome writes would land on their own local disks and the
+    * read-back would fail AFTER the statements ran — a retry storm.
+    * Single-machine masters share the path and stay zero-config —
+    * including local-cluster[...] (multi-JVM, one host), which is why
+    * this tests master's prefix rather than sc.isLocal. Shared by the
+    * K1 upsert stream and [[MergeStreams]]' CDC apply.
+    */
+  private[streaming] def requireSharedStageRoot(
+      spark: org.apache.spark.sql.SparkSession, who: String): Unit = {
+    val sc = spark.sparkContext
+    require(sc.master.startsWith("local") ||
+        spark.conf.getOption(graft.operators.Stage.StageDirKey)
+          .exists(_.nonEmpty),
+      s"$who exactly-once apply on a cluster requires " +
+        s"${graft.operators.Stage.StageDirKey} to point at storage all " +
+        "executors and the driver can reach (hdfs://, s3a://, ...); the " +
+        "local-tmp fallback is only valid for local masters")
+  }
+
   def writeStream(cs: Dataset[UpsertRow], factory: UpsertConnectionFactory,
                   dryRun: Boolean = false, debug: Boolean = false)
                  (onOutcomes: (Dataset[UpsertOutcome], Long) => Unit)
@@ -148,22 +170,7 @@ object UpsertStreams {
                 (onOutcomes: (Dataset[UpsertOutcome], Long) => Unit): Boolean =
     if (ledger.committed(streamId, epochId)) false
     else {
-      // Fail BEFORE any side effect if the stage root cannot be shared
-      // across the cluster: Stage's unset-stageDir fallback is a
-      // driver-local tmp path, so on a multi-node master the executors'
-      // outcome writes would land on their own local disks and the
-      // read-back would fail AFTER the UPDATEs ran — a retry storm.
-      // Single-machine masters share the path and stay zero-config —
-      // including local-cluster[...] (multi-JVM, one host), which is why
-      // this tests master's prefix rather than sc.isLocal.
-      val sc = batch.sparkSession.sparkContext
-      require(sc.master.startsWith("local") ||
-          batch.sparkSession.conf.getOption(graft.operators.Stage.StageDirKey)
-            .exists(_.nonEmpty),
-        s"writeStreamExactlyOnce on a cluster requires " +
-          s"${graft.operators.Stage.StageDirKey} to point at storage all " +
-          "executors and the driver can reach (hdfs://, s3a://, ...); the " +
-          "local-tmp fallback is only valid for local masters")
+      requireSharedStageRoot(batch.sparkSession, "UpsertStreams")
       // the one execution of the side-effecting write: the parquet write
       // action below drives JdbcUpsert's per-partition statements exactly
       // once, and the returned frame is a scan of the written outcomes
