@@ -88,4 +88,53 @@ object DedupClusters {
         "(raise maxIter, or the graph has a chain longer than template spam should)")
     labels.select(col("id").as("doc_id"), col("component"))
   }
+
+  /** INCREMENTAL components: merge a batch of new edges into an existing
+    * WRITTEN component map without ever re-scanning the old edge list —
+    * the ingest-time completion of the incremental dedup story (d14 finds
+    * the new candidate edges incrementally; this folds them into the
+    * component stage incrementally).
+    *
+    * Quotient-graph argument: every old component is connected, so
+    * contracting each to its representative (= its min vertex id)
+    * preserves the connectivity the new edges add. Each new edge's
+    * endpoints map through the old map (identity for unseen vertices);
+    * self-loops (an edge internal to one old component) drop; components
+    * run over the CONTRACTED edges only — a graph with one vertex per
+    * TOUCHED component or new doc, so the iterative work is O(|new
+    * edges|), independent of the corpus graph size. Labels stay the
+    * global min-id invariant: an old component's rep IS its min, so the
+    * contracted min over {reps, new ids} is the union graph's min —
+    * the result equals a from-scratch run on old∪new edges row-for-row
+    * (pinned in DedupClustersSpec; certified at suite level by d24
+    * sharing d08's from-scratch oracle).
+    *
+    * `oldComp`: (doc_id, component) over the old graph; `newPairs`:
+    * (aCol, bCol) edge batch. Returns (doc_id, component) for every
+    * vertex of the union graph.
+    */
+  def incrementalComponents(oldComp: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 20): DataFrame = {
+    val reps = oldComp.select(col("doc_id").as("vid"), col("component").as("rep"))
+    val newVerts = newPairs.select(col(aCol).as("vid"))
+      .union(newPairs.select(col(bCol).as("vid"))).distinct()
+    val allVerts = oldComp.select(col("doc_id").as("vid"))
+      .union(newVerts).distinct()
+    // vertex -> contracted id (its old rep, or itself if never seen)
+    val vm = Stage.table(
+      allVerts.join(reps, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("rep"), col("vid")).as("cv")),
+      "cc_inc_vm")
+    val ce = newPairs
+      .join(vm.select(col("vid").as(aCol), col("cv").as("ca")), Seq(aCol))
+      .join(vm.select(col("vid").as(bCol), col("cv").as("cb")), Seq(bCol))
+      .where(col("ca") =!= col("cb"))
+      .select("ca", "cb")
+    val contracted = connectedComponents(ce, "ca", "cb", maxIter)
+      .select(col("doc_id").as("cv"), col("component").as("merged"))
+    vm.join(contracted, Seq("cv"), "left")
+      .select(col("vid").as("doc_id"),
+        coalesce(col("merged"), col("cv")).as("component"))
+  }
 }

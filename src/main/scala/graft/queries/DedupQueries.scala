@@ -964,6 +964,26 @@ object DedupQueries {
     */
   val EmbAggRecallFloor = 0.95
 
+  /** d08's from-scratch min-label fixpoint over the full verified pair
+    * set — shared verbatim by d08 and d24 (whose incremental path must
+    * land on exactly this).
+    */
+  private def componentsFixpointSql: String =
+    s"""WITH RECURSIVE $minhashPairsSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |v AS (SELECT DISTINCT src AS id FROM sym),
+       |reach AS (
+       |  SELECT id, id AS label FROM v
+       |  UNION
+       |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+       |)
+       |SELECT id AS doc_id, MIN(label) AS component FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint. One
@@ -1021,22 +1041,34 @@ object DedupQueries {
     // Spark side: iterative min-label propagation over the edge list
     // ([[graft.operators.DedupClusters]]); oracle: DuckDB recursive CTE
     // computing the same min-reachable-label fixpoint.
-    Q("d08_dedup_clusters",
-      s"""WITH RECURSIVE $minhashPairsSql,
-         |sym AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |),
-         |v AS (SELECT DISTINCT src AS id FROM sym),
-         |reach AS (
-         |  SELECT id, id AS label FROM v
-         |  UNION
-         |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
-         |)
-         |SELECT id AS doc_id, MIN(label) AS component FROM reach
-         |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("d08_dedup_clusters", componentsFixpointSql) { (s, d) =>
       minhashComponents(s, d).orderBy("doc_id")
+    },
+
+    // INCREMENTAL components (d24) — the ingest-batch completion of the
+    // incremental dedup story: d14 finds a new batch's candidate edges
+    // without re-signing the corpus, and this folds those edges into the
+    // WRITTEN component stage without re-scanning the old edge list.
+    // Old components contract to their representatives (quotient graph),
+    // new edges map through the old map, components run over the
+    // contracted batch-sized graph only, labels join back — see
+    // [[graft.operators.DedupClusters.incrementalComponents]]. The
+    // oracle is d08's FROM-SCRATCH recursive fixpoint over the union
+    // edge set, so the hash certifies incremental == from-scratch
+    // row-for-row; the decomposition is exact because stored pairs have
+    // doc_a < doc_b (any pair touching the batch has doc_b >=
+    // BatchIdOffset, any corpus-internal pair has doc_b below it).
+    Q("d24_incremental_components", componentsFixpointSql) { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val oldComp = Stage.sharedTable(s, "d24_oldcomp", d) {
+        graft.operators.DedupClusters.connectedComponents(
+          pairs.where(col("doc_b") < BatchIdOffset), "doc_a", "doc_b")
+      }
+      val newEdges = pairs.where(col("doc_b") >= BatchIdOffset)
+        .select("doc_a", "doc_b")
+      graft.operators.DedupClusters
+        .incrementalComponents(oldComp, newEdges, "doc_a", "doc_b")
+        .orderBy("doc_id")
     },
 
     // 64-bit SimHash near-dup, banded: shingles -> signature -> 4 x 16-bit

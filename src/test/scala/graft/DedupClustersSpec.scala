@@ -48,6 +48,49 @@ class DedupClustersSpec extends SparkTestBase {
     assert(warmed(9L) == 1L && warmed(21L) == 20L)
   }
 
+  test("incremental components equal from-scratch on every merge shape") {
+    import spark.implicits._
+    // old graph: components {1,2,3} and {5,6}, pair {20,21}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (20L, 21L))
+    val oldComp = DedupClusters.connectedComponents(
+      oldEdges.toDF("a", "b"), "a", "b")
+    // new batch exercises every shape: (3,5) MERGES two old components,
+    // (6,9) attaches a brand-new vertex, (30,31) is an all-new component,
+    // (20,21) is internal to an old component (contracts to a self-loop)
+    val newEdges = Seq((3L, 5L), (6L, 9L), (30L, 31L), (20L, 21L))
+    val inc = DedupClusters.incrementalComponents(
+        oldComp, newEdges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = components(oldEdges ++ newEdges)
+    assert(inc == scratch, s"incremental $inc vs from-scratch $scratch")
+    // the merged component took the global min across both old components
+    assert(inc(6L) == 1L && inc(9L) == 1L)
+    // untouched old component kept its label; new component labeled fresh
+    assert(inc(20L) == 20L && inc(31L) == 30L)
+  }
+
+  test("incremental components with an empty batch is the old map") {
+    import spark.implicits._
+    val oldComp = DedupClusters.connectedComponents(
+      Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val inc = DedupClusters.incrementalComponents(oldComp,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("d24 equals d08 row-for-row on the fixture corpus") {
+    val d = "/root/testdata/sf0.001"
+    val d08 = SparkEntry.queries("d08_dedup_clusters")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val d24 = SparkEntry.queries("d24_incremental_components")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d24.nonEmpty && d24 == d08,
+      "incremental component map diverged from the from-scratch run")
+    // non-vacuous: the batch really added vertices beyond the old graph
+    assert(d24.exists(_._1 >= graft.queries.DedupQueries.BatchIdOffset))
+  }
+
   test("d16 semantic prune: one keeper per component, and it minimizes (centroid cosine, id)") {
     val rows = SparkEntry.queries("d16_semantic_prune")(spark, "/root/testdata/sf0.001")
       .collect()
