@@ -14,7 +14,7 @@ import graft.operators.Stage
   *
   * The fixtures inject deterministic duplicates (same construction in both
   * engines) so the dedup paths are actually exercised: every 10th doc /
-  * every 50th vector reappears under id+100000.
+  * every 50th vector reappears under id+[[BatchIdOffset]].
   *
   * Scale design: every query is a key-partitioned groupBy or a bucketed
   * self-join (LSH band keys / SimHash bands / label cells) — never an
@@ -30,9 +30,13 @@ object DedupQueries {
     * originals keep their ids, injected dups live at id + offset, so
     * `id >= BatchIdOffset` IS the "new batch" predicate d14's
     * incremental dedup splits on. One constant ties the fixtures and the
-    * split together — drift is impossible by construction.
+    * split together — drift is impossible by construction. 10^6 leaves
+    * headroom for ScaleData replication up to 200x the sf0.1 corpus
+    * (the 30x sf3 stress tripped the previous 10^5 guard); a multiple of
+    * every fixture modulus (10/25/50/100), so replicas reproduce the
+    * injected-duplicate structure exactly.
     */
-  val BatchIdOffset = 100000L
+  val BatchIdOffset = 1000000L
 
   /** d17 minimum verbatim-match length in tokens (Lee et al. 2022 use 50
     * BPE tokens; 20 whitespace tokens keeps the check non-vacuous on the
