@@ -136,6 +136,167 @@ object PipelineQueries {
           coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
           coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
         .orderBy("source")
+    },
+
+    // INCREMENTAL curation admission (p02) — p01 run as a production
+    // pipeline actually runs: the corpus is ALREADY curated and its
+    // redacted-fingerprint index is a WRITTEN stage; an ingest batch
+    // flows gate → scrub → fingerprint → two-level admission (drop
+    // fingerprints the corpus already holds, then first-id-wins within
+    // the batch) → pack ONLY the admitted docs into the next training
+    // shard. The corpus is never re-gated, re-scrubbed or re-packed per
+    // ingest — the pipeline-level analogue of d14's asymmetric probe.
+    // Fixture exercises all three admission outcomes: exact copies of
+    // every 10th doc (corpus-dups), a 'fresh snapshot v2' variant of
+    // every 15th doc (admitted — new content), and a second copy of each
+    // variant at a higher id (batch-internal dups; first id wins).
+    // Scale shape: batch-side stages are map-only over the (small) batch
+    // scan; the corpus-dup check is ONE fp-keyed anti-join against the
+    // written index (bucketed by fp in production, so it co-locates);
+    // within-batch dedup is a batch-sized aggregate; packing shuffles
+    // only admitted rows. Ledger identity n_gated = n_dup_corpus +
+    // n_dup_batch + n_admitted is pinned in PipelineSpec.
+    Q("p02_incremental_curation", {
+      val off = DedupQueries.BatchIdOffset
+      s"""WITH cinj AS (
+         |  SELECT doc_id, source, text,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' ${TextQueries.PiiSuffix}'
+         |              ELSE text END AS itext
+         |  FROM documents
+         |),
+         |cfp AS (
+         |  SELECT DISTINCT md5(${TextQueries.normSqlOf(TextQueries.redactedSqlOf("itext"))}) AS fp
+         |  FROM cinj WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |batch AS (
+         |  SELECT doc_id + $off AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * off}, source, text || ' fresh snapshot v2'
+         |  FROM documents WHERE doc_id % 15 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${3 * off}, source, text || ' fresh snapshot v2'
+         |  FROM documents WHERE doc_id % 15 = 0
+         |),
+         |binj AS (
+         |  SELECT doc_id, source, text,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' ${TextQueries.PiiSuffix}'
+         |              ELSE text END AS itext
+         |  FROM batch
+         |),
+         |bq AS (
+         |  SELECT doc_id, source, ${TextQueries.redactedSqlOf("itext")} AS rtext
+         |  FROM binj WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |bfp AS (
+         |  SELECT doc_id, source, rtext, md5(${TextQueries.normSqlOf("rtext")}) AS fp
+         |  FROM bq
+         |),
+         |newfp AS (SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM newfp GROUP BY fp),
+         |adm AS (SELECT n.doc_id, n.source, n.rtext FROM newfp n JOIN keep k ON n.doc_id = k.doc_id),
+         |tok AS (
+         |  SELECT doc_id, source,
+         |         CAST(${TextQueries.wsTokSqlOf("rtext")} AS BIGINT) AS ws
+         |  FROM adm
+         |),
+         |pk AS (
+         |  SELECT source, doc_id, ws,
+         |         SUM(ws) OVER (PARTITION BY source ORDER BY doc_id
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tok
+         |),
+         |seqs AS (
+         |  SELECT source, CAST(floor((cum - ws) / ${TextQueries.PackBudget}.0) AS BIGINT) AS seq_id, ws
+         |  FROM pk
+         |),
+         |a_b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch FROM batch GROUP BY source),
+         |a_g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated FROM bq GROUP BY source),
+         |a_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new FROM newfp GROUP BY source),
+         |a_a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_admitted FROM adm GROUP BY source),
+         |a_p AS (SELECT source, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+         |               CAST(SUM(ws) AS BIGINT) AS sum_tokens
+         |        FROM seqs GROUP BY source)
+         |SELECT b.source, b.n_batch,
+         |       COALESCE(g.n_gated, 0) AS n_gated,
+         |       COALESCE(g.n_gated, 0) - COALESCE(n.n_new, 0) AS n_dup_corpus,
+         |       COALESCE(n.n_new, 0) - COALESCE(a.n_admitted, 0) AS n_dup_batch,
+         |       COALESCE(a.n_admitted, 0) AS n_admitted,
+         |       COALESCE(p.n_sequences, 0) AS n_sequences,
+         |       COALESCE(p.sum_tokens, 0) AS sum_tokens
+         |FROM a_b b
+         |LEFT JOIN a_g g ON g.source = b.source
+         |LEFT JOIN a_n n ON n.source = b.source
+         |LEFT JOIN a_a a ON a.source = b.source
+         |LEFT JOIN a_p p ON p.source = b.source
+         |ORDER BY b.source""".stripMargin
+    }) { (s, d) =>
+      GraftNative.ensure(s)
+      val off = DedupQueries.BatchIdOffset
+      val raw = Tables.documents(s, d).select("doc_id", "source", "text")
+      def itextOf = when(col("doc_id") % 25 === 0,
+        concat(col("text"), lit(s" ${TextQueries.PiiSuffix}"))).otherwise(col("text"))
+      def q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+      // the already-curated corpus's fingerprint index — a memoized
+      // WRITTEN stage (in production it pre-exists; repeated ingests
+      // scan, never rebuild)
+      val corpusFp = Stage.sharedTable(s, "p02_corpus_fp", d) {
+        raw.where(q10 >= QualityMin)
+          .select(TextFns.fingerprint(TextQueries.redactedCol(itextOf)).as("fp"))
+          .distinct()
+      }
+      val batch = raw.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
+        .unionByName(raw.where(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("source"),
+            concat(col("text"), lit(" fresh snapshot v2")).as("text")))
+        .unionByName(raw.where(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 3 * off).as("doc_id"), col("source"),
+            concat(col("text"), lit(" fresh snapshot v2")).as("text")))
+      // gate + scrub fused, map-only over the batch scan (p01's shape)
+      val gated = Stage.table(
+        batch.where(q10 >= QualityMin)
+          .select(col("doc_id"), col("source"),
+            TextQueries.redactedCol(itextOf).as("rtext")),
+        "p02_gated")
+      val bfp = gated.withColumn("fp", TextFns.fingerprint(col("rtext")))
+      // admission level 1: the corpus already has it — one fp-keyed
+      // anti-join against the written index
+      val newFp = bfp.join(corpusFp, Seq("fp"), "left_anti")
+      // admission level 2: first-id-wins within the batch (d01's keeper)
+      val keepers = newFp.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val admitted = newFp.join(keepers, Seq("doc_id"), "left_semi")
+      // pack only the admitted docs — the next training shard
+      val tok = admitted.select(col("doc_id"), col("source"),
+        GraftNative.textStats(col("rtext")).getField("ws_tokens").as("ws"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqs = tok.withColumn("cum", sum("ws").over(w))
+        .select(col("source"),
+          floor((col("cum") - col("ws")) / lit(TextQueries.PackBudget.toDouble)).as("seq_id"),
+          col("ws"))
+      val aB = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+      val aG = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+      val aN = newFp.groupBy("source").agg(count(lit(1)).as("n_new"))
+      val aA = admitted.groupBy("source").agg(count(lit(1)).as("n_admitted"))
+      val aP = seqs.groupBy("source")
+        .agg(countDistinct("seq_id").as("n_sequences"), sum("ws").as("sum_tokens"))
+      aB.join(aG, Seq("source"), "left")
+        .join(aN, Seq("source"), "left")
+        .join(aA, Seq("source"), "left")
+        .join(aP, Seq("source"), "left")
+        .select(col("source"), col("n_batch"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          (coalesce(col("n_gated"), lit(0L)) - coalesce(col("n_new"), lit(0L)))
+            .as("n_dup_corpus"),
+          (coalesce(col("n_new"), lit(0L)) - coalesce(col("n_admitted"), lit(0L)))
+            .as("n_dup_batch"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+          coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+        .orderBy("source")
     }
   )
 }

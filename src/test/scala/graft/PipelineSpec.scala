@@ -47,4 +47,58 @@ class PipelineSpec extends SparkTestBase {
       assert(expected == nQ, s"$src: p01 n_quality $nQ != t03+copies $expected")
     }
   }
+
+  // p02: the incremental-admission ledger. Columns:
+  // (source, n_batch, n_gated, n_dup_corpus, n_dup_batch, n_admitted,
+  //  n_sequences, sum_tokens)
+  private lazy val p02: Map[String, (Long, Long, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("p02_incremental_curation")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+
+  test("p02: every gated doc lands in exactly one admission bucket") {
+    assert(p02.nonEmpty)
+    p02.foreach { case (src, (nB, nG, dupC, dupB, adm, nSeq, toks)) =>
+      assert(nB >= nG, s"$src: gated more than arrived")
+      assert(nG == dupC + dupB + adm,
+        s"$src: admission buckets don't partition the gated set " +
+          s"($nG != $dupC + $dupB + $adm)")
+      assert((adm == 0) == (nSeq == 0), s"$src: sequences without admits")
+      assert(adm == 0 || toks > 0, s"$src: admits but zero tokens")
+    }
+  }
+
+  test("p02: all three admission outcomes fire somewhere") {
+    assert(p02.values.map(_._3).sum > 0, "no corpus-dup ever dropped")
+    assert(p02.values.map(_._4).sum > 0, "no within-batch dup ever dropped")
+    assert(p02.values.map(_._5).sum > 0, "nothing ever admitted")
+  }
+
+  test("p02: each admitted v2 doc has exactly its one batch twin dropped") {
+    // The fixture ships every fresh-content doc twice (at +2*off and
+    // +3*off with identical text); first-id-wins must admit exactly one
+    // and drop exactly one PER PAIR — so per source the two counts match.
+    p02.foreach { case (src, (_, _, _, dupB, adm, _, _)) =>
+      assert(dupB == adm,
+        s"$src: batch-dup count $dupB != admitted count $adm — " +
+          "first-id-wins is not pairing the duplicated variants")
+    }
+  }
+
+  test("p02: the corpus-dup bucket equals the gated exact-copy arm") {
+    // Exact copies of gated corpus docs (the +off arm) must ALL be caught
+    // by the written-index anti-join — none admitted, none batch-dup.
+    import org.apache.spark.sql.functions._
+    GraftNative.ensure(spark)
+    val q10 = graft.functions.TextFns.qualityScore10From(
+      GraftNative.textStats(col("text")), col("text"))
+    val gatedCopies = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 0 && q10 >= graft.queries.PipelineQueries.QualityMin)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    p02.foreach { case (src, (_, _, dupC, _, _, _, _)) =>
+      assert(gatedCopies.getOrElse(src, 0L) == dupC,
+        s"$src: corpus-dup $dupC != gated exact copies ${gatedCopies.getOrElse(src, 0L)}")
+    }
+  }
 }
