@@ -58,6 +58,11 @@ object DedupQueries {
     */
   val SubstrIdOffset: Long = 2 * BatchIdOffset
 
+  /** Id offset for d25's quality-improved variants — one step above
+    * [[SubstrIdOffset]], same no-collision convention.
+    */
+  val QualityDupOffset: Long = 3 * BatchIdOffset
+
   /** One-time (per JVM, per dataset dir) loud-failure guard: d14's
     * batch/corpus split keys on `id >= BatchIdOffset`, so a corpus whose
     * real ids outgrow the offset must FAIL, not silently misclassify.
@@ -500,6 +505,39 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The d02 LSH pipeline (shingle → signature → band self-join → exact
+    * Jaccard verify) over an arbitrary (doc_id, text) corpus, staged
+    * under `prefix`-named written tables — d25 runs it over its quality
+    * fixture without touching the d02/d03 shared stage set. Same hash
+    * family, band count, and verify threshold as [[minhashPairsUnstaged]].
+    */
+  private def minhashPairsOver(s: SparkSession, d: String, prefix: String)(
+      docs: => DataFrame): DataFrame = {
+    GraftNative.ensure(s)
+    val sh = Stage.sharedTable(s, s"${prefix}_sh", d) {
+      docs.select(col("doc_id"),
+        GraftNative.shingles(DedupFns.normText(col("text"))).as("sh"))
+    }
+    val bands = Stage.sharedTable(s, s"${prefix}_bands", d) {
+      sh.select(col("doc_id"), posexplode(DedupFns.bandKeys(
+        GraftNative.minhashSignature(col("sh"), Bands * RowsPerBand),
+        Bands, RowsPerBand)).as(Seq("band", "key")))
+    }
+    Stage.sharedTable(s, s"${prefix}_pairs", d) {
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+  }
+
   /** The connected-component map over [[minhashPairs]] as a memoized
     * WRITTEN stage shared by d08 (listing) and d09 (apply) — the
     * production shape: the cluster map is computed and written ONCE, and
@@ -519,7 +557,14 @@ object DedupQueries {
     */
   private val minhashPairsSql: String =
     s"""$dupDocsSql,
-       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+       |${minhashPairsBodySqlOver("dupdocs")}""".stripMargin
+
+  /** The sh/bands/cand/pairs CTE chain of [[minhashPairsSql]] over an
+    * arbitrary (doc_id, text) CTE — d25 runs the same LSH pipeline over
+    * its quality fixture. No leading WITH; ends with a `pairs` CTE.
+    */
+  private def minhashPairsBodySqlOver(src: String): String =
+    s"""sh AS (SELECT doc_id, $shinglesSql AS sh FROM $src),
        |bands AS (
        |${(0 until Bands).map(b =>
            s"  SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sh").mkString(" UNION ALL\n")}
@@ -1763,6 +1808,80 @@ object DedupQueries {
         .select("probe", "other")
       aggRecallCertified(truth, embPairsStage(s, d).select("vec_a", "vec_b"),
         "vec_a", "vec_b", "vec_id", EmbAggRecallFloor)
+    },
+
+    // Quality-retention dedup — production pipelines keep the BEST copy
+    // of each near-dup cluster, not the lowest-id one (CCNet/FineWeb
+    // style: dedup decisions and quality scoring compose). Keeper =
+    // argmax(quality, tie-break min doc_id) per connected component of
+    // the verified near-dup graph. Fixture: [[dupDocs]] plus a quality-
+    // IMPROVED variant of every stopword-free doc at id+
+    // [[QualityDupOffset]] (six appended stopwords flip t03's stopOk
+    // axis: +3 quality, ~8 extra shingles keep Jaccard >= 0.5 for any
+    // >= 10-token doc) — so the quality-best member is NOT the min-id
+    // member and the decision provably differs from d09's (pinned in
+    // ApplyOpsSpec). Scale shape: the LSH pair pipeline is the same
+    // banded self-join as d02 (bounded buckets, no all-pairs); the
+    // keeper choice is ONE aggregate — max of a (quality, -id) struct —
+    // with map-side partial aggregation, never a per-cluster sort.
+    Q("d25_quality_retention", {
+      val stopFreeSql =
+        "len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|that)\\b')) = 0"
+      s"""WITH RECURSIVE $dupDocsSql,
+         |qdocs AS (
+         |  SELECT doc_id, text FROM dupdocs
+         |  UNION ALL
+         |  SELECT doc_id + $QualityDupOffset AS doc_id,
+         |         text || ' the of and it is that' AS text
+         |  FROM documents WHERE $stopFreeSql
+         |),
+         |${minhashPairsBodySqlOver("qdocs")},
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS label FROM v
+         |  UNION
+         |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+         |),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT c.component, c.doc_id,
+         |         CAST(${TextQueries.quality10SqlOf("q.text")} AS BIGINT) AS q
+         |  FROM comp c JOIN qdocs q ON q.doc_id = c.doc_id
+         |)
+         |SELECT component, doc_id AS keeper, q AS keeper_q,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM (
+         |  SELECT component, doc_id, q,
+         |         COUNT(*) OVER (PARTITION BY component) AS n_members,
+         |         ROW_NUMBER() OVER (PARTITION BY component
+         |                            ORDER BY q DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn = 1 ORDER BY component""".stripMargin
+    }) { (s, d) =>
+      GraftNative.ensure(s)
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val stopFree = GraftNative.textStats(col("text")).getField("n_stop") === 0
+      val qdocs = dupDocs(s, d).unionByName(
+        base.where(stopFree)
+          .select((col("doc_id") + QualityDupOffset).as("doc_id"),
+            concat(col("text"), lit(" the of and it is that")).as("text")))
+      val comp = graft.operators.DedupClusters.connectedComponents(
+        minhashPairsOver(s, d, "d25")(qdocs), "doc_a", "doc_b")
+      val q10 = TextFns.qualityScore10From(
+        GraftNative.textStats(col("text")), col("text"))
+      val scored = qdocs.select(col("doc_id"), q10.as("q"))
+        .join(broadcast(comp), Seq("doc_id"))
+      scored.groupBy("component")
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("best.nid")).as("keeper"),
+          col("best.q").as("keeper_q"), col("n_members"))
+        .orderBy("component")
     }
   )
 

@@ -118,4 +118,39 @@ class ApplyOpsSpec extends SparkTestBase {
         s"($tt,$pc): credit $credit outside [$n*$lo, $n*$hi]")
     }
   }
+
+  // d25: the quality-retention keeper choice. Output rows are
+  // (component, keeper, keeper_q, n_members).
+  private lazy val d25: Seq[(Long, Long, Long, Long)] =
+    SparkEntry.queries("d25_quality_retention")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("d25: quality beats min-id somewhere — the decision is non-vacuous") {
+    assert(d25.nonEmpty, "no near-dup components at sf0.001")
+    val flipped = d25.filter { case (comp, keeper, _, _) => keeper != comp }
+    assert(flipped.nonEmpty,
+      "every keeper is the min-id member — quality never changed a decision " +
+        "and d25 degenerates to d09")
+    assert(flipped.exists(_._2 >= DedupQueries.QualityDupOffset),
+      "no improved variant ever won its component — fixture vacuous")
+  }
+
+  test("d25: an improved keeper strictly outranks its stop-free original") {
+    import org.apache.spark.sql.functions._
+    GraftNative.ensure(spark)
+    val q10 = graft.functions.TextFns.qualityScore10From(
+      GraftNative.textStats(col("text")), col("text"))
+    val baseQ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), q10.as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val improvedKeepers = d25.filter(_._2 >= DedupQueries.QualityDupOffset)
+    assert(improvedKeepers.nonEmpty)
+    improvedKeepers.foreach { case (comp, keeper, kq, _) =>
+      val orig = keeper - DedupQueries.QualityDupOffset
+      assert(kq > baseQ(orig),
+        s"component $comp: improved keeper $keeper q=$kq does not beat " +
+          s"its original $orig q=${baseQ(orig)} — argmax tie-break would " +
+          "have picked the lower id")
+    }
+  }
 }
