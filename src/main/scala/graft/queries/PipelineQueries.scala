@@ -297,6 +297,84 @@ object PipelineQueries {
           coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
           coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
         .orderBy("source")
+    },
+
+    // Mixture-targeted corpus recipe (p03) — the "data recipe" step after
+    // curation: given per-source target weights, build the LARGEST corpus
+    // whose composition matches the target exactly, from the gated pool.
+    // N_max = min_s floor(avail_s * W / w_s) (the binding source runs
+    // out first); quota_s = floor(w_s * N_max / W); the quota rows per
+    // source are selected by deterministic md5 hash-rank (v12's sampler),
+    // and kept_id_sum is the order-free checksum certifying WHICH rows.
+    // Weights derive from the source-name hash (1..4) so the recipe is
+    // data-independent and non-uniform. All arithmetic is integer
+    // (BIGINT products, integral DIV) — hash-exact across engines.
+    // Scale shape: avail/weights/quotas are |sources|-row aggregates
+    // joined by broadcast; the only corpus-sized operations are the gate
+    // scan and ONE rank shuffle partitioned by source. Exact per-source
+    // rank cannot be bounded map-side when the quota is computed (not a
+    // literal — contrast v12); a 100 TB deployment would two-phase it:
+    // sample an approximate per-source hash threshold, then rank only
+    // the boundary stratum. The certified semantics here are the spec
+    // for that optimization.
+    Q("p03_mixture_recipe",
+      s"""WITH gated AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |avail AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS avail FROM gated GROUP BY source
+         |),
+         |w AS (
+         |  SELECT source, avail,
+         |         1 + CAST('0x' || substring(md5(source), 1, 7) AS BIGINT) % 4 AS weight
+         |  FROM avail
+         |),
+         |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+         |nmax AS (SELECT CAST(MIN(avail * tw // weight) AS BIGINT) AS n
+         |         FROM w CROSS JOIN tot),
+         |quota AS (
+         |  SELECT source, avail, weight, CAST(weight * n // tw AS BIGINT) AS quota
+         |  FROM w CROSS JOIN tot CROSS JOIN nmax
+         |),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM gated
+         |)
+         |SELECT q.source, q.avail, q.weight, q.quota,
+         |       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+         |       CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS kept_id_sum
+         |FROM quota q LEFT JOIN r ON r.source = q.source AND r.rk <= q.quota
+         |GROUP BY q.source, q.avail, q.weight, q.quota
+         |ORDER BY q.source""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+      val gated = Tables.documents(s, d)
+        .where(q10 >= QualityMin).select("doc_id", "source")
+      val avail = gated.groupBy("source").agg(count(lit(1)).as("avail"))
+      val wtab = avail.withColumn("weight",
+        conv(substring(md5(col("source")), 1, 7), 16, 10).cast("long") % 4 + 1)
+      val tot = wtab.agg(sum("weight").cast("long").as("tw")).withColumn("j", lit(1))
+      val wt = wtab.withColumn("j", lit(1)).join(broadcast(tot), Seq("j"))
+      val nmax = wt.agg(min(expr("avail * tw DIV weight")).as("n")).withColumn("j", lit(1))
+      val quota = wt.join(broadcast(nmax), Seq("j"))
+        .select(col("source"), col("avail"), col("weight"),
+          expr("weight * n DIV tw").as("quota"))
+      val rankW = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val kept = gated.withColumn("rk", row_number().over(rankW))
+        .join(broadcast(quota.select("source", "quota")), Seq("source"))
+        .where(col("rk") <= col("quota"))
+      quota.join(
+          kept.groupBy("source")
+            .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum")),
+          Seq("source"), "left")
+        .select(col("source"), col("avail"), col("weight"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("source")
     }
   )
 }

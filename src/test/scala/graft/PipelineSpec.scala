@@ -101,4 +101,40 @@ class PipelineSpec extends SparkTestBase {
         s"$src: corpus-dup $dupC != gated exact copies ${gatedCopies.getOrElse(src, 0L)}")
     }
   }
+
+  // p03: (source, avail, weight, quota, n_kept, kept_id_sum)
+  private lazy val p03: Seq[(String, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("p03_mixture_recipe")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("p03: quotas re-derive from availability and weights, and fill exactly") {
+    assert(p03.nonEmpty)
+    val tw = p03.map(_._3).sum
+    val nMax = p03.map { case (_, avail, w, _, _, _) => avail * tw / w }.min
+    p03.foreach { case (src, avail, w, quota, nKept, _) =>
+      assert(quota == w * nMax / tw,
+        s"$src: quota $quota != floor($w * $nMax / $tw)")
+      assert(quota <= avail, s"$src: quota exceeds availability")
+      assert(nKept == quota, s"$src: selection under-filled ($nKept of $quota)")
+    }
+  }
+
+  test("p03: the recipe is maximal — one more unit overruns a source") {
+    val tw = p03.map(_._3).sum
+    val nMax = p03.map { case (_, avail, w, _, _, _) => avail * tw / w }.min
+    // real-valued mixture constraint w*N/W <= avail: violated at N+1 for
+    // the binding source (this is exactly what the min construction says)
+    assert(p03.exists { case (_, avail, w, _, _, _) => w * (nMax + 1) > avail * tw },
+      "N_max + 1 still fits every source's real-valued share — min not binding")
+    // and the binding source's integer quota is within 1 of exhausting it
+    // (floor(w*N/W) > avail - w/W >= avail - 1)
+    assert(p03.exists { case (_, avail, _, quota, _, _) => avail - quota <= 1 },
+      "no source near-exhausted — either vacuous or the min is wrong")
+  }
+
+  test("p03: weights are non-uniform so the mixture actually reshapes") {
+    assert(p03.map(_._3).distinct.size > 1,
+      "all sources got the same weight — the recipe is a no-op rescale")
+  }
 }
