@@ -213,7 +213,7 @@ object DedupQueries {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** DuckDB twin of [[DedupFns.shingles]] (3-gram word shingles). */
-  private val shinglesSql: String =
+  private[queries] val shinglesSql: String =
     s"""CASE WHEN len(string_split($normSql, ' ')) >= 3
        |     THEN list_distinct(list_transform(
        |            generate_series(1, len(string_split($normSql, ' ')) - 2),

@@ -15,6 +15,21 @@ object TextQueries {
   /** t07 token budget per packed training sequence. */
   val PackBudget = 4096
 
+  /** t20 KMV sketch size per source. 1024 longs per source bounds the
+    * sketch-table shuffle at 8 KB/source while holding the Jaccard
+    * estimator's 1σ error near sqrt(J(1−J)/k).
+    */
+  val KmvOverlapK = 1024
+
+  /** t20 certification tolerance: |estimate − exact| must stay within
+    * this absolute ppm floor PLUS exact/8 (the relative term tracks the
+    * sqrt(J/k) error growth, so one bound travels across scales —
+    * measured worst fixture margins at sf0.001/0.01/0.1 are 7.5k/10.1k/
+    * 4.7k ppm against the 16k floor). Hash-gated: an estimator
+    * regression fails the oracle.
+    */
+  val OverlapTolPpm = 16000L
+
   /** t09 count-min sketch shape: depth x width counters. Width 1024 keeps
     * collisions visible-but-rare at test vocab sizes; production scales
     * width with e/eps while depth stays small (ln(1/delta)).
@@ -1092,6 +1107,98 @@ object TextQueries {
           sum(col("n1") - coalesce(col("h2"), lit(0L))).as("sum_tok_r2"),
           sum(coalesce(col("mc"), lit(0L))).as("multichar_merges"))
         .orderBy("source")
+    },
+
+    // Cross-source content overlap via KMV sketches (t20) — "how much do
+    // my sources duplicate each other" is the first question a mixture
+    // designer asks, and answering it exactly needs an all-pairs
+    // shingle-set intersection no one can afford at corpus scale. The
+    // mergeable-sketch answer: ONE pass builds a k-min-values sketch of
+    // each source's shingle set (map-side k-bounded partial aggregate —
+    // the shuffle is k·|sources| longs regardless of corpus size), and
+    // every pairwise Jaccard estimate then comes from the |sources|-row
+    // sketch table alone: est = |kmin_k(A ∪ B) ∩ A ∩ B| / |kmin_k(A ∪ B)|
+    // (Bar-Yossef et al.; same deterministic md5 hash family as q18 so
+    // the oracle is bit-exact). The exact side — the inverted-index
+    // pair join — is the eval-time certification, and the hash-gated
+    // boolean pins every estimate within [[OverlapTolPpm]] of truth.
+    Q("t20_source_overlap", {
+      val k = KmvOverlapK
+      s"""WITH shs AS (
+         |  SELECT DISTINCT source, unnest(${DedupQueries.shinglesSql}) AS sh
+         |  FROM documents
+         |),
+         |h AS (SELECT source, sh,
+         |             CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h
+         |      FROM shs),
+         |km AS (SELECT source, list_sort(list(DISTINCT h))[:$k] AS kmv FROM h GROUP BY source),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM shs GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT x.source AS src_a, y.source AS src_b, x.kmv AS ka, y.kmv AS kb,
+         |         ca.n AS na, cb.n AS nb, COALESCE(s.n_shared, 0) AS n_shared
+         |  FROM km x JOIN km y ON x.source < y.source
+         |  JOIN cnt ca ON ca.source = x.source
+         |  JOIN cnt cb ON cb.source = y.source
+         |  LEFT JOIN shared s ON s.src_a = x.source AND s.src_b = y.source
+         |),
+         |est AS (
+         |  SELECT src_a, src_b, na, nb, n_shared,
+         |         CAST(n_shared * 1000000 // (na + nb - n_shared) AS BIGINT) AS exact_jppm,
+         |         CAST(len(list_filter(list_sort(list_distinct(ka || kb))[:$k],
+         |                x -> list_contains(ka, x) AND list_contains(kb, x))) * 1000000
+         |              // len(list_sort(list_distinct(ka || kb))[:$k]) AS BIGINT) AS est_jppm
+         |  FROM pairs
+         |),
+         |tol AS (SELECT MAX(ABS(est_jppm - exact_jppm) - exact_jppm // 8)
+         |               <= $OverlapTolPpm AS ok FROM est)
+         |SELECT e.src_a, e.src_b, e.n_shared, e.exact_jppm, e.est_jppm, t.ok AS within_tol
+         |FROM est e CROSS JOIN tol t
+         |ORDER BY e.src_a, e.src_b""".stripMargin
+    }) { (s, d) =>
+      graft.GraftNative.ensure(s)
+      val k = KmvOverlapK
+      // one corpus scan: distinct (source, shingle) + its 28-bit hash,
+      // written once and shared by the sketch, count, and exact sides
+      val shs = graft.operators.Stage.sharedTable(s, "t20_src_shingles", d) {
+        Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.GraftNative.shingles(DedupFns.normText(col("text")))).as("sh"))
+          .distinct()
+          .withColumn("h", conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
+      }
+      val km = shs.groupBy("source").agg(graft.functions.KmvSketch.kmv(col("h"), k).as("kmv"))
+      val cnt = shs.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = shs.as("a").join(shs.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val pairs = km.as("x").join(km.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          col("x.kmv").as("ka"), col("y.kmv").as("kb"))
+        .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+        .join(broadcast(shared), Seq("src_a", "src_b"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      val est = pairs
+        .withColumn("merged", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+        .withColumn("exact_jppm", expr("CAST(n_shared * 1000000 DIV (na + nb - n_shared) AS BIGINT)"))
+        .withColumn("est_jppm", expr(
+          "CAST(size(filter(merged, x -> array_contains(ka, x) AND array_contains(kb, x)))" +
+            " * 1000000 DIV size(merged) AS BIGINT)"))
+        .select("src_a", "src_b", "n_shared", "exact_jppm", "est_jppm")
+      val tol = est.agg(
+          (max(abs(col("est_jppm") - col("exact_jppm")) - expr("exact_jppm DIV 8"))
+            <= OverlapTolPpm).as("ok"))
+        .withColumn("j", lit(1))
+      est.withColumn("j", lit(1)).join(broadcast(tol), Seq("j"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("exact_jppm"), col("est_jppm"), col("ok").as("within_tol"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

@@ -56,4 +56,19 @@ class KmvSketchSpec extends SparkTestBase {
     assert(got(1L) == 3.0)
     assert(got(2L) == 3 * KmvSketch.HashSpace / 40.0)
   }
+
+  test("t20: every pair certified within tolerance and overlap is real") {
+    val rows = SparkEntry.queries("t20_source_overlap")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.length > 1, "fewer than two source pairs")
+    assert(rows.forall(_._5), "within_tol gate false at sf0.001")
+    assert(rows.exists(_._3 > 20000L),
+      "no source pair above 2% exact Jaccard — the overlap signal is noise-level")
+    rows.foreach { case (a, b, exact, est, _) =>
+      assert(math.abs(est - exact) - exact / 8 <= graft.queries.TextQueries.OverlapTolPpm,
+        s"($a,$b): est $est vs exact $exact outside the certified bound")
+    }
+  }
 }
