@@ -77,11 +77,41 @@ object CurationStreams {
     */
   def curationSurvivors(spark: SparkSession, docs: Dataset[SrcDoc]): Dataset[Kept] = {
     import spark.implicits._
+    fingerprinted(spark, docs)
+      .groupByKey(_.fp)
+      .transformWithState(new KeeperProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** gate -> scrub -> fingerprint, shared by [[curationSurvivors]] and
+    * [[admittedDocs]].
+    */
+  private def fingerprinted(spark: SparkSession, docs: Dataset[SrcDoc]): Dataset[FpDoc] = {
+    import spark.implicits._
     gateAndScrub(spark, docs)
       .select(
         TextFns.fingerprint(col("rtext")).as("fp"),
         col("doc_id"), col("source"),
         GraftNative.textStats(col("rtext")).getField("ws_tokens").as("ws_tokens"))
+      .as[FpDoc]
+  }
+
+  /** Streaming twin of p02's incremental admission: ingest docs stream
+    * in, and a doc is admitted only if (1) its redacted fingerprint is
+    * absent from the ALREADY-CURATED corpus's written fingerprint index
+    * — a stream-static left-anti join, re-planned per micro-batch
+    * against the static side, exactly the broadcast/bucketed anti-join
+    * the batch query runs — and (2) it is the first arrival of its
+    * fingerprint within the stream (the same one-long-per-fp keyed
+    * state as [[curationSurvivors]]). The corpus is never re-gated,
+    * re-scrubbed, or re-fingerprinted per ingest; `corpusFp` is scanned
+    * as data arrives, which is the production shape where the index is
+    * a bucketed table the stream side co-partitions with.
+    */
+  def admittedDocs(spark: SparkSession, docs: Dataset[SrcDoc],
+      corpusFp: DataFrame): Dataset[Kept] = {
+    import spark.implicits._
+    fingerprinted(spark, docs)
+      .join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
       .as[FpDoc]
       .groupByKey(_.fp)
       .transformWithState(new KeeperProcessor, TimeMode.None(), OutputMode.Append())
