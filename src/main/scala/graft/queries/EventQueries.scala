@@ -511,6 +511,79 @@ object EventQueries {
         .groupBy(col("event_type").as("touch_type"), col("pos_class"))
         .agg(count(lit(1)).as("n_touches"), sum("w").as("credit_ppm_sum"))
         .orderBy("touch_type", "pos_class")
+    },
+
+    // Per-type rolling z-score anomaly detection (e13) — the
+    // variance-aware complement to e11's global mean-ratio burst rule: a
+    // (type, hour) cell flags when its count deviates from the trailing
+    // 24 h mean by more than 2 trailing standard deviations. e11's 2×
+    // rule both misses low-variance drifts (n jumps 40→55 on a ±2
+    // series) and over-flags genuinely noisy types; the z-score
+    // normalizes per type. The σ comparison is INTEGER-exact — z² > 4
+    // multiplied through by 24² gives (24n − S)² > 4(24·SS − S²) with S
+    // and SS the trailing sum and sum-of-squares, all BIGINT, so both
+    // engines agree bit-for-bit (a float σ could not hash-match).
+    // Scale shape: one (type, hour) aggregate shuffle; the gap-filled
+    // grid is |types| × |hours| (tiny — types broadcast onto the hour
+    // spine); the trailing window partitions by type with 24 rows of
+    // state. Zero-variance windows flag ANY deviation (strict >), and
+    // cells without a full 24 h history never flag.
+    Q("e13_zscore_anomaly",
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events
+        |),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+        |),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+        |agg AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY h, event_type
+        |),
+        |g AS (
+        |  SELECT grid.h, grid.event_type, COALESCE(agg.n, 0) AS n
+        |  FROM grid LEFT JOIN agg USING (h, event_type)
+        |),
+        |w AS (
+        |  SELECT h, event_type, n,
+        |         CAST(COALESCE(SUM(n) OVER tw, 0) AS BIGINT) AS prev_sum,
+        |         CAST(COALESCE(SUM(n * n) OVER tw, 0) AS BIGINT) AS prev_sumsq,
+        |         CAST(COUNT(*) OVER tw AS BIGINT) AS prev_n
+        |  FROM g
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT h, event_type, n, prev_sum, prev_sumsq,
+        |       (prev_n = 24 AND
+        |        (24 * n - prev_sum) * (24 * n - prev_sum)
+        |          > 4 * (24 * prev_sumsq - prev_sum * prev_sum)) AS anomaly
+        |FROM w ORDER BY h, event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds.select(
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      val grid = hours.join(broadcast(types))
+      val agg = ev.groupBy(
+          window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val trailing = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+      grid.join(agg, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("prev_sum", coalesce(sum(col("n")).over(trailing), lit(0L)))
+        .withColumn("prev_sumsq", coalesce(sum(col("n") * col("n")).over(trailing), lit(0L)))
+        .withColumn("prev_n", count(lit(1)).over(trailing))
+        .select(col("h"), col("event_type"), col("n"), col("prev_sum"), col("prev_sumsq"),
+          (col("prev_n") === 24 &&
+            (lit(24) * col("n") - col("prev_sum")) * (lit(24) * col("n") - col("prev_sum"))
+              > lit(4) * (lit(24) * col("prev_sumsq") - col("prev_sum") * col("prev_sum")))
+            .as("anomaly"))
+        .orderBy("h", "event_type")
     }
   )
 }

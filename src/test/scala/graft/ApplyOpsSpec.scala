@@ -119,6 +119,46 @@ class ApplyOpsSpec extends SparkTestBase {
     }
   }
 
+  test("e13: z-score catches a low-variance drift the 2x mean-ratio misses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zscore").toString
+    def hts(h: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 10, 0, 30).plusHours(h.toLong))
+    // 24 hours alternating 40/41 events (mean 40.5, sigma 0.5), then a
+    // 25th hour of 50: z = 19 >> 2, but 50 < 2 * 40.5 so e11's
+    // mean-ratio rule would NOT flag it
+    var id = 0L
+    val rows = (0 until 25).flatMap { h =>
+      val n = if (h == 24) 50 else 40 + (h % 2)
+      (0 until n).map { _ => id += 1; (id, hts(h), id % 7, "view") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e13_zscore_anomaly")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getBoolean(5)))
+    assert(got.length == 25)
+    val driftHour = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 10, 0, 0).plusHours(24L))
+    val (flagged, rest) = got.partition(_._3)
+    assert(flagged.map(t => (t._1, t._2)).toSeq == Seq((driftHour, 50L)),
+      s"exactly the drift hour must flag: got ${flagged.toSeq}")
+    // and the drift is invisible to the mean-ratio rule
+    val prevSum = (0 until 24).map(h => 40L + (h % 2)).sum
+    assert(50L * 24 <= 2 * prevSum, "fixture broken: mean-ratio would also fire")
+    assert(rest.forall(!_._3))
+  }
+
+  test("e13: both outcomes occur on the corpus and no-history never flags") {
+    val rows = SparkEntry.queries("e13_zscore_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3), r.getBoolean(5)))
+    assert(rows.exists(_._3) && rows.exists(!_._3), "anomaly rule vacuous at sf0.001")
+    val firstHours = rows.map(_._1).distinct.sorted((a: Timestamp, b: Timestamp) =>
+      a.compareTo(b)).take(24).toSet
+    assert(rows.filter(r => firstHours(r._1)).forall(!_._3),
+      "a cell without 24h of history flagged")
+  }
+
   // d25: the quality-retention keeper choice. Output rows are
   // (component, keeper, keeper_q, n_members).
   private lazy val d25: Seq[(Long, Long, Long, Long)] =
