@@ -19,9 +19,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the thread count, but scale recordings
+    // above sf0.1 set this higher: a fixed 32 with 30x the rows makes
+    // individual sort/aggregate partitions spill — a harness artifact a
+    // real cluster (AQE, more executors) doesn't have.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts nanos
       .config("spark.ui.enabled", "false")

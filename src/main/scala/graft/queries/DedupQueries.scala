@@ -1810,6 +1810,51 @@ object DedupQueries {
         "vec_a", "vec_b", "vec_id", EmbAggRecallFloor)
     },
 
+    // Triangle counting / local clustering over the near-dup graph (d26)
+    // — the graph-cohesion metric that distinguishes a TEMPLATE cluster
+    // (near-clique: every copy resembles every other; high clustering
+    // coefficient) from a CHAIN of incremental edits (a~b~c but a≁c —
+    // the pathological case where transitive-closure dedup over-merges;
+    // low coefficient). Standard ordered enumeration: each triangle
+    // a<b<c is found exactly once by joining the (a<b)-oriented edge
+    // list twice — cost Σ_edges deg, bounded because the LSH band caps
+    // keep the pair graph sparse — then exploded to its three members.
+    // clustering_ppm = 2T·10^6 DIV deg(deg−1): exact integers, both
+    // self-joins run against the WRITTEN verified-pair stage every other
+    // d-query shares. PageRank (d20) measures centrality; this measures
+    // closure — together they are the standard dup-graph diagnostics.
+    Q("d26_dup_triangles",
+      s"""WITH RECURSIVE $minhashPairsSql,
+         |e AS (SELECT doc_a, doc_b FROM pairs),
+         |tri AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+         |            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |),
+         |mem AS (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |),
+         |tcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |         FROM mem GROUP BY doc_id),
+         |degs AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |    SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.degree,
+         |       COALESCE(t.n_triangles, 0) AS n_triangles,
+         |       CASE WHEN d.degree >= 2
+         |            THEN COALESCE(t.n_triangles, 0) * 2000000 // (d.degree * (d.degree - 1))
+         |            ELSE 0 END AS clustering_ppm
+         |FROM degs d LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GraphOps
+        .triangleStats(minhashPairs(s, d), "doc_a", "doc_b")
+        .orderBy("doc_id")
+    },
+
     // Quality-retention dedup — production pipelines keep the BEST copy
     // of each near-dup cluster, not the lowest-id one (CCNet/FineWeb
     // style: dedup decisions and quality scoring compose). Keeper =

@@ -72,4 +72,42 @@ class GraphOpsSpec extends SparkTestBase {
     assert(twoCliques.values.exists(_ == PageRank.ScalePpm),
       s"expected some pure copy-pair at the 1.0 fixed point, got ${twoCliques.take(5)}")
   }
+
+  test("d26: triangle counts are 3-consistent and bounds hold per doc") {
+    val rows = SparkEntry.queries("d26_dup_triangles")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every triangle has exactly 3 members, so the per-doc counts sum to
+    // a multiple of 3 — and the fixture graph actually has triangles
+    val total = rows.map(_._3).sum
+    assert(total > 0, "no triangles at sf0.001 — closure metric vacuous")
+    assert(total % 3 == 0, s"per-doc triangle counts sum to $total, not 3T")
+    rows.foreach { case (id, deg, t, cppm) =>
+      assert(deg >= 1, s"doc $id in the edge list with degree 0")
+      // T <= C(deg, 2): a doc's triangles pick 2 of its neighbors
+      assert(t <= deg * (deg - 1) / 2, s"doc $id: $t triangles exceed deg-$deg bound")
+      val expect = if (deg >= 2) t * 2000000L / (deg * (deg - 1)) else 0L
+      assert(cppm == expect, s"doc $id: clustering_ppm $cppm != $expect")
+    }
+    // at least the fully-closed regime occurs on the fixture (at
+    // sf0.001 every component happens to be a clique; the open-chain
+    // regime is pinned synthetically below)
+    assert(rows.exists(_._4 == 1000000L), "no fully-closed neighborhood")
+  }
+
+  test("triangleStats: chain stays open, clique closes, tail dilutes") {
+    import spark.implicits._
+    // path 1-2-3 (no triangle), clique 4-5-6, and 6's tail to 7:
+    // 6 has deg 3 but only the one clique triangle -> 2*1/(3*2) = 1/3
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.GraphOps.triangleStats(e, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(2L) == ((2L, 0L, 0L)), s"chain centre: ${got(2L)}") // open, deg 2
+    assert(got(1L) == ((1L, 0L, 0L)) && got(3L) == ((1L, 0L, 0L)))
+    assert(got(4L) == ((2L, 1L, 1000000L)) && got(5L) == ((2L, 1L, 1000000L)))
+    assert(got(6L) == ((3L, 1L, 333333L)), s"diluted hub: ${got(6L)}")
+    assert(got(7L) == ((1L, 0L, 0L)))
+  }
 }
