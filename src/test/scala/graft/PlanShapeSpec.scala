@@ -379,4 +379,49 @@ class PlanShapeSpec extends SparkTestBase {
       s"the first-8 filter must push below the window sort:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must plan TakeOrdered in:\n$p")
   }
+
+  test("p02 admission: the corpus-index check is a broadcast anti-join, no cartesian") {
+    val p = planOf("p02_incremental_curation")
+    assert(p.contains("LeftAnti"), s"corpus-dup check lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"p02 must never cross:\n$p")
+  }
+
+  test("p03 recipe: quota/weight tables broadcast; the rank is the only wide op") {
+    val p = planOf("p03_mixture_recipe")
+    // the quota table broadcasts INTO the rank filter (a hashed-key
+    // build); the one-row tw/N scalars join as 1-row broadcasts like
+    // q26's pattern (their constant key folds away, so they print as
+    // BroadcastNestedLoopJoin — a 1-row build, not a corpus cross)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row quota table must broadcast into the rank filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"p03 must never cross:\n$p")
+  }
+
+  test("d25 keeper: components broadcast into the scored corpus, struct-max aggregates") {
+    val p = planOf("d25_quality_retention")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the component map must broadcast into the quality join:\n$p")
+    // struct-valued max is not hash-aggregable, so Spark plans
+    // SortAggregate — what matters at scale is the map-side partial
+    assert(p.contains("partial_max(struct"),
+      s"keeper choice must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d25 must never cross:\n$p")
+  }
+
+  test("d26 triangles: both closure joins are hash equi-joins on vertex ids") {
+    val p = planOf("d26_dup_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle enumeration must key on vertex ids:\n$p")
+  }
+
+  test("t20 overlap: the sketch table is tiny; only corpus-sized ops touch the stage") {
+    // the 190-pair sketch combination may nested-loop (20 rows x 20 rows
+    // — deliberately); what must NOT appear is a cartesian over anything
+    // corpus-sized: the exact side self-join keys on the shingle string
+    val p = planOf("t20_source_overlap")
+    assert(p.contains("graft_stage_t20_src_shingles") || p.contains("t20_src_shingles"),
+      s"t20 must scan its written shingle stage:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"exact side lost its shingle equi-join:\n$p")
+  }
 }
