@@ -513,6 +513,51 @@ object EventQueries {
         .orderBy("touch_type", "pos_class")
     },
 
+    // Native session windows (e14) — the same 30-min-gap sessionization
+    // as e03, but through Spark's built-in `session_window` operator
+    // (SessionWindowing + MergingSessionsExec — the merge-on-overlap
+    // machinery Structured Streaming uses for watermarked session aggs)
+    // instead of e03's lag/flag/running-sum window composition. Both
+    // paths are certified: e03 pins the composition, e14 pins the
+    // native operator, and ApplyOpsSpec pins their agreement — incl.
+    // the boundary: session_window treats window touching as overlap,
+    // so a gap of EXACTLY 30 min still merges (same `diff > gap`
+    // split rule as e03; pinned on a synthetic exact-gap fixture).
+    // Scale: one shuffle on user_id, in-partition sort + linear
+    // merge — no self-join.
+    Q("e14_session_window",
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM x
+        |),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Per-type rolling z-score anomaly detection (e13) — the
     // variance-aware complement to e11's global mean-ratio burst rule: a
     // (type, hour) cell flags when its count deviates from the trailing

@@ -159,6 +159,38 @@ class ApplyOpsSpec extends SparkTestBase {
       "a cell without 24h of history flagged")
   }
 
+  test("e14: exact 30-min gap still merges (touching windows overlap), 30:01 splits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sesswin").toString
+    def us(sec: Long) = new Timestamp(1704880800000L + sec * 1000)
+    // user 1: gap of exactly 30 min -> the windows TOUCH and the native
+    // operator merges them (same `diff > gap` split rule as e03);
+    // user 2: 30 min plus 1 s -> splits into two sessions
+    val rows = Seq(
+      (1L, us(0), 1L, "view"), (2L, us(1800), 1L, "view"),
+      (3L, us(0), 2L, "view"), (4L, us(1801), 2L, "view"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e14_session_window")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(1L -> 2L),
+      s"exact gap must merge: ${got.toSeq}")
+    assert(got.count(_._1 == 2L) == 2, s"gap past 30 min must split: ${got.toSeq}")
+  }
+
+  test("e14 agrees with e03's composition on the corpus") {
+    val byWindow = SparkEntry.queries("e14_session_window")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val byComposition = SparkEntry.queries("e03_sessionize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // same multiset of (user, session event-count): both paths implement
+    // the same diff > gap split rule (incl. the exact-gap merge)
+    assert(byWindow.groupBy(identity).view.mapValues(_.length).toMap ==
+      byComposition.groupBy(identity).view.mapValues(_.length).toMap,
+      "native session_window and the lag/flag composition disagree")
+  }
+
   // d25: the quality-retention keeper choice. Output rows are
   // (component, keeper, keeper_q, n_members).
   private lazy val d25: Seq[(Long, Long, Long, Long)] =
