@@ -15,6 +15,15 @@ object TextQueries {
   /** t07 token budget per packed training sequence. */
   val PackBudget = 4096
 
+  /** t21 retrieval chunk width in whitespace tokens. */
+  val RagChunkTokens = 64
+
+  /** t21 chunk stride: 48 gives a 16-token overlap so answer spans that
+    * straddle a chunk boundary always appear whole in some chunk (any
+    * span of <= overlap+1 tokens is contained in at least one window).
+    */
+  val RagChunkStride = 48
+
   /** t20 KMV sketch size per source. 1024 longs per source bounds the
     * sketch-table shuffle at 8 KB/source while holding the Jaccard
     * estimator's 1σ error near sqrt(J(1−J)/k).
@@ -1107,6 +1116,50 @@ object TextQueries {
           sum(col("n1") - coalesce(col("h2"), lit(0L))).as("sum_tok_r2"),
           sum(coalesce(col("mc"), lit(0L))).as("multichar_merges"))
         .orderBy("source")
+    },
+
+    // Retrieval chunking (t21) — the RAG ingestion shape: every doc is
+    // split into overlapping fixed-size token windows (64-token chunks,
+    // stride 48 → 16-token overlap so no boundary-straddling answer
+    // span is ever lost), each chunk carrying its token offset and a
+    // content fingerprint (the id an embedding/vector-index stage keys
+    // on — v10's ingest and d13's chunk-dedup both consume exactly this
+    // shape). Deliberately MAP-ONLY: tokenize → per-doc chunk-start
+    // sequence → explode → slice+fingerprint, no shuffle except the
+    // output ordering — chunking 100 TB is a scan, and anything that
+    // shuffles per-chunk is wrong. Start positions are multiples of the
+    // stride with the last window allowed short, so every token is
+    // covered and coverage arithmetic is closed-form (pinned in
+    // TextFnsSpec).
+    Q("t21_rag_chunks", {
+      val (w, st) = (RagChunkTokens, RagChunkStride)
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents
+         |),
+         |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+         |c AS (
+         |  SELECT doc_id, ts, n, unnest(generate_series(0, (n - 1) // $st)) AS chunk_id
+         |  FROM n
+         |)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(chunk_id * $st AS BIGINT) AS t_start,
+         |       CAST(len(array_slice(ts, chunk_id * $st + 1, chunk_id * $st + $w)) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(array_slice(ts, chunk_id * $st + 1, chunk_id * $st + $w), ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    }) { (s, d) =>
+      val (w, st) = (RagChunkTokens, RagChunkStride)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+        .withColumn("n", size(col("ts")))
+        .select(col("doc_id"), col("ts"),
+          explode(expr(s"sequence(0, (n - 1) DIV $st)")).as("chunk_id"))
+        .withColumn("ctoks", expr(s"slice(ts, chunk_id * $st + 1, $w)"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * st).cast("long").as("t_start"),
+          size(col("ctoks")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("ctoks"))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
     },
 
     // Cross-source content overlap via KMV sketches (t20) — "how much do

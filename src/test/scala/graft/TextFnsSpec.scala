@@ -45,4 +45,37 @@ class TextFnsSpec extends SparkTestBase {
     assert(a == b)
     assert(a != c)
   }
+
+  test("t21 chunks: closed-form count, full coverage, exact overlap") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val (w, st) = (graft.queries.TextQueries.RagChunkTokens,
+      graft.queries.TextQueries.RagChunkStride)
+    val nTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val chunks = SparkEntry.queries("t21_rag_chunks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == nTokens.keySet, "chunking dropped or invented docs")
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.length == (n - 1) / st + 1, s"doc $doc: chunk count")
+      sorted.foreach { case (_, cid, tStart, nc) =>
+        assert(tStart == cid * st, s"doc $doc chunk $cid: start drifted")
+        assert(nc == math.min(w.toLong, n - tStart), s"doc $doc chunk $cid: length")
+        assert(nc >= 1, s"doc $doc chunk $cid: empty chunk emitted")
+      }
+      // coverage: last chunk reaches n; consecutive full chunks overlap w-st
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $doc: tail uncovered")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 >= b._3, s"doc $doc: gap between chunks ${a._2},${b._2}")
+        case _ => ()
+      }
+    }
+    // overlap is non-vacuous: some doc actually has >= 2 chunks
+    assert(chunks.values.exists(_.length >= 2), "no doc long enough to overlap")
+  }
 }
