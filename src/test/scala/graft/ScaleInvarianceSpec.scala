@@ -96,6 +96,23 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assertEquivariant("d21_substring_apply", Seq("doc_id"))
   }
 
+  test("t21 chunk structure is exactly equivariant under 3x replication") {
+    // the replica token bijection preserves per-doc token COUNTS, so
+    // chunk ids/offsets/lengths must replicate exactly; chunk_fp is
+    // content-derived and changes under the bijection (by design), so
+    // the structural columns are compared without it
+    val orig = run("t21_rag_chunks", src).drop("chunk_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = (0 until Factor).flatMap(r => orig.map {
+      case (id, cid, ts, n) => (mapId(id, r), cid, ts, n)
+    })
+    val actual = run("t21_rag_chunks", scaledDir).drop("chunk_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assertSameMultiset(actual.map(t => Seq[Any](t._1, t._2, t._3, t._4)),
+      expected.map(t => Seq[Any](t._1, t._2, t._3, t._4)),
+      "t21 chunk structure is not the per-replica shift of the original")
+  }
+
   test("d04 embedding pairs are exactly equivariant under rotation replication") {
     // below EmbMaxCell the in-cell candidate set is exact all-pairs
     // (deterministic-complete), and a dimension rotation is an isometry
