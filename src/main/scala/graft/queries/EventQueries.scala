@@ -558,6 +558,35 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // Time-interval RANGE frames (e15) — per-user trailing-24h activity
+    // at EVERY event: the window surface e11/e13 don't cover (their
+    // trailing frames are ROWS over a gap-filled hourly grid; this is
+    // RANGE over the raw event times — no grid, frame membership decided
+    // by timestamp arithmetic, ties all included). The canonical
+    // feature-engineering shape ("how active was this user in the 24h
+    // before this event") for fraud/abuse scoring. Frame bounds are
+    // epoch-microsecond longs on both engines, and the in-frame value
+    // sum runs in DECIMAL (order-free exact) before the double edge
+    // cast. One shuffle on user_id; per-partition the frame is a
+    // two-pointer sliding window over the sorted events — state bounded
+    // by 24h of per-user activity, never the whole history.
+    Q("e15_trailing_range",
+      """SELECT event_id, user_id, ts,
+        |       CAST(COUNT(*) OVER tw AS BIGINT) AS n_24h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER tw AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val tw = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(tw).as("n_24h"),
+          sum(col("value").cast("decimal(18,2)")).over(tw).cast("double").as("sum_24h"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
     // Per-type rolling z-score anomaly detection (e13) — the
     // variance-aware complement to e11's global mean-ratio burst rule: a
     // (type, hour) cell flags when its count deviates from the trailing

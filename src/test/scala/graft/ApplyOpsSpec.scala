@@ -191,6 +191,28 @@ class ApplyOpsSpec extends SparkTestBase {
       "native session_window and the lag/flag composition disagree")
   }
 
+  test("e15: trailing-24h range frame slides, inclusive at the exact bound") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-range").toString
+    def hts(h: Int) = new Timestamp(1704880800000L + h * 3600000L)
+    // user 1: 0h, 12h, 23h, 25h -> trailing counts 1,2,3,3 (0h falls out
+    // of the 25h frame); user 2: 0h and exactly 24h -> the RANGE lower
+    // bound is INCLUSIVE, so the 24h event still sees both
+    val rows = Seq(
+      (1L, hts(0), 1L), (2L, hts(12), 1L), (3L, hts(23), 1L), (4L, hts(25), 1L),
+      (5L, hts(0), 2L), (6L, hts(24), 2L))
+    rows.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(2.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e15_trailing_range")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 2.0)) && got(2L) == ((2L, 4.0)) &&
+      got(3L) == ((3L, 6.0)), s"ramp wrong: $got")
+    assert(got(4L) == ((3L, 6.0)), s"0h event must fall out of the 25h frame: $got")
+    assert(got(6L) == ((2L, 4.0)), s"exact-24h bound must be inclusive: $got")
+  }
+
   // d25: the quality-retention keeper choice. Output rows are
   // (component, keeper, keeper_q, n_members).
   private lazy val d25: Seq[(Long, Long, Long, Long)] =
