@@ -957,6 +957,125 @@ object SimilarityQueries {
         .select(col("vec_id"), col("best.cand_label").as("nearest_label"),
           col("best.score").as("score"))
         .orderBy("vec_id")
+    },
+
+    // Chunk-level retrieval (v15) — late-interaction-lite: documents are
+    // indexed at t21's CHUNK granularity (the modern RAG shape — a long
+    // doc matches on its best passage, not its diluted whole-doc
+    // vector), and a query ranks DOCS by the max cosine over their
+    // chunks. The chunk index embeds EXACTLY t21's chunks (shared
+    // builder, so listing and index can never drift) with mm05's
+    // hashing-trick encoder, bucketed by the v-family's hyperplane LSH;
+    // probes are whole-doc embeddings of the standard probe set. Scale
+    // shape: the chunk index is a WRITTEN stage (the vector store);
+    // probes broadcast; the probe join is bucket-pruned; the per-(query,
+    // doc) best-chunk choice is ONE struct-max aggregate (map-side
+    // partial), then a bounded per-probe top-k. No cartesian anywhere.
+    Q("v15_chunk_retrieval", {
+      val dim = EmbDim
+      val k = K
+      val np = NumProbes
+      s"""WITH ${graft.queries.TextQueries.ragChunksSqlBody},
+         |cb AS (
+         |  SELECT doc_id, chunk_id,
+         |         list_transform(ctoks, t -> CAST('0x' || substring(md5(t), 1, 7) AS BIGINT) % $dim) AS bks
+         |  FROM chunks
+         |),
+         |cv AS (
+         |  SELECT doc_id, chunk_id,
+         |         list_transform(generate_series(0, ${dim - 1}),
+         |                        j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)) AS q
+         |  FROM cb
+         |),
+         |cn AS (
+         |  SELECT doc_id, chunk_id, q,
+         |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2,
+         |         ${lshBucketSql("q")} AS bucket
+         |  FROM cv
+         |),
+         |idx AS (SELECT * FROM cn WHERE n2 > 0),
+         |pb AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |                        t -> CAST('0x' || substring(md5(t), 1, 7) AS BIGINT) % $dim) AS bks
+         |  FROM documents WHERE doc_id < $np
+         |),
+         |pv AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, ${dim - 1}),
+         |                        j -> CAST(len(list_filter(bks, b -> b = j)) AS BIGINT)) AS q
+         |  FROM pb
+         |),
+         |pn AS (
+         |  SELECT doc_id, q,
+         |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2,
+         |         ${lshBucketSql("q")} AS bucket
+         |  FROM pv
+         |),
+         |scored AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id, c.chunk_id,
+         |         CAST(CAST(list_sum(list_transform(list_zip(p.q, c.q), s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(p.n2 * c.n2 AS DOUBLE)) AS cosine
+         |  FROM pn p JOIN idx c ON c.bucket = p.bucket AND c.doc_id <> p.doc_id
+         |  WHERE p.n2 > 0
+         |),
+         |best AS (
+         |  SELECT probe_id, doc_id, chunk_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id, doc_id
+         |                            ORDER BY cosine DESC, chunk_id) AS cr
+         |  FROM scored
+         |),
+         |b1 AS (SELECT probe_id, doc_id, chunk_id AS best_chunk, cosine FROM best WHERE cr = 1),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cosine DESC, doc_id) AS rnk
+         |  FROM b1
+         |)
+         |SELECT probe_id, doc_id, best_chunk, rnk, cosine FROM ranked
+         |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
+      GraftNative.ensure(s)
+      val dim = EmbDim
+      val idx = Stage.sharedTable(s, "v15_chunk_idx", d) {
+        graft.queries.TextQueries.ragChunkToks(s, d)
+          .select(col("doc_id"), col("chunk_id"),
+            transform(col("ctoks"),
+              t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
+          .select(col("doc_id"), col("chunk_id"),
+            transform(sequence(lit(0L), lit(dim - 1L)),
+              j => size(filter(col("bks"), b => b === j)).cast("long")).as("q"))
+          .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
+          .where(col("n2") > 0)
+          .withColumn("bucket", lshBucket(col("q")))
+      }
+      val probes = Stage.table(
+        Tables.documents(s, d)
+          .where(col("doc_id") < NumProbes)
+          .select(col("doc_id").as("probe_id"),
+            transform(split(lower(trim(col("text"))), "\\s+"),
+              t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
+          .select(col("probe_id"),
+            transform(sequence(lit(0L), lit(dim - 1L)),
+              j => size(filter(col("bks"), b => b === j)).cast("long")).as("p_q"))
+          .withColumn("p_n2", GraftNative.longDot(col("p_q"), col("p_q")))
+          .where(col("p_n2") > 0)
+          .withColumn("p_bucket", lshBucket(col("p_q"))),
+        "v15_probes")
+      val scored = idx.join(broadcast(probes),
+          col("bucket") === col("p_bucket") && col("doc_id") =!= col("probe_id"))
+        .withColumn("cosine", GraftNative.longDot(col("q"), col("p_q")).cast("double") /
+          sqrt((col("n2") * col("p_n2")).cast("double")))
+      val best = scored.groupBy("probe_id", "doc_id")
+        .agg(max(struct(col("cosine"), (-col("chunk_id")).as("nc"))).as("b"))
+        .select(col("probe_id"), col("doc_id"),
+          (-col("b.nc")).as("best_chunk"), col("b.cosine").as("cosine"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("cosine").desc, col("doc_id"))
+      best.withColumn("rnk", row_number().over(wr))
+        .where(col("rnk") <= K)
+        .select(col("probe_id"), col("doc_id"), col("best_chunk"),
+          col("rnk").cast("long").as("rnk"), col("cosine"))
+        .orderBy("probe_id", "rnk")
     }
   )
 }

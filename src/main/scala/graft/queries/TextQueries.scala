@@ -24,6 +24,43 @@ object TextQueries {
     */
   val RagChunkStride = 48
 
+  /** t21's chunk table (doc_id, chunk_id BIGINT, ctoks) as a reusable
+    * builder — v15's chunk-level retrieval embeds exactly these chunks,
+    * so the retrieval index and the chunk listing can never drift.
+    */
+  private[queries] def ragChunkToks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (w, st) = (RagChunkTokens, RagChunkStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, (n - 1) DIV $st)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(ts, chunk_id * $st + 1, $w)").as("ctoks"))
+  }
+
+  /** DuckDB twin of [[ragChunkToks]]: toks/nn/cc CTEs ending in a
+    * `chunks` CTE (doc_id, chunk_id BIGINT, ctoks). No leading WITH.
+    */
+  private[queries] val ragChunksSqlBody: String = {
+    val (w, st) = (RagChunkTokens, RagChunkStride)
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents
+       |),
+       |nn AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+       |cc AS (
+       |  SELECT doc_id, ts, unnest(generate_series(0, (n - 1) // $st)) AS cid
+       |  FROM nn
+       |),
+       |chunks AS (
+       |  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |         array_slice(ts, cid * $st + 1, cid * $st + $w) AS ctoks
+       |  FROM cc
+       |)""".stripMargin
+  }
+
   /** t20 KMV sketch size per source. 1024 longs per source bounds the
     * sketch-table shuffle at 8 KB/source while holding the Jaccard
     * estimator's 1σ error near sqrt(J(1−J)/k).
@@ -1131,32 +1168,16 @@ object TextQueries {
     // stride with the last window allowed short, so every token is
     // covered and coverage arithmetic is closed-form (pinned in
     // TextFnsSpec).
-    Q("t21_rag_chunks", {
-      val (w, st) = (RagChunkTokens, RagChunkStride)
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
-         |  FROM documents
-         |),
-         |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
-         |c AS (
-         |  SELECT doc_id, ts, n, unnest(generate_series(0, (n - 1) // $st)) AS chunk_id
-         |  FROM n
-         |)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-         |       CAST(chunk_id * $st AS BIGINT) AS t_start,
-         |       CAST(len(array_slice(ts, chunk_id * $st + 1, chunk_id * $st + $w)) AS BIGINT) AS n_tokens,
-         |       md5(array_to_string(array_slice(ts, chunk_id * $st + 1, chunk_id * $st + $w), ' ')) AS chunk_fp
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
-    }) { (s, d) =>
-      val (w, st) = (RagChunkTokens, RagChunkStride)
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
-        .withColumn("n", size(col("ts")))
-        .select(col("doc_id"), col("ts"),
-          explode(expr(s"sequence(0, (n - 1) DIV $st)")).as("chunk_id"))
-        .withColumn("ctoks", expr(s"slice(ts, chunk_id * $st + 1, $w)"))
-        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          (col("chunk_id") * st).cast("long").as("t_start"),
+    Q("t21_rag_chunks",
+      s"""WITH $ragChunksSqlBody
+         |SELECT doc_id, chunk_id,
+         |       chunk_id * $RagChunkStride AS t_start,
+         |       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(ctoks, ' ')) AS chunk_fp
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      ragChunkToks(s, d)
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * RagChunkStride).as("t_start"),
           size(col("ctoks")).cast("long").as("n_tokens"),
           md5(concat_ws(" ", col("ctoks"))).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")

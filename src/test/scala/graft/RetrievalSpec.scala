@@ -202,4 +202,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(probeGraph.toSet == v04.toSet,
       "kNN graph disagrees with v04 on the shared probe set")
   }
+
+  test("v15: ranked per probe, no self-matches, and chunk granularity matters") {
+    val rows = SparkEntry.queries("v15_chunk_retrieval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 != r._2), "a probe retrieved its own doc")
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq,
+        s"probe $p: ranks not dense")
+      assert(byRank.map(_._5).toSeq == byRank.map(_._5).sortBy(-_).toSeq,
+        s"probe $p: cosine not descending with rank")
+    }
+    // the late-interaction point: some doc must win on a NON-FIRST chunk
+    // (a whole-doc-vector index could never report that passage)
+    assert(rows.exists(_._3 > 0L),
+      "every match is chunk 0 — chunk granularity added nothing (vacuous)")
+  }
 }
