@@ -1855,6 +1855,39 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Shingle novelty (d27) — the per-doc memorization-risk / dedup-
+    // pressure metric: what fraction of a doc's shingles appears NOWHERE
+    // else in the corpus (df == 1). Novelty 0 means every n-gram is
+    // shared somewhere — the doc is pure template/duplicate material
+    // (the injected exact copies AND their originals must both land at
+    // exactly 0, pinned in ApplyOpsSpec); high novelty marks unique
+    // content worth keeping regardless of what dedup says. One explode
+    // of the SAME written shingle stage d02/d03 sign, one df aggregate
+    // on the uniform shingle key, one equi-join back — the d06 inverted-
+    // index shape without the self-join. Integer ppm, exact.
+    Q("d27_shingle_novelty",
+      s"""WITH $dupDocsSql,
+         |sh27 AS (SELECT doc_id, unnest($shinglesSql) AS s FROM dupdocs),
+         |df27 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh27 GROUP BY s),
+         |j27 AS (
+         |  SELECT sh27.doc_id, CASE WHEN df27.df = 1 THEN 1 ELSE 0 END AS u
+         |  FROM sh27 JOIN df27 ON df27.s = sh27.s
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(u) AS BIGINT) AS n_unique,
+         |       CAST(SUM(u) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM j27 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleStage(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+      val dft = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(dft, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          expr("n_unique * 1000000 DIV n_shingles").as("novelty_ppm"))
+        .orderBy("doc_id")
+    },
+
     // Quality-retention dedup — production pipelines keep the BEST copy
     // of each near-dup cluster, not the lowest-id one (CCNet/FineWeb
     // style: dedup decisions and quality scoring compose). Keeper =

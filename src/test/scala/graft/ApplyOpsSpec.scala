@@ -213,6 +213,26 @@ class ApplyOpsSpec extends SparkTestBase {
     assert(got(6L) == ((2L, 4.0)), s"exact-24h bound must be inclusive: $got")
   }
 
+  test("d27: copies and their originals zero out, unique content scores") {
+    val nov = SparkEntry.queries("d27_shingle_novelty")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nov.nonEmpty)
+    val copies = nov.keys.filter(_ >= DedupQueries.BatchIdOffset)
+    assert(copies.nonEmpty, "no injected copies in the fixture")
+    copies.foreach { id =>
+      assert(nov(id)._3 == 0L, s"copy $id has novelty ${nov(id)} — df counting broken")
+      val orig = id - DedupQueries.BatchIdOffset
+      assert(nov(orig)._3 == 0L,
+        s"original $orig of copy $id has novelty ${nov(orig)} — its shingles have df >= 2")
+      assert(nov(orig)._1 == nov(id)._1, s"copy $id shingle count differs from original")
+    }
+    assert(nov.exists(_._2._3 > 500000L),
+      "no doc above 50% novelty — the metric never separates unique content")
+    nov.values.foreach { case (n, u, ppm) =>
+      assert(u <= n && ppm == u * 1000000L / n, s"ledger arithmetic broken: ($n,$u,$ppm)")
+    }
+  }
+
   // d25: the quality-retention keeper choice. Output rows are
   // (component, keeper, keeper_q, n_members).
   private lazy val d25: Seq[(Long, Long, Long, Long)] =
