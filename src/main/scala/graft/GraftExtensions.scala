@@ -83,7 +83,14 @@ object GraftNative {
       (ch: Seq[Expression]) => JaccardSimilarity(ch(0), ch(1))),
     (FunctionIdentifier("graft_bloom_mc"),
       info("graft_bloom_mc", classOf[BloomMightContainExpr]),
-      (ch: Seq[Expression]) => BloomMightContainExpr(ch(0), ch(1))))
+      (ch: Seq[Expression]) => BloomMightContainExpr(ch(0), ch(1))),
+    (FunctionIdentifier("graft_dim_counts"),
+      info("graft_dim_counts", classOf[DimCountsExpr]),
+      (ch: Seq[Expression]) => ch match {
+        case Seq(toks, Literal(n: Int, IntegerType)) => DimCountsExpr(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_dim_counts(tokens array<string>, dim int literal)")
+      }))
 
   /** Register into an existing session's function registry (idempotent,
     * cheap: checked by name). Lets any session use the functions, not just
@@ -117,6 +124,12 @@ object GraftNative {
   def winnow(cleaned: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", cleaned, lit(k), lit(w))
   def textStats(text: Column): Column = call_function("graft_text_stats", text)
+
+  /** Hashing-trick embedding histogram over a token array — see
+    * [[graft.functions.DimCountsExpr]].
+    */
+  def dimCounts(tokens: Column, dim: Int): Column =
+    call_function("graft_dim_counts", tokens, lit(dim))
   def overlap(a: Column, b: Column): Column = call_function("graft_overlap", a, b)
 
   /** Exact Jaccard of two distinct-element arrays as one native pass —

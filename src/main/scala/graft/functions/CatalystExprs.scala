@@ -474,6 +474,40 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hashing-trick embedding histogram: counts of base28(md5(token)) mod
+  * `dim` over an `array<string>` token column, as ONE native pass —
+  * value-identical to the Column HOF tree
+  * `transform(sequence(0, dim-1), j -> size(filter(bks, b -> b = j)))`
+  * over `bks = transform(toks, t -> conv(substring(md5(t),1,7),16,10) %
+  * dim)` (asserted in NativeExprsSpec), but O(tokens) instead of
+  * O(dim × tokens) interpreted lambda evaluations. v15's chunk index
+  * (one embedding per chunk, corpus-sized) measured 44 s vs 4 s at
+  * sf0.1 from exactly this difference; mm05's five probes never felt
+  * it. Null tokens are skipped (split() never produces them).
+  */
+case class DimCountsExpr(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, s"dim must be positive: $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dim_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      if (t != null) counts((GraftHash.base28(t.getBytes) % dim).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DimCountsExpr =
+    copy(child = newChild)
+}
+
 /** One-pass parse of an EOS `file info -m` record line into a
   * `(ino, file, uid, gid, size)` struct — the Column path needs five
   * separate regexp scans of the same string; this walks it once, using the

@@ -1039,11 +1039,7 @@ object SimilarityQueries {
       val idx = Stage.sharedTable(s, "v15_chunk_idx", d) {
         graft.queries.TextQueries.ragChunkToks(s, d)
           .select(col("doc_id"), col("chunk_id"),
-            transform(col("ctoks"),
-              t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
-          .select(col("doc_id"), col("chunk_id"),
-            transform(sequence(lit(0L), lit(dim - 1L)),
-              j => size(filter(col("bks"), b => b === j)).cast("long")).as("q"))
+            GraftNative.dimCounts(col("ctoks"), dim).as("q"))
           .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
           .where(col("n2") > 0)
           .withColumn("bucket", lshBucket(col("q")))
@@ -1052,11 +1048,7 @@ object SimilarityQueries {
         Tables.documents(s, d)
           .where(col("doc_id") < NumProbes)
           .select(col("doc_id").as("probe_id"),
-            transform(split(lower(trim(col("text"))), "\\s+"),
-              t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim).as("bks"))
-          .select(col("probe_id"),
-            transform(sequence(lit(0L), lit(dim - 1L)),
-              j => size(filter(col("bks"), b => b === j)).cast("long")).as("p_q"))
+            GraftNative.dimCounts(split(lower(trim(col("text"))), "\\s+"), dim).as("p_q"))
           .withColumn("p_n2", GraftNative.longDot(col("p_q"), col("p_q")))
           .where(col("p_n2") > 0)
           .withColumn("p_bucket", lshBucket(col("p_q"))),

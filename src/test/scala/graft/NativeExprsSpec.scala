@@ -230,6 +230,21 @@ class NativeExprsSpec extends SparkTestBase {
       .count()
     assert(fp <= 300, s"bloom passed $fp/2000 non-members — prefilter is vacuous")
   }
+
+  test("graft_dim_counts equals the HOF hashing-trick histogram") {
+    import org.apache.spark.sql.functions.{conv, filter, md5, sequence, size, split, substring, transform, trim, lower}
+    val dim = 64
+    val toks = split(lower(trim(lit("The quick brown Fox jumps over the lazy dog " * 3))), "\\s+")
+    val hof = {
+      val bks = transform(toks, t => conv(substring(md5(t), 1, 7), 16, 10).cast("long") % dim)
+      transform(sequence(lit(0L), lit(dim - 1L)),
+        j => size(filter(bks, b => b === j)).cast("long"))
+    }
+    val native = one(GraftNative.dimCounts(toks, dim)).asInstanceOf[scala.collection.Seq[Long]]
+    val expected = one(hof).asInstanceOf[scala.collection.Seq[Long]]
+    assert(native == expected)
+    assert(native.size == dim && native.sum == 27L)
+  }
 }
 
 /** Word pool for the text-stats property: every stopword of every set,
