@@ -206,10 +206,11 @@ class NativeExprsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder list is shared
     assert(GraftNative.registrations.map(_._1.funcName).sorted ==
-      Seq("graft_bloom_mc", "graft_hamming", "graft_jaccard",
-        "graft_kv_parse", "graft_long_dot", "graft_minhash_sig",
-        "graft_overlap", "graft_rolling_fp", "graft_shingles",
-        "graft_simhash64", "graft_text_stats", "graft_winnow"))
+      Seq("graft_bloom_mc", "graft_dim_counts", "graft_hamming",
+        "graft_jaccard", "graft_kv_parse", "graft_long_dot",
+        "graft_minhash_sig", "graft_overlap", "graft_rolling_fp",
+        "graft_shingles", "graft_simhash64", "graft_text_stats",
+        "graft_winnow"))
   }
 
   test("graft_bloom_mc: no false negatives, and actually rejects non-members") {
