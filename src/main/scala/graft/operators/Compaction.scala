@@ -56,11 +56,17 @@ object Compaction {
     * MINUS the keyed `tombstones` set — the job that makes query-time
     * tombstone masking (v13's broadcast anti-join) permanent, so
     * steady-state reads stop paying the mask. Same sizing/layout rules
-    * as [[compact]] (file count from the INPUT's bytes — a conservative
-    * over-estimate when the delete fraction is large; the next routine
-    * compaction converges it). The tombstone side is a delete batch,
-    * small by construction, so the anti-join broadcasts and the rewrite
-    * stays one map-side pass over the input files.
+    * as [[compact]] (PLANNED file count from the INPUT's bytes — a
+    * conservative over-estimate when the delete fraction is large; the
+    * next routine compaction converges it). The tombstone side is a
+    * delete batch, small by construction, so the anti-join broadcasts and
+    * the rewrite stays one map-side pass over the input files.
+    *
+    * Returns the ACTUAL written data-file count, not the plan:
+    * `repartitionByRange` can produce empty partitions (few distinct sort
+    * keys, or a large delete fraction), and empty partitions write no
+    * parquet file — so actual <= planned is the invariant, equality only
+    * when every planned partition received rows.
     */
   def compactMinus(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long, tombstones: org.apache.spark.sql.DataFrame,
@@ -74,7 +80,7 @@ object Compaction {
         df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else df.repartition(n)
     laid.write.mode("overwrite").parquet(outDir)
-    n
+    dataFileCount(spark, outDir)
   }
 
   /** Parquet data-file count under `dir` (the post-compaction audit). */

@@ -46,18 +46,22 @@ object PageRank {
   def ranksPpm(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one written stage feeds every iteration's join side
-    val ed = Stage.table(edges.join(deg, Seq("src")), "pagerank_edges")
+    // one written stage feeds every iteration's join side. The dst side
+    // is left-joined against the SAME deg aggregate during the build, so
+    // the dangling-node contract check below is a filter over the
+    // written stage — no extra distinct/anti-join jobs per call.
+    val ed = Stage.table(
+      edges.join(deg, Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dst_deg")),
+          Seq("dst"), "left"),
+      "pagerank_edges")
     // contract check: distinct(dst) ⊆ distinct(src). A dangling dst
     // (no out-edges) would lose its inbound mass and vanish from the
     // output — fail fast instead of returning silently-wrong ranks.
-    val srcSet = ed.select(col("src").as("id")).distinct()
-    val dangling = ed.select(col("dst").as("id")).distinct()
-      .join(srcSet, Seq("id"), "left_anti")
-    require(dangling.isEmpty,
+    require(ed.where(col("dst_deg").isNull).isEmpty,
       "PageRank.ranksPpm requires a dangling-free edge list: every dst " +
         "must also appear as a src (symmetrize or add self-loops first)")
-    var r = srcSet
+    var r = ed.select(col("src").as("id")).distinct()
       .select(col("id"), lit(ScalePpm).as("pr"))
     for (_ <- 1 to iters) {
       r = ed.join(r, ed("src") === r("id"))

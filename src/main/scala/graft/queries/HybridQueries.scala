@@ -40,6 +40,16 @@ object HybridQueries {
     */
   val RrfK = 60
 
+  // The vector side's top-k bound arrives implicitly through
+  // SimilarityQueries.scoreAndRank (which cuts at SimilarityQueries.K),
+  // while the oracle SQL truncates both lists at TextQueries.Bm25K. They
+  // are equal today by design, not coincidence — enforce it at object
+  // init so changing either constant fails loudly here instead of as a
+  // silent engine/oracle desynchronization a suite run has to catch.
+  require(SimilarityQueries.K == TextQueries.Bm25K,
+    s"t18 fuses two top-k lists cut at different depths: SimilarityQueries.K=" +
+      s"${SimilarityQueries.K} vs TextQueries.Bm25K=${TextQueries.Bm25K}")
+
   val entries: Seq[Q] = Seq(
 
     Q("t18_hybrid_rrf",

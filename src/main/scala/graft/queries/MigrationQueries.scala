@@ -263,60 +263,10 @@ object MigrationQueries {
     // equi-join + delete anti-join + not-matched-insert anti-join, all
     // hash-partitioned on the same key); the physical JDBC form of the
     // same changeset is MergeSpec's embedded-Derby e2e.
-    Q("m09_keyed_merge",
-      s"""WITH ${SyntheticShares.sharesSql},
-         |upd AS (
-         |  SELECT id, '/moved/' || CAST(id AS VARCHAR) AS item_target,
-         |         '/merged/' || CAST(id AS VARCHAR) AS file_target
-         |  FROM shares WHERE id % 9 <> 0 AND id % 5 = 0
-         |),
-         |ins AS (
-         |  SELECT id + ${Merge0.InsertIdOffset} AS id, CAST(3 AS INTEGER) AS share_type,
-         |         'merge_user' AS uid_owner, 'file' AS item_type,
-         |         CAST(id AS VARCHAR) AS item_source,
-         |         '/new/' || CAST(id AS VARCHAR) AS item_target,
-         |         id AS file_source,
-         |         '/n' || CAST(id AS VARCHAR) || '.dat' AS file_target
-         |  FROM shares WHERE id % 11 = 0
-         |)
-         |SELECT s.id, s.share_type, s.uid_owner, s.item_type, s.item_source,
-         |       COALESCE(u.item_target, s.item_target) AS item_target,
-         |       s.file_source,
-         |       COALESCE(u.file_target, s.file_target) AS file_target
-         |FROM shares s LEFT JOIN upd u ON s.id = u.id
-         |WHERE s.id % 9 <> 0
-         |UNION ALL
-         |SELECT id, share_type, uid_owner, item_type, item_source, item_target,
-         |       file_source, file_target
-         |FROM ins
-         |ORDER BY id""".stripMargin) { (s, d) =>
+    Q("m09_keyed_merge", Merge0.keyedMergeSql) { (s, d) =>
       import graft.operators.Merge
       val shares = SyntheticShares.shares(Tables.orders(s, d))
-      val nullS = lit(null).cast("string")
-      val nullI = lit(null).cast("int")
-      val nullL = lit(null).cast("long")
-      val csDel = shares.where(col("id") % 9 === 0)
-        .select(lit(Merge.OpDelete).as("op"), col("id"),
-          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
-          nullS.as("item_source"), nullS.as("item_target"),
-          nullL.as("file_source"), nullS.as("file_target"))
-      val csUpd = shares.where(col("id") % 9 =!= 0 && col("id") % 5 === 0)
-        .select(lit(Merge.OpUpdate).as("op"), col("id"),
-          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
-          nullS.as("item_source"),
-          concat(lit("/moved/"), col("id").cast("string")).as("item_target"),
-          nullL.as("file_source"),
-          concat(lit("/merged/"), col("id").cast("string")).as("file_target"))
-      val csIns = shares.where(col("id") % 11 === 0)
-        .select(lit(Merge.OpInsert).as("op"),
-          (col("id") + Merge0.InsertIdOffset).as("id"),
-          lit(3).as("share_type"), lit("merge_user").as("uid_owner"),
-          lit("file").as("item_type"), col("id").cast("string").as("item_source"),
-          concat(lit("/new/"), col("id").cast("string")).as("item_target"),
-          col("id").as("file_source"),
-          concat(lit("/n"), col("id").cast("string"), lit(".dat")).as("file_target"))
-      Merge(shares, csDel.unionByName(csUpd).unionByName(csIns), "id")
-        .orderBy("id")
+      Merge(shares, Merge0.changeset(shares), "id").orderBy("id")
     },
 
     // SCD2 history build (m10): the slowly-changing-dimension type-2
@@ -363,6 +313,34 @@ object MigrationQueries {
         .withColumn("is_current", col("valid_to").isNull)
         .select("id", "valid_from", "valid_to", "item_target", "is_current")
         .orderBy("id", "valid_from")
+    },
+
+    // Copy-on-write parquet keyed MERGE (m11) — the lakehouse sink: the
+    // SAME changeset as m09 applied to the share table stored AS PARQUET
+    // FILES, where the merge plans affected files from footer key
+    // min/max, rewrites only those, carries every other file over by
+    // rename (byte-identical), and admits inserts against a key-column
+    // scan of only the files that could hold them
+    // ([[graft.operators.CowMerge]]). The oracle is m09's DuckDB MERGE
+    // twin verbatim, so the on-disk table is certified hash-equal to the
+    // functional merge; CowMergeSpec pins the physical facts (untouched
+    // files byte-identical, rewrite count = key footprint). The base is
+    // written range-clustered by id ([[CowMerge.writeKeyed]]) — the
+    // layout whose narrow footers make planning prune; this fixture's
+    // changeset touches every file (updates hit every 5th id), so the
+    // narrow-footprint path is CowMergeSpec's job, and this entry
+    // certifies SEMANTICS at full footprint.
+    Q("m11_cow_merge", Merge0.keyedMergeSql) { (s, d) =>
+      import graft.operators.{CowMerge, Stage}
+      val dir = Stage.sharedDir(s, "m11_cow", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        CowMerge.writeKeyed(shares, "id", numFiles = 8, out)
+        CowMerge.execute(s, out, Merge0.changeset(shares), "id")
+      }
+      s.read.parquet(dir)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 
@@ -375,5 +353,68 @@ object MigrationQueries {
       * ~6M x sf; 1e9 is disjoint through sf ~160).
       */
     val InsertIdOffset = 1000000000L
+
+    /** The m09/m11 changeset fixture over the share table: every 9th id
+      * deleted, every remaining 5th partially updated (nulls keep base
+      * values), every 11th id spawning an insert keyed above the real id
+      * range — built once here so the functional MERGE (m09) and the
+      * copy-on-write parquet MERGE (m11) certify against the SAME ops.
+      */
+    def changeset(shares: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import graft.operators.Merge
+      val nullS = lit(null).cast("string")
+      val nullI = lit(null).cast("int")
+      val nullL = lit(null).cast("long")
+      val csDel = shares.where(col("id") % 9 === 0)
+        .select(lit(Merge.OpDelete).as("op"), col("id"),
+          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+          nullS.as("item_source"), nullS.as("item_target"),
+          nullL.as("file_source"), nullS.as("file_target"))
+      val csUpd = shares.where(col("id") % 9 =!= 0 && col("id") % 5 === 0)
+        .select(lit(Merge.OpUpdate).as("op"), col("id"),
+          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+          nullS.as("item_source"),
+          concat(lit("/moved/"), col("id").cast("string")).as("item_target"),
+          nullL.as("file_source"),
+          concat(lit("/merged/"), col("id").cast("string")).as("file_target"))
+      val csIns = shares.where(col("id") % 11 === 0)
+        .select(lit(Merge.OpInsert).as("op"),
+          (col("id") + InsertIdOffset).as("id"),
+          lit(3).as("share_type"), lit("merge_user").as("uid_owner"),
+          lit("file").as("item_type"), col("id").cast("string").as("item_source"),
+          concat(lit("/new/"), col("id").cast("string")).as("item_target"),
+          col("id").as("file_source"),
+          concat(lit("/n"), col("id").cast("string"), lit(".dat")).as("file_target"))
+      csDel.unionByName(csUpd).unionByName(csIns)
+    }
+
+    /** The m09/m11 oracle: DuckDB's view of the post-merge share table. */
+    def keyedMergeSql: String =
+      s"""WITH ${SyntheticShares.sharesSql},
+         |upd AS (
+         |  SELECT id, '/moved/' || CAST(id AS VARCHAR) AS item_target,
+         |         '/merged/' || CAST(id AS VARCHAR) AS file_target
+         |  FROM shares WHERE id % 9 <> 0 AND id % 5 = 0
+         |),
+         |ins AS (
+         |  SELECT id + $InsertIdOffset AS id, CAST(3 AS INTEGER) AS share_type,
+         |         'merge_user' AS uid_owner, 'file' AS item_type,
+         |         CAST(id AS VARCHAR) AS item_source,
+         |         '/new/' || CAST(id AS VARCHAR) AS item_target,
+         |         id AS file_source,
+         |         '/n' || CAST(id AS VARCHAR) || '.dat' AS file_target
+         |  FROM shares WHERE id % 11 = 0
+         |)
+         |SELECT s.id, s.share_type, s.uid_owner, s.item_type, s.item_source,
+         |       COALESCE(u.item_target, s.item_target) AS item_target,
+         |       s.file_source,
+         |       COALESCE(u.file_target, s.file_target) AS file_target
+         |FROM shares s LEFT JOIN upd u ON s.id = u.id
+         |WHERE s.id % 9 <> 0
+         |UNION ALL
+         |SELECT id, share_type, uid_owner, item_type, item_source, item_target,
+         |       file_source, file_target
+         |FROM ins
+         |ORDER BY id""".stripMargin
   }
 }

@@ -1193,9 +1193,10 @@ object TextQueries {
     // every pairwise Jaccard estimate then comes from the |sources|-row
     // sketch table alone: est = |kmin_k(A ∪ B) ∩ A ∩ B| / |kmin_k(A ∪ B)|
     // (Bar-Yossef et al.; same deterministic md5 hash family as q18 so
-    // the oracle is bit-exact). The exact side — the inverted-index
-    // pair join — is the eval-time certification, and the hash-gated
-    // boolean pins every estimate within [[OverlapTolPpm]] of truth.
+    // the oracle is bit-exact). The exact side — one per-shingle
+    // source-set aggregate exploded into pairs, never a pair join — is
+    // the eval-time certification, and the hash-gated boolean pins
+    // every estimate within [[OverlapTolPpm]] of truth.
     Q("t20_source_overlap", {
       val k = KmvOverlapK
       s"""WITH shs AS (
@@ -1247,9 +1248,25 @@ object TextQueries {
       }
       val km = shs.groupBy("source").agg(graft.functions.KmvSketch.kmv(col("h"), k).as("kmv"))
       val cnt = shs.groupBy("source").agg(count(lit(1)).as("n"))
-      val shared = shs.as("a").join(shs.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // exact pairwise overlap WITHOUT a self-join: one groupBy(sh) →
+      // collect_set(source) (bounded by |sources| per group, partial
+      // map-side) → explode the sorted source pairs → count per pair —
+      // d17's no-pair-join discipline. The old form self-joined the
+      // (source, shingle) stage on the shingle STRING, shuffling the full
+      // shingle inventory by string key twice; this shuffles it once and
+      // the pair fan-out per shingle is |sources_holding_it| choose 2,
+      // bounded by |sources|² — independent of corpus size. Grouping is
+      // on the string `sh`, not the 28-bit `h`: an h collision between
+      // distinct shingles would merge their source sets and diverge from
+      // the oracle's string-keyed join.
+      val shared = shs.groupBy("sh")
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(srcs, (a, i) ->
+            |  transform(slice(srcs, i + 2, size(srcs)),
+            |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
       val pairs = km.as("x").join(km.as("y"), col("x.source") < col("y.source"))
         .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
@@ -1258,11 +1275,15 @@ object TextQueries {
         .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
         .join(broadcast(shared), Seq("src_a", "src_b"), "left")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      // est numerator via hash-based array_intersect (O(k) per pair), not
+      // filter+array_contains (a LambdaFunction probing a 2k-array per
+      // element = O(k²) interpreted — measured 6.5 s of the query at
+      // sf0.1 for 190 pairs x k=1024)
       val est = pairs
         .withColumn("merged", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
         .withColumn("exact_jppm", expr("CAST(n_shared * 1000000 DIV (na + nb - n_shared) AS BIGINT)"))
         .withColumn("est_jppm", expr(
-          "CAST(size(filter(merged, x -> array_contains(ka, x) AND array_contains(kb, x)))" +
+          "CAST(size(array_intersect(merged, array_intersect(ka, kb)))" +
             " * 1000000 DIV size(merged) AS BIGINT)"))
         .select("src_a", "src_b", "n_shared", "exact_jppm", "est_jppm")
       val tol = est.agg(

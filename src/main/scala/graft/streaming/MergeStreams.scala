@@ -34,6 +34,19 @@ object MergeStreams {
     * actions can never re-issue the statements. Same cluster guard as
     * [[UpsertStreams.applyEpoch]]: an unset stage root on a multi-node
     * master would scatter outcome files across executor-local disks.
+    *
+    * Commit ordering: the ledger commits IMMEDIATELY after the staged
+    * outcome write, BEFORE `onOutcomes` runs. The two orderings trade
+    * different failure modes across the crash window, and for MERGE the
+    * choice is forced: a crash (or callback exception) after the
+    * statements ran but before commit would re-execute non-idempotent
+    * INSERT/DELETE statements on replay — the error-channel flood the
+    * ledger exists to prevent. Committing first narrows the loss to
+    * callback DELIVERY: a replayed epoch is skipped, and the caller can
+    * recover its outcome rows from the written stage table (the commit
+    * happens only after that parquet write completes). Contrast
+    * [[UpsertStreams.applyEpoch]], which commits after delivery because
+    * its update-only replay is idempotent and harmless.
     */
   def applyEpoch(batch: Dataset[MergeChange], epochId: Long,
                  factory: UpsertConnectionFactory, ledger: EpochLedger,
@@ -46,9 +59,9 @@ object MergeStreams {
       val outcomes = graft.operators.Stage.table(
         Merge.execute(batch, factory, dryRun, maxRetries).toDF(),
         s"merge-outcomes-$streamId-$epochId")
+      ledger.commit(streamId, epochId)
       onOutcomes(outcomes.as[MergeOutcome](
         org.apache.spark.sql.Encoders.product[MergeOutcome]), epochId)
-      ledger.commit(streamId, epochId)
       true
     }
 

@@ -41,15 +41,21 @@ class CompactionSpec extends SparkTestBase {
     assert(v14.toSeq == v13.toSeq,
       "compacted-index probe diverged from the masked-index probe")
     // the physical facts: files contain NO tombstoned corpus id, live
-    // rows all survive, and the byte-sizing yields the predicted count
+    // rows all survive, and the returned count is the ACTUAL file count,
+    // bounded above by the byte-sized plan (range partitions can come up
+    // empty and write no file — actual == planned is not an invariant)
     import graft.queries.{DedupQueries, SimilarityQueries}
     val (idx, idxPath) = SimilarityQueries.dupEmbIndexWithPath(spark, sfDir)
     val root = Files.createTempDirectory("graft_tomb").toString
     val tomb = SimilarityQueries.tombstones(spark, sfDir)
-    val planned = Compaction.compactMinus(spark, idxPath, s"$root/compacted",
+    val actual = Compaction.compactMinus(spark, idxPath, s"$root/compacted",
       SimilarityQueries.CompactTargetBytes, tomb, "vec_id", sortBy = Seq("bucket"))
-    assert(planned == Compaction.dataFileCount(spark, s"$root/compacted"),
-      "written file count differs from the byte-sized plan")
+    assert(actual == Compaction.dataFileCount(spark, s"$root/compacted"),
+      "compactMinus must return the written data-file count")
+    val planned = math.max(1L, (Compaction.dataBytes(spark, idxPath) +
+      SimilarityQueries.CompactTargetBytes - 1) / SimilarityQueries.CompactTargetBytes)
+    assert(actual >= 1 && actual <= planned,
+      s"actual file count $actual outside [1, planned=$planned]")
     val compacted = spark.read.parquet(s"$root/compacted")
     val deletedPresent = compacted
       .where(col("vec_id") % SimilarityQueries.TombstoneMod === 0 &&
