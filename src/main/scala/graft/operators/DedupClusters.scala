@@ -56,7 +56,11 @@ object DedupClusters {
         .distinct(),
       "cc_edges")
     val vertices = edges.select(col("src").as("id")).distinct()
-    var labels = Stage.table(
+    // rolling label slot: each round's write retires the round before
+    // last, so the loop holds O(1) live stage dirs however many rounds
+    // it runs (keep=2 covers the in-flight write + the convergence diff)
+    val roll = new Stage.Rolling(keep = 2)
+    var labels = roll.table(
       init.fold(vertices.withColumn("component", col("id"))) { warm =>
         vertices.join(
             warm.select(col("doc_id").as("id"), col("component").as("warm")),
@@ -69,7 +73,7 @@ object DedupClusters {
     while (changed > 0 && iter < maxIter) {
       val propagated = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = Stage.table(
+      val next = roll.table(
         labels.unionByName(propagated)
           .groupBy("id").agg(min("component").as("component")),
         "cc_labels")

@@ -68,10 +68,13 @@ object KMeansIvf {
     * (cell, sq, cnt). Empty cells drop out (standard Lloyd behavior).
     */
   def fit(qv: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = Stage.table(init(qv, k), "kmeans_c0")
+    // rolling slot: round i+1's write scans round i, older rounds are
+    // unreferenced — the loop keeps O(1) live stage dirs
+    val roll = new Stage.Rolling(keep = 2)
+    var centroids = roll.table(init(qv, k), "kmeans_c0")
     var i = 0
     while (i < iters) {
-      centroids = Stage.table(
+      centroids = roll.table(
         assign(qv, centroids)
           .groupBy("cell")
           .agg(VecSumAgg.vecSum(col("q")).as("sq"), count(lit(1)).as("cnt")),

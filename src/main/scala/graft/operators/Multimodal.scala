@@ -6,18 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * Image payloads get a REAL codec: [[encodeGray]] / [[decodeGray]] are
-  * lossless 8-bit grayscale PNG via `javax.imageio` (on every JVM — no
-  * external codec dependency), and [[ImageDecoder]] runs the real decode
-  * for image rows, falling back to [[FakeDecoder]]'s deterministic
-  * byte-derived pseudo-features for payloads no installed reader accepts
-  * (audio/video stay stubbed: the JVM ships no audio/video codecs).
-  * Everything around the decoder — the schema, the `Dataset[MediaRow]`
-  * encoder, the per-partition batched iteration (the Scala analogue of
-  * `mapInPandas`: one decoder instance per partition, streamed batches,
-  * never a full-partition materialization) — is the real 100 TB design:
-  * media blobs stay distributed, metadata travels in columns, and the
-  * codec slot is exchangeable (JNI/ffmpeg for the stubbed kinds).
+  * Image AND audio payloads get REAL codecs: [[encodeGray]] /
+  * [[decodeGray]] are lossless 8-bit grayscale PNG via `javax.imageio`,
+  * and [[encodeWavPcm16]] / [[decodeWavPcm16]] are lossless 16-bit PCM
+  * mono WAV via `javax.sound.sampled` — both ship with every JVM, no
+  * external codec dependency, and both round-trip bit-exactly (the
+  * property that keeps the DuckDB oracle exact: it recomputes features
+  * from the SOURCE values while the engine decodes real stored bytes).
+  * [[MediaDecoder]] runs the real decode per kind, falling back to
+  * [[FakeDecoder]]'s deterministic byte-derived pseudo-features for
+  * payloads no installed reader accepts. Only VIDEO stays stubbed: the
+  * JVM ships no video codec — that slot is where a JNI/ffmpeg decoder
+  * plugs into the same per-partition contract. Everything around the
+  * decoder — the schema, the `Dataset[MediaRow]` encoder, the
+  * per-partition batched iteration (the Scala analogue of `mapInPandas`:
+  * one decoder instance per partition, streamed batches, never a
+  * full-partition materialization) — is the real 100 TB design: media
+  * blobs stay distributed, metadata travels in columns, and the codec
+  * slot is exchangeable.
   */
 object Multimodal {
 
@@ -102,20 +108,83 @@ object Multimodal {
     }
   }
 
-  /** Real decoder: image rows go through [[decodeGray]] (brightness from
-    * DECODED pixels); payloads no reader accepts — and the stubbed
-    * audio/video kinds — keep [[FakeDecoder]]'s deterministic features.
+  /** Lossless 16-bit PCM mono WAV encode via `javax.sound.sampled` (on
+    * every JVM). Samples are signed 16-bit values; PCM is a raw sample
+    * container, so `decodeWavPcm16(encodeWavPcm16(s, r)) == (s, r)`
+    * bit-exactly — the audio twin of [[encodeGray]]'s PNG property.
     */
-  object ImageDecoder {
-    def features(row: MediaRow): MediaFeatures =
-      if (row.kind == "image") decodeGray(row.content) match {
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(samples.nonEmpty, "PCM encode needs at least one sample")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample out of 16-bit range: $s")
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // 16-bit, mono, signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real audio decode via `javax.sound.sampled`: signed 16-bit mono PCM
+    * samples plus the sample rate, or None when no installed reader
+    * accepts the bytes (or the format is not the 16-bit mono PCM this
+    * engine writes).
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Array[Int], Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getChannels != 1 || f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i).toInt & 0xff))
+          i += 1
+        }
+        Some((samples, f.getSampleRate.toInt))
+      }
+    } catch { case _: Exception => None }
+
+  /** Real decoder: image rows go through [[decodeGray]] (brightness from
+    * DECODED pixels), audio rows through [[decodeWavPcm16]] (brightness
+    * slot carries mean |sample| / 32768 — the loudness analogue);
+    * payloads no reader accepts — and the stubbed video kind — keep
+    * [[FakeDecoder]]'s deterministic features.
+    */
+  object MediaDecoder {
+    def features(row: MediaRow): MediaFeatures = row.kind match {
+      case "image" => decodeGray(row.content) match {
         case Some(pxs) =>
           val fake = FakeDecoder.features(row)
           fake.copy(brightness =
             if (pxs.isEmpty) 0.0
             else pxs.map(_.toLong).sum.toDouble / pxs.length / 255.0)
         case None => FakeDecoder.features(row)
-      } else FakeDecoder.features(row)
+      }
+      case "audio" => decodeWavPcm16(row.content) match {
+        case Some((samples, _)) =>
+          val fake = FakeDecoder.features(row)
+          fake.copy(brightness =
+            if (samples.isEmpty) 0.0
+            else samples.map(s => math.abs(s.toLong)).sum.toDouble / samples.length / 32768.0)
+        case None => FakeDecoder.features(row)
+      }
+      case _ => FakeDecoder.features(row)
+    }
   }
 
   /** Build a deterministic media table from `documents` (text bytes stand
@@ -138,7 +207,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition decoder init (further codec/JNI handles go here)
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map(ImageDecoder.features)
+      rows.map(MediaDecoder.features)
     }
   }
 }

@@ -81,10 +81,13 @@ object ProductQuantizer {
     * Returns centroid numerators (sub, code, sq, cnt).
     */
   def fit(sv: DataFrame, codes: Int, iters: Int): DataFrame = {
-    var codebook = Stage.table(init(sv, codes), "pq_c0")
+    // rolling slot: round i+1's write scans round i, older rounds are
+    // unreferenced — the loop keeps O(1) live stage dirs
+    val roll = new Stage.Rolling(keep = 2)
+    var codebook = roll.table(init(sv, codes), "pq_c0")
     var i = 0
     while (i < iters) {
-      codebook = Stage.table(
+      codebook = roll.table(
         assign(sv, codebook)
           .groupBy("sub", "code")
           .agg(VecSumAgg.vecSum(col("qs")).as("sq"), count(lit(1)).as("cnt")),

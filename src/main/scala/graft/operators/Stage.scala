@@ -44,10 +44,52 @@ object Stage {
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Materialize `df` as a written parquet table; return a scan of it. */
-  def table(df: DataFrame, name: String): DataFrame = {
+  def table(df: DataFrame, name: String): DataFrame =
+    tableWithPath(df, name)._1
+
+  /** [[table]] that also exposes the written directory. */
+  def tableWithPath(df: DataFrame, name: String): (DataFrame, String) = {
     val path = s"${rootFor(df.sparkSession)}/$name-${seq.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    (df.sparkSession.read.parquet(path), path)
+  }
+
+  /** A rolling stage slot for ITERATIVE loops (connected components,
+    * Lloyd rounds, beam hops): each [[Rolling.table]] call writes the new
+    * round's table and deletes all but the last `keep` round directories,
+    * so a loop holds O(1) live stage dirs for its whole run instead of
+    * one per iteration — the lifecycle hygiene a long-running driver
+    * needs under a user-managed `stageDir`.
+    *
+    * `keep = 2` is the safe default for the standard loop shape
+    * state_{i+1} = f(scan(state_i)): the in-flight write of round i+1
+    * still scans round i's files, so round i must outlive it; rounds
+    * i-1 and older are unreferenced by construction ONCE EVERY LAZY
+    * PLAN DERIVED FROM THEM HAS BEEN CUT BY A NEWER WRITE — loops whose
+    * auxiliary frames (frontiers, deltas) reference older rounds lazily
+    * must stage those too (see [[graft.queries.SimilarityQueries]]'s
+    * beam walk) or raise `keep`.
+    */
+  final class Rolling(keep: Int = 2) {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    private val live = scala.collection.mutable.Queue.empty[String]
+
+    def table(df: DataFrame, name: String): DataFrame = {
+      val (scan, path) = tableWithPath(df, name)
+      live.enqueue(path)
+      while (live.size > keep) {
+        val old = live.dequeue()
+        try {
+          val hp = new org.apache.hadoop.fs.Path(old)
+          hp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+            .delete(hp, true)
+        } catch { case _: Throwable => () } // best-effort cleanup
+      }
+      scan
+    }
+
+    /** Directories this slot still holds live (testing/diagnostics). */
+    def liveDirs: Seq[String] = live.toSeq
   }
 
   private val shared = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -132,6 +174,22 @@ object Stage {
 
   /** Forget memoized shared stages (files stay until JVM exit). */
   def resetShared(): Unit = shared.clear()
+
+  /** The memoized shared stages built so far for input `dir` under the
+    * session's stage root: stage name -> written path. This is the
+    * catalog surface's inventory ([[graft.GraftCatalog.registerStages]]
+    * turns each entry into a session view).
+    */
+  def sharedEntries(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Map[String, String] = {
+    val root = rootFor(spark)
+    val out = Map.newBuilder[String, String]
+    shared.forEach { (k, p) =>
+      if (k.startsWith(s"$root|") && k.endsWith(s"|$dir"))
+        out += k.stripPrefix(s"$root|").stripSuffix(s"|$dir") -> p
+    }
+    out.result()
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

@@ -16,6 +16,14 @@ object MultimodalQueries {
     */
   val AHashPixels = 64
 
+  /** mm06 audio clip shape: PCM sample count per clip (the leading
+    * sanitized chars standing in for samples, mm04's pixel playbook) and
+    * the sample rate stamped into the WAV header (certified through the
+    * decode by the oracle's literal).
+    */
+  val AudioSamples = 256
+  val AudioRate = 16000
+
   /** mm04 duplicate-injection id offset — ≡ 0 mod 3 so an injected copy
     * keeps the image kind routing, and far above any real doc_id (the
     * loud-failure guard below enforces that, same convention as the
@@ -253,6 +261,78 @@ object MultimodalQueries {
         .where(col("hamming") <= DedupQueries.HammingMax)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // REAL audio path (mm06) — mm04's PNG playbook transplanted to sound:
+    // the sample source (centered ascii codes of the first [[AudioSamples]]
+    // sanitized chars x 256, so the oracle can recompute them) is encoded
+    // as a REAL 16-bit PCM mono WAV per audio-kind doc
+    // ([[graft.operators.Multimodal.encodeWavPcm16]]), WRITTEN as a binary
+    // media stage, and every checked feature — sample count, sample RATE
+    // (read from the decoded header, certifying the container round-trip),
+    // integer amplitude sum, peak, zero crossings — is computed from a
+    // real javax.sound.sampled DECODE of those stored bytes (per-partition
+    // decoder, the extractFeatures contract). PCM round-trips bit-exactly,
+    // so the decoded samples equal the source values and the oracle stays
+    // an exact twin while the engine exercises encode -> binary storage ->
+    // decode -> feature extraction end to end. Video remains the one
+    // stubbed kind (the JVM ships no video codec).
+    Q("mm06_audio_features", {
+      val n = AudioSamples
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ct
+         |  FROM documents WHERE doc_id % 3 = 1
+         |),
+         |smp AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, $n),
+         |                        i -> (ascii(substring(ct, CAST(i AS INTEGER), 1)) - 79) * 256) AS s
+         |  FROM cleaned WHERE len(ct) >= $n
+         |)
+         |SELECT doc_id, CAST($n AS BIGINT) AS n_samples,
+         |       CAST($AudioRate AS BIGINT) AS sample_rate,
+         |       CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS amp_sum,
+         |       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+         |       CAST(len(list_filter(generate_series(2, $n), i -> s[i] * s[i-1] < 0)) AS BIGINT) AS zero_cross
+         |FROM smp ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val n = AudioSamples
+      val wavs = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .where(col("doc_id") % 3 === 1)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("ct"))
+          .where(length(col("ct")) >= n)
+          .withColumn("smp",
+            expr(s"transform(sequence(1, $n), i -> (ascii(substring(ct, i, 1)) - 79) * 256)"))
+          .select(col("doc_id"), col("smp"))
+          .as[(Long, Array[Int])]
+          .mapPartitions(_.map { case (id, smp) =>
+            (id, Multimodal.encodeWavPcm16(smp, AudioRate))
+          })
+          .toDF("doc_id", "wav"),
+        "mm06_wav")
+      wavs.as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, wav) =>
+            val (smp, rate) = Multimodal.decodeWavPcm16(wav).getOrElse(
+              throw new IllegalStateException(s"undecodable stored WAV for doc $id"))
+            var amp = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < smp.length) {
+              val a = math.abs(smp(i).toLong)
+              amp += a
+              if (a > peak) peak = a
+              if (i > 0 && smp(i).toLong * smp(i - 1) < 0) zc += 1
+              i += 1
+            }
+            (id, smp.length.toLong, rate.toLong, amp, peak, zc)
+          }
+        }
+        .toDF("doc_id", "n_samples", "sample_rate", "amp_sum", "peak", "zero_cross")
+        .orderBy("doc_id")
     },
 
     // Cross-modal retrieval: text queries against image media through a

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftNative, Q, Tables}
@@ -27,6 +28,47 @@ object PipelineQueries {
 
   /** Quality floor (t03's keep rule). */
   val QualityMin = 7
+
+  /** p02's ingest-batch fixture (corpus-dups + fresh variants + batch-
+    * internal dups), shared verbatim by p04's incremental recipe.
+    */
+  private def ingestBatch(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val off = DedupQueries.BatchIdOffset
+    raw.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("source"), col("text"))
+      .unionByName(raw.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"), col("source"),
+          concat(col("text"), lit(" fresh snapshot v2")).as("text")))
+      .unionByName(raw.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3 * off).as("doc_id"), col("source"),
+          concat(col("text"), lit(" fresh snapshot v2")).as("text")))
+  }
+
+  /** p02's batch admission (gate → scrub → fingerprint → drop corpus
+    * fingerprints → first-id-wins), returning the admitted (doc_id,
+    * source) — the ingest half p04 composes with the recipe math. Scans
+    * only the batch plus ONE anti-join against the written corpus
+    * fingerprint index (the memoized `p02_corpus_fp` stage, shared with
+    * p02 itself).
+    */
+  private def admittedBatch(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = Tables.documents(s, d).select("doc_id", "source", "text")
+    def itextOf = when(col("doc_id") % 25 === 0,
+      concat(col("text"), lit(s" ${TextQueries.PiiSuffix}"))).otherwise(col("text"))
+    def q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+    val corpusFp = Stage.sharedTable(s, "p02_corpus_fp", d) {
+      raw.where(q10 >= QualityMin)
+        .select(TextFns.fingerprint(TextQueries.redactedCol(itextOf)).as("fp"))
+        .distinct()
+    }
+    val gated = ingestBatch(raw).where(q10 >= QualityMin)
+      .select(col("doc_id"), col("source"),
+        TextFns.fingerprint(TextQueries.redactedCol(itextOf)).as("fp"))
+    val newFp = gated.join(corpusFp, Seq("fp"), "left_anti")
+    val keepers = newFp.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    newFp.join(keepers, Seq("doc_id"), "left_semi").select("doc_id", "source")
+  }
 
   val entries: Seq[Q] = Seq(
     Q("p01_curation_pipeline",
@@ -369,6 +411,175 @@ object PipelineQueries {
         .where(col("rk") <= col("quota"))
       quota.join(
           kept.groupBy("source")
+            .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum")),
+          Seq("source"), "left")
+        .select(col("source"), col("avail"), col("weight"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("source")
+    },
+
+    // INCREMENTAL mixture-recipe admission (p04) — p03 run the way
+    // production re-balances as sources grow: an ingest batch flows
+    // p02's admission (gate → scrub-fingerprint → corpus-index anti-join
+    // → first-id-wins), and the recipe quotas update over corpus ∪
+    // admitted WITHOUT RE-RANKING THE STANDING CORPUS. The standing
+    // artifact is ONE written per-source hash-rank table of the gated
+    // corpus (`p04_corpus_rank`, built once, memoized); per ingest, the
+    // union rank of every pool doc is derived from it arithmetically:
+    //   corpus doc:  union_rk = rk + |admitted in its source hashing
+    //                below it| (a size(filter(...)) over the broadcast
+    //                per-source admitted array — MAP-ONLY over the rank
+    //                stage, no window, no sort);
+    //   batch doc:   union_rk = |corpus docs hashing below it| (one
+    //                broadcast fan-out over the rank stage scan with a
+    //                map-side count) + |batch docs below it| + 1.
+    // Selection is union_rk <= quota — exactly p03's hash-rank draw on
+    // the union, certified by the oracle running FROM-SCRATCH p03 over
+    // the union pool (d14/d24's incremental-equals-batch discipline).
+    // PipelineSpec pins the physical claim: the per-ingest plan contains
+    // NO Window operator once the rank stage exists.
+    // Scale shape: the batch and every per-source aggregate broadcast;
+    // the only corpus-sized work per ingest is scans of the written rank
+    // stage (map-only filter + one map-side-aggregated fan-out, fan-out
+    // bound = admitted-batch rows per source).
+    Q("p04_incremental_recipe", {
+      val off = DedupQueries.BatchIdOffset
+      s"""WITH cinj AS (
+         |  SELECT doc_id, source, text,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' ${TextQueries.PiiSuffix}'
+         |              ELSE text END AS itext
+         |  FROM documents
+         |),
+         |cfp AS (
+         |  SELECT DISTINCT md5(${TextQueries.normSqlOf(TextQueries.redactedSqlOf("itext"))}) AS fp
+         |  FROM cinj WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |batch AS (
+         |  SELECT doc_id + $off AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * off}, source, text || ' fresh snapshot v2'
+         |  FROM documents WHERE doc_id % 15 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${3 * off}, source, text || ' fresh snapshot v2'
+         |  FROM documents WHERE doc_id % 15 = 0
+         |),
+         |binj AS (
+         |  SELECT doc_id, source, text,
+         |         CASE WHEN doc_id % 25 = 0
+         |              THEN text || ' ${TextQueries.PiiSuffix}'
+         |              ELSE text END AS itext
+         |  FROM batch
+         |),
+         |bfp AS (
+         |  SELECT doc_id, source, md5(${TextQueries.normSqlOf(TextQueries.redactedSqlOf("itext"))}) AS fp
+         |  FROM binj WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |),
+         |newfp AS (SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM newfp GROUP BY fp),
+         |adm AS (SELECT n.doc_id, n.source FROM newfp n JOIN keep k ON n.doc_id = k.doc_id),
+         |pool AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ${TextQueries.quality10SqlOf("text")} >= $QualityMin
+         |  UNION ALL
+         |  SELECT doc_id, source FROM adm
+         |),
+         |avail AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS avail FROM pool GROUP BY source
+         |),
+         |w AS (
+         |  SELECT source, avail,
+         |         1 + CAST('0x' || substring(md5(source), 1, 7) AS BIGINT) % 4 AS weight
+         |  FROM avail
+         |),
+         |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+         |nmax AS (SELECT CAST(MIN(avail * tw // weight) AS BIGINT) AS n
+         |         FROM w CROSS JOIN tot),
+         |quota AS (
+         |  SELECT source, avail, weight, CAST(weight * n // tw AS BIGINT) AS quota
+         |  FROM w CROSS JOIN tot CROSS JOIN nmax
+         |),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM pool
+         |)
+         |SELECT q.source, q.avail, q.weight, q.quota,
+         |       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+         |       CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS kept_id_sum
+         |FROM quota q LEFT JOIN r ON r.source = q.source AND r.rk <= q.quota
+         |GROUP BY q.source, q.avail, q.weight, q.quota
+         |ORDER BY q.source""".stripMargin
+    }) { (s, d) =>
+      GraftNative.ensure(s)
+      def q10 = TextFns.qualityScore10From(GraftNative.textStats(col("text")), col("text"))
+      // the standing artifact: gated corpus hash-RANKED per source, ONCE
+      val corpusRank = Stage.sharedTable(s, "p04_corpus_rank", d) {
+        val rankW = Window.partitionBy("source")
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d).where(q10 >= QualityMin)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rk", row_number().over(rankW))
+      }
+      // the ingest: admitted batch rows, hashed; tiny by construction
+      val adm = Stage.table(
+        admittedBatch(s, d)
+          .withColumn("h", md5(col("doc_id").cast("string"))),
+        "p04_admitted")
+      // per-source sorted admitted arrays (broadcast into the rank scan)
+      val bArr = adm.groupBy("source")
+        .agg(sort_array(collect_list(struct(col("h"), col("doc_id")))).as("barr"))
+      // updated quotas from corpus counts + admitted deltas (all tiny;
+      // full outer so a source whose corpus slice gated to zero still
+      // counts its admitted rows)
+      val avail = corpusRank.groupBy("source").agg(count(lit(1)).as("c_avail"))
+        .join(adm.groupBy("source").agg(count(lit(1)).as("b_avail")), Seq("source"), "full")
+        .select(col("source"),
+          (coalesce(col("c_avail"), lit(0L)) + coalesce(col("b_avail"), lit(0L))).as("avail"))
+      val wtab = avail.withColumn("weight",
+        conv(substring(md5(col("source")), 1, 7), 16, 10).cast("long") % 4 + 1)
+      val tot = wtab.agg(sum("weight").cast("long").as("tw")).withColumn("j", lit(1))
+      val wt = wtab.withColumn("j", lit(1)).join(broadcast(tot), Seq("j"))
+      val nmax = wt.agg(min(expr("avail * tw DIV weight")).as("n")).withColumn("j", lit(1))
+      val quota = wt.join(broadcast(nmax), Seq("j"))
+        .select(col("source"), col("avail"), col("weight"),
+          expr("weight * n DIV tw").as("quota"))
+      val quotaB = broadcast(quota.select("source", "quota"))
+      // corpus keeps: written rank + a map-only shift past admitted rows
+      def lexLt(xh: Column, xid: Column, h: Column, id: Column): Column =
+        xh < h || (xh === h && xid < id)
+      val corpusKept = corpusRank
+        .join(broadcast(bArr), Seq("source"), "left")
+        .withColumn("shift",
+          when(col("barr").isNull, lit(0)).otherwise(size(filter(col("barr"),
+            x => lexLt(x("h"), x("doc_id"), col("h"), col("doc_id"))))))
+        .join(quotaB, Seq("source"))
+        .where(col("rk") + col("shift") <= col("quota"))
+        .select("source", "doc_id")
+      // batch keeps: union position from one counted fan-out over the
+      // rank stage (map-side partial agg) + the in-batch offset
+      val cLt = corpusRank.join(broadcast(adm.select(col("source"),
+          col("doc_id").as("b_id"), col("h").as("b_h"))), Seq("source"))
+        .where(lexLt(col("h"), col("doc_id"), col("b_h"), col("b_id")))
+        .groupBy(col("source").as("cl_source"), col("b_id"))
+        .agg(count(lit(1)).as("c_lt"))
+      val batchKept = adm
+        .join(broadcast(bArr), Seq("source"))
+        .withColumn("b_lt", size(filter(col("barr"),
+          x => lexLt(x("h"), x("doc_id"), col("h"), col("doc_id")))))
+        .join(broadcast(cLt), col("source") === col("cl_source") &&
+          col("doc_id") === col("b_id"), "left")
+        .select(col("source"), col("doc_id"),
+          (coalesce(col("c_lt"), lit(0L)) + col("b_lt") + 1).as("union_rk"))
+        .join(quotaB, Seq("source"))
+        .where(col("union_rk") <= col("quota"))
+        .select("source", "doc_id")
+      quota.join(
+          corpusKept.unionByName(batchKept).groupBy("source")
             .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum")),
           Seq("source"), "left")
         .select(col("source"), col("avail"), col("weight"), col("quota"),

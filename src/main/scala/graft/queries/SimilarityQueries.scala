@@ -130,6 +130,31 @@ object SimilarityQueries {
       quantized(s, d).withColumn("bucket", lshBucket(col("q")))
     }
 
+  /** The corpus-wide kNN graph (v11's artifact) as ONE memoized written
+    * stage, WITH each neighbor's quantized vector and norm embedded
+    * (src_id, dst_id, rnk, cosine, q, n2) — the HNSW convention of
+    * storing vectors beside the adjacency list, so v16's beam search
+    * scores frontier expansions from the graph scan alone and never
+    * re-joins the corpus per hop. v11 projects its 4 output columns from
+    * this stage; v16 walks it.
+    */
+  private[queries] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "v16_graph", d) {
+      GraftNative.ensure(s)
+      val b = bucketedQv(s, d)
+      val left = b.select(col("vec_id").as("src_id"), col("bucket"),
+        col("q").as("src_q"), col("n2").as("src_n2"))
+      val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
+        .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
+        .select(col("src_id"), col("vec_id").as("dst_id"),
+          (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
+            sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
+          col("q"), col("n2"))
+      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KnnGraphK)
+    }
+
   /** [[qvSql]] with caller-chosen CTE names, so composed oracles (t18)
     * can avoid colliding with their own `qv`/`n` CTEs.
     */
@@ -294,6 +319,135 @@ object SimilarityQueries {
     * the same floor PqSpec asserts on the raw recalls.
     */
   val RecallFloor = 0.6
+
+  /** v16 beam search shape: beam width (frontier kept per probe per hop),
+    * fixed hop count, and the beam graph's out-degree. Each hop adds
+    * <= BeamWidth * BeamGraphK scored candidates per probe — bounded,
+    * data-independent expansion cost. Measured recall across sf0.001 /
+    * sf0.01 / sf0.1 (worst probe): 3 hops x 10 = 0.1 (stuck — see
+    * [[beamGraphEdges]] on why the graph must be cross-bucket), 4 x 16 =
+    * 0.4, 5 x 24 = 0.7, 6 x 32 = 0.8; 5 x 24 is the cheapest shape
+    * clearing [[RecallFloor]] 0.6 at every tested scale with margin.
+    */
+  val BeamWidth = 24
+  val BeamHops = 5
+  val BeamGraphK = 8
+
+  /** The graph v16 walks. v11's kNN graph is built from OWN-BUCKET
+    * candidates only, which makes it bucket-CLOSED: every neighbor of a
+    * bucket member is in the same bucket, so a walk seeded from the
+    * probe's bucket could never leave it (measured: beam == single-probe
+    * recall exactly). A navigable graph needs CROSS-BUCKET edges — here
+    * each vector's top-[[BeamGraphK]] neighbors are drawn from its own
+    * bucket AND its [[LshPlanes]] Hamming-1 buckets (the multi-probe
+    * candidate set), so consecutive hops cross one sign-plane at a time
+    * and the walk can reach neighbors arbitrarily many planes away —
+    * the HNSW long-link effect, built from the same disjoint-bucket
+    * machinery as v06. Build cost is (planes+1) x the v11 join, paid
+    * once into a written stage with each neighbor's vector embedded.
+    */
+  private[queries] def beamGraphEdges(s: SparkSession, d: String): DataFrame =
+    Stage.sharedTable(s, "v16_beam_graph", d) {
+      GraftNative.ensure(s)
+      val b = bucketedQv(s, d)
+      val left = b.where(col("n2") > 0)
+        .select(col("vec_id").as("src_id"),
+          explode(probeBuckets(col("bucket"))).as("p_bucket"),
+          col("q").as("src_q"), col("n2").as("src_n2"))
+      val scored = left.join(
+          b.where(col("n2") > 0).select(col("vec_id"), col("bucket"), col("q"), col("n2")),
+          col("bucket") === col("p_bucket"))
+        .where(col("vec_id") =!= col("src_id"))
+        .select(col("src_id"), col("vec_id").as("dst_id"),
+          (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
+            sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
+          col("q"), col("n2"))
+      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= BeamGraphK)
+    }
+
+  /** HNSW-lite beam search (v16): entry through the probe's own LSH
+    * bucket (the coarse locator — exactly v04's candidate set, scored in
+    * full), then [[BeamHops]] rounds of frontier expansion through the
+    * written CROSS-BUCKET graph ([[beamGraphEdges]], which embeds each
+    * neighbor's vector, so hops score from the graph scan alone — no
+    * corpus re-join per hop). Each hop: the per-probe top-[[BeamWidth]] of the newly
+    * scored nodes becomes the frontier, its graph neighbors (minus
+    * already-visited) are scored next. The final top-K ranks EVERYTHING
+    * scored, so v16's candidate pool is a strict superset of v04's —
+    * per-probe recall >= v04's single-probe recall BY CONSTRUCTION
+    * (BeamSearchSpec asserts the aggregate is strictly above). This is
+    * the standard escape from LSH's fixed partitioning: a near neighbor
+    * hashed into a different bucket is reachable through the graph in a
+    * hop or two.
+    *
+    * Scale shape: probes and frontiers are tiny and broadcast; each hop
+    * is one broadcast join against the written graph stage + one
+    * anti-join against the visited set (per-probe bounded); the per-hop
+    * visited set is a written stage, so lineage stays flat across hops
+    * (d24's contracted-loop discipline).
+    */
+  private[graft] def beamKnn(s: SparkSession, d: String,
+      hops: Int = BeamHops, width: Int = BeamWidth): DataFrame = {
+    GraftNative.ensure(s)
+    val b = bucketedQv(s, d)
+    val graph = beamGraphEdges(s, d)
+    val probes = b.where(col("vec_id") < NumProbes && col("n2") > 0)
+      .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+        col("q").as("p_q"), col("n2").as("p_n2"))
+    def cosineCol = (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
+      sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine")
+    val wB = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    // hop 0: the bucket entry — v04's whole candidate set, scored
+    val hop0 = b.join(broadcast(probes),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+      .where(col("n2") > 0)
+      .select(col("probe_id"), col("vec_id"), cosineCol)
+    // two rolling slots: per-hop `scored` is WRITTEN (tiny — bounded by
+    // width x BeamGraphK rows per probe) so the next hop's frontier plan
+    // references only the latest written round, never a retired visited
+    // dir; both loops then hold O(1) live stage dirs for any hop count
+    val rollV = new Stage.Rolling(keep = 2)
+    val rollS = new Stage.Rolling(keep = 2)
+    var visited = rollV.table(hop0, "v16_visited")
+    var frontier = visited.withColumn("r", row_number().over(wB))
+      .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
+    for (_ <- 1 to hops) {
+      val cand = graph
+        .join(broadcast(frontier.withColumnRenamed("vec_id", "src_id")), Seq("src_id"))
+        .select(col("probe_id"), col("dst_id").as("vec_id"), col("q"), col("n2"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .dropDuplicates("probe_id", "vec_id")
+        .join(visited.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"), "left_anti")
+      val scored = rollS.table(cand
+        .join(broadcast(probes.select("probe_id", "p_q", "p_n2")), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"), cosineCol), "v16_scored")
+      visited = rollV.table(visited.unionByName(scored), "v16_visited")
+      frontier = scored.withColumn("r", row_number().over(wB))
+        .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
+    }
+    visited.withColumn("rnk", row_number().over(wB))
+      .where(col("rnk") <= K)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Raw v16 per-probe recall of the beam search against the exact
+    * brute-force top-K — BeamSearchSpec asserts the floor and the strict
+    * improvement over v04; the v16 entry emits [[certifiedRecall]].
+    */
+  def beamRecallRaw(s: SparkSession, d: String,
+      hops: Int = BeamHops, width: Int = BeamWidth): DataFrame = {
+    val approx = beamKnn(s, d, hops, width)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    exactTopK(s, d).join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("hit")).as("n_hits"),
+        (count(col("hit")).cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("probe_id")
+  }
 
   /** Exact full-precision re-rank of an ADC shortlist + recall@K against
     * the exact brute-force ranking — the shared tail of v07/v08. Returns
@@ -636,18 +790,7 @@ object SimilarityQueries {
          |)
          |SELECT src_id, dst_id, rnk, cosine FROM ranked
          |WHERE rnk <= $KnnGraphK ORDER BY src_id, rnk""".stripMargin) { (s, d) =>
-      GraftNative.ensure(s)
-      val b = bucketedQv(s, d)
-      val left = b.select(col("vec_id").as("src_id"), col("bucket"),
-        col("q").as("src_q"), col("n2").as("src_n2"))
-      val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
-        .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
-        .select(col("src_id"), col("vec_id").as("dst_id"),
-          (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
-            sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"))
-      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= KnnGraphK)
+      knnGraphEdges(s, d)
         .select("src_id", "dst_id", "rnk", "cosine")
         .orderBy("src_id", "rnk")
     },
@@ -893,6 +1036,19 @@ object SimilarityQueries {
     // count and literal TRUE; PqSpec asserts the raw recalls.
     Q("v08_ann_recall_ivfpq", recallFloorSql) { (s, d) =>
       certifiedRecall(ivfpqRecallRaw(s, d))
+    },
+
+    // Graph-based ANN (HNSW-lite beam search, v16): LSH bucket entry +
+    // bounded frontier expansion through the written kNN graph — see
+    // [[beamKnn]]. The iterative walk is beyond reasonable SQL, so the
+    // oracle-certified output is the v07/v08 bound-check shape:
+    // (probe_id, n_exact, recall_floor_met) against the oracle's exact
+    // brute-force count and literal TRUE. BeamSearchSpec asserts the raw
+    // recalls: per-probe >= v04's single-probe recall (structural — the
+    // beam pool is a superset of the bucket pool) and strictly above in
+    // aggregate, i.e. the graph hops demonstrably buy recall.
+    Q("v16_ann_recall_beam", recallFloorSql) { (s, d) =>
+      certifiedRecall(beamRecallRaw(s, d))
     },
 
     // Nearest centroid per vector: the assignment step of IVF/k-means.

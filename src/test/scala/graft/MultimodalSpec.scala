@@ -63,4 +63,41 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 0, 0))
     assert(feats(2L) == fake, "undecodable payload must fall back to FakeDecoder")
   }
+
+  test("PCM WAV codec round-trips sample-exactly (incl. Short.Min/Max edges)") {
+    val smp = Array.tabulate(500)(i => (i * 131 % 65536) - 32768) // spans the range
+    val (dec, rate) = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(smp, 16000)).get
+    assert(rate == 16000)
+    assert(dec.sameElements(smp))
+    val edge = Array(Short.MinValue.toInt, -1, 0, 1, Short.MaxValue.toInt)
+    val (dec2, _) = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(edge, 8000)).get
+    assert(dec2.sameElements(edge))
+    // WAV bytes carry the real RIFF/WAVE container, not raw samples
+    val wav = Multimodal.encodeWavPcm16(smp, 16000)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // non-audio bytes are rejected, not misparsed
+    assert(Multimodal.decodeWavPcm16("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio rows with real WAV payloads decode to sample-true loudness") {
+    import spark.implicits._
+    val smp = Array.tabulate(200)(i => (i - 100) * 300) // mean |s| known
+    val wav = Multimodal.encodeWavPcm16(smp, 16000)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 0, 0),
+      Multimodal.MediaRow(2L, "audio", "not a wav".getBytes("UTF-8"), 0, 0))
+      .toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    val expected = smp.map(s => math.abs(s.toLong)).sum.toDouble / smp.length / 32768.0
+    assert(math.abs(feats(1L).brightness - expected) < 1e-12,
+      s"real decode must see source samples: ${feats(1L).brightness} vs $expected")
+    // and it must NOT equal the byte-mean of the WAV container bytes
+    val byteMean = wav.map(b => (b & 0xff).toLong).sum.toDouble / wav.length / 255.0
+    assert(math.abs(feats(1L).brightness - byteMean) > 1e-6)
+    val fake = Multimodal.FakeDecoder.features(
+      Multimodal.MediaRow(2L, "audio", "not a wav".getBytes("UTF-8"), 0, 0))
+    assert(feats(2L) == fake, "undecodable payload must fall back to FakeDecoder")
+  }
 }

@@ -137,4 +137,35 @@ class PipelineSpec extends SparkTestBase {
     assert(p03.map(_._3).distinct.size > 1,
       "all sources got the same weight — the recipe is a no-op rescale")
   }
+
+  test("p04: admitted rows grow the pool and every quota still fills exactly") {
+    val p04 = SparkEntry.queries("p04_incremental_recipe")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(p04.nonEmpty && p04.map(_._1).toSet == p03.map(_._1).toSet)
+    val availBySrc = p03.map(t => t._1 -> t._2).toMap
+    assert(p04.exists { case (src, avail, _, _, _, _) => avail > availBySrc(src) },
+      "no source grew — the admitted batch is vacuous for the recipe")
+    val tw = p04.map(_._3).sum
+    val nMax = p04.map { case (_, avail, w, _, _, _) => avail * tw / w }.min
+    p04.foreach { case (src, avail, w, quota, nKept, _) =>
+      assert(quota == w * nMax / tw, s"$src: quota $quota != floor($w * $nMax / $tw)")
+      assert(quota <= avail && nKept == quota, s"$src: selection under-filled")
+    }
+  }
+
+  test("p04: the per-ingest plan never re-ranks the corpus (no Window operator)") {
+    // build the standing rank stage first (it may legitimately window once)
+    SparkEntry.queries("p04_incremental_recipe")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    // the steady-state ingest plan reads the WRITTEN rank stage: union
+    // ranks are pure arithmetic over it, so no Window node may appear
+    val plan = SparkEntry.queries("p04_incremental_recipe")(spark, sfDir)
+      .queryExecution.sparkPlan
+    def ops(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.nodeName +: (p.children ++ p.subqueries).flatMap(ops)
+    val windows = ops(plan).filter(_.toLowerCase.contains("window"))
+    assert(windows.isEmpty,
+      s"incremental recipe re-ranks (found $windows) — the written rank stage is not load-bearing")
+  }
 }

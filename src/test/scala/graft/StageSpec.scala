@@ -106,4 +106,53 @@ class StageSpec extends SparkTestBase {
       Stage.resetShared()
     }
   }
+
+  test("Rolling slot: a 10-round loop leaves O(1) live dirs, older rounds deleted") {
+    val dir = Files.createTempDirectory("graft-rolling-").toString
+    spark.conf.set(Stage.StageDirKey, dir)
+    try {
+      import spark.implicits._
+      val roll = new Stage.Rolling(keep = 2)
+      var state = roll.table(Seq(1L, 2L, 3L).toDF("x"), "roll_state")
+      for (_ <- 1 to 10) {
+        // the standard loop shape: next state scans the previous round
+        state = roll.table(
+          state.select((org.apache.spark.sql.functions.col("x") + 1).as("x")),
+          "roll_state")
+      }
+      assert(state.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L, 13L),
+        "rolling loop corrupted the state")
+      val onDisk = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("roll_state-"))
+      assert(onDisk.length == 2,
+        s"expected 2 live round dirs (keep=2), found ${onDisk.length}: ${onDisk.toSeq}")
+      assert(roll.liveDirs.size == 2)
+      // the live dirs are the LAST two rounds (eviction is FIFO)
+      assert(roll.liveDirs.forall(p => new java.io.File(p).exists()))
+    } finally {
+      spark.conf.unset(Stage.StageDirKey)
+      Stage.resetShared()
+    }
+  }
+
+  test("iterative operators through Rolling leave O(1) cc_labels dirs") {
+    val dir = Files.createTempDirectory("graft-rolling-cc-").toString
+    spark.conf.set(Stage.StageDirKey, dir)
+    Stage.resetShared()
+    try {
+      import spark.implicits._
+      // a 12-vertex chain forces ~6 label-propagation rounds
+      val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+      val comp = graft.operators.DedupClusters
+        .connectedComponents(pairs, "a", "b", maxIter = 20)
+      assert(comp.select("component").distinct().count() == 1L)
+      val labelDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cc_labels-"))
+      assert(labelDirs.length <= 2,
+        s"cc loop accumulated ${labelDirs.length} label dirs — rolling cleanup broken")
+    } finally {
+      spark.conf.unset(Stage.StageDirKey)
+      Stage.resetShared()
+    }
+  }
 }
