@@ -90,9 +90,16 @@ object CowMerge {
     * metadata reads only (one ranged footer fetch per file), never a data
     * scan. Files without usable stats come back `hasStats=false`.
     */
-  def keyRanges(spark: SparkSession, dir: String, key: String): Seq[CowFileStats] = {
+  def keyRanges(spark: SparkSession, dir: String, key: String): Seq[CowFileStats] =
+    keyRangesOf(spark, dataFiles(spark, dir), key)
+
+  /** [[keyRanges]] over an explicit file list — the manifest-table form
+    * ([[SnapshotLog]]), where "the table" is a committed file set, not a
+    * directory listing.
+    */
+  def keyRangesOf(spark: SparkSession, files: Seq[Path], key: String): Seq[CowFileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles(spark, dir).map { p =>
+    files.map { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         var lo = Long.MaxValue
@@ -130,7 +137,7 @@ object CowMerge {
     * the broadcast range join of planning. `keys` is changeset-sized;
     * `ranges` is |files|-rows and broadcast.
     */
-  private def matchFiles(spark: SparkSession, ranges: Seq[CowFileStats],
+  private[operators] def matchFiles(spark: SparkSession, ranges: Seq[CowFileStats],
       keys: DataFrame): Seq[String] = {
     if (ranges.isEmpty) return Nil
     import spark.implicits._

@@ -1,0 +1,444 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A committed table version: the log version number plus the file-level
+  * merge report that produced it (v0's report is all-new-files).
+  */
+final case class SnapshotCommit(version: Long, report: CowMergeReport)
+
+/** Thrown when a manifest commit loses the exclusive-create race — the
+  * optimistic-concurrency signal: re-read the table state and re-run the
+  * merge (the standard transaction-log retry protocol).
+  */
+final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+/** Manifest-committed versioned parquet table — the transaction-log layer
+  * [[CowMerge]]'s docstring names as its remaining gap. CowMerge commits
+  * by directory rename, which (a) leaves a crash window between the two
+  * final renames and (b) does not exist as an atomic operation on object
+  * stores, where a 100 TB table actually lives. This operator removes the
+  * rename from the commit path entirely:
+  *
+  *  - DATA FILES ARE IMMUTABLE. Every write lands under `data/` with a
+  *    globally-unique name and is never modified or moved afterwards.
+  *  - A VERSION IS A MANIFEST, not a directory listing: `_log/N.manifest`
+  *    lists the data file names that constitute version N. Readers never
+  *    list `data/` — a half-written data file is invisible because no
+  *    manifest references it.
+  *  - COMMIT = one exclusive create of the next manifest file
+  *    (`FileSystem.create(path, overwrite = false)` — atomic on HDFS and
+  *    local; on S3-class stores the same protocol runs over a conditional
+  *    PUT). Two concurrent committers race for the same version number;
+  *    the loser gets [[ConcurrentCommitException]] and must re-plan
+  *    against the winner's manifest — optimistic concurrency, no locks.
+  *  - A crash anywhere before the manifest create leaves only orphan data
+  *    files, reclaimed by [[vacuum]]; a crash after it is a completed
+  *    commit. There is no window in which a reader can observe a partial
+  *    table.
+  *
+  * What the log buys beyond crash safety, at metadata cost only (old
+  * manifests are file-count-sized lists; old data files persist exactly
+  * as long as retention wants them):
+  *
+  *  - TIME TRAVEL: [[read]](v) reconstructs any retained version — the
+  *    merge that produced v+1 rewrote only its key footprint, so v and
+  *    v+1 SHARE every untouched file (referenced by both manifests, never
+  *    copied — byte identity for free, the CoW sharing CowMergeSpec
+  *    proves by md5 here proven by name identity).
+  *  - CDC READS FROM FILE DIFFS: [[cdc]](v0, v1) reads ONLY the files the
+  *    two manifests do not share. A changeset touching 0.1% of a 100 TB
+  *    table yields a diff scan of ~0.1% of its files; rows rewritten
+  *    unchanged (CoW rewrites whole files) cancel in the before/after
+  *    key join and cost nothing downstream. Deriving the same diff
+  *    without the log is two full-table scans and a 100 TB join.
+  *  - MERGE-ON-READ DELETES: [[deleteKeys]] commits a key-list delete
+  *    vector instead of rewriting anything — dropping 0.01% of a 100 TB
+  *    table is one small parquet write + one manifest create; readers
+  *    pay one anti-join until [[compact]] materializes. The one key-mask
+  *    subtlety — re-inserting a masked key — is handled by [[merge]]
+  *    with a scoped CoW of the masked row's file (mask purged only after
+  *    its physical row is gone), which is exactly the invariant that
+  *    keeps [[cdc]] sound across delete vectors.
+  *  - [[compact]] (OPTIMIZE) rewrites the logical table into fresh
+  *    key-clustered files as a NEW version — masked rows materialized
+  *    away, small files coalesced, old versions untouched.
+  *  - [[vacuum]] deletes data files no RETAINED manifest references
+  *    (expired versions + crash orphans) — retention is a policy knob,
+  *    not a correctness one.
+  *
+  * Merge semantics are [[Merge.apply]]'s, planned file-level exactly as
+  * [[CowMerge.execute]] (footer min/max pruning, insert admission scoped
+  * to the insert footprint); m12 certifies the CDC output against the
+  * DuckDB-derived changeset and SnapshotLogSpec pins the physical facts.
+  */
+object SnapshotLog {
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: Path) = new Path(table, "_log")
+  private def dataDir(table: Path) = new Path(table, "data")
+  private def manifestPath(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%06d.manifest")
+
+  /** Committed versions, ascending (empty = not a snapshot table). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val table = new Path(tableDir)
+    val hfs = fs(spark, table)
+    if (!hfs.exists(logDir(table))) return Nil
+    hfs.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    vs.last
+  }
+
+  private def manifestLines(spark: SparkSession, tableDir: String,
+      v: Long): Seq[String] = {
+    val table = new Path(tableDir)
+    val in = fs(spark, table).open(manifestPath(table, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** DATA file names (relative to `data/`) of version `v`, as committed
+    * (sorted — manifest content is deterministic). Line grammar:
+    * `# k=v` = commit metadata, `-name` = delete-vector file
+    * ([[deletes]]), plain = data file.
+    */
+  def manifest(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    manifestLines(spark, tableDir, v)
+      .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+
+  /** Delete-vector file names of version `v` (parquet key lists under
+    * `data/`, committed as `-name` manifest lines): rows whose key they
+    * hold are logically absent from this version without their data file
+    * having been rewritten — the merge-on-read delete path.
+    */
+  def deletes(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    manifestLines(spark, tableDir, v).filter(_.startsWith("-")).map(_.drop(1))
+
+  /** Commit metadata recorded with version `v` (the table's `key=` stamp,
+    * streaming transaction stamps `txn=<streamId>/<epochId>`), `#`
+    * stripped.
+    */
+  def manifestMeta(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    manifestLines(spark, tableDir, v).filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").trim)
+
+  /** The table's key column, as stamped into every manifest — what lets
+    * [[read]] apply delete vectors without the caller re-supplying it.
+    */
+  def tableKey(spark: SparkSession, tableDir: String, v: Long): String =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith("key=") => m.stripPrefix("key=")
+    }.getOrElse(sys.error(s"version $v of $tableDir has no key= stamp"))
+
+  private def filesOf(spark: SparkSession, tableDir: String, v: Long): Seq[Path] = {
+    val table = new Path(tableDir)
+    manifest(spark, tableDir, v).map(n => new Path(dataDir(table), n))
+  }
+
+  private def readDeleteKeys(spark: SparkSession, table: Path,
+      names: Seq[String], key: String): DataFrame =
+    spark.read.parquet(names.map(n => new Path(dataDir(table), n).toString): _*)
+      .select(key)
+
+  /** The table as of version `v` — any retained version, not just the
+    * latest (time travel). Delete vectors, if the version carries any,
+    * are applied as one anti-join on the stamped key (the merge-on-read
+    * path: the masked rows' data files were never rewritten).
+    */
+  def read(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    val table = new Path(tableDir)
+    val data = spark.read.parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
+    val dels = deletes(spark, tableDir, v)
+    if (dels.isEmpty) data
+    else {
+      val key = tableKey(spark, tableDir, v)
+      data.join(readDeleteKeys(spark, table, dels, key), Seq(key), "left_anti")
+    }
+  }
+
+  def readLatest(spark: SparkSession, tableDir: String): DataFrame =
+    read(spark, tableDir, latestVersion(spark, tableDir))
+
+  /** Exclusive-create commit of manifest `v`. Atomic winner-takes-the-
+    * version; losers get [[ConcurrentCommitException]].
+    */
+  private[graft] def commit(spark: SparkSession, table: Path, v: Long,
+      names: Seq[String], meta: Seq[String] = Nil,
+      delNames: Seq[String] = Nil): Unit = {
+    val hfs = fs(spark, table)
+    hfs.mkdirs(logDir(table))
+    val p = manifestPath(table, v)
+    val out =
+      try hfs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentCommitException(
+            s"version $v already committed under $table (${e.getMessage}); " +
+              "re-read the latest manifest and re-plan the merge")
+      }
+    val lines = meta.map("# " + _) ++ delNames.sorted.map("-" + _) ++ names.sorted
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Stage `df` as immutable data files under `data/` (key-clustered so
+    * footer min/max stays narrow) and return their names. Spark part-file
+    * names carry the write job's UUID — globally unique, so staged files
+    * from different commits never collide.
+    */
+  private def stageFiles(spark: SparkSession, table: Path, df: DataFrame,
+      key: String, numFiles: Int): Seq[String] = {
+    val hfs = fs(spark, table)
+    val scratch = new Path(table, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    CowMerge.writeKeyed(df, key, numFiles, scratch.toString)
+    hfs.mkdirs(dataDir(table))
+    val names = hfs.listStatus(scratch).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    names.foreach { n =>
+      require(hfs.rename(new Path(scratch, n), new Path(dataDir(table), n)),
+        s"stage move failed: $n")
+    }
+    hfs.delete(scratch, true)
+    names
+  }
+
+  /** Create the table at version 0 from `df`, clustered by `key`. */
+  def init(spark: SparkSession, tableDir: String, df: DataFrame, key: String,
+      numFiles: Int): SnapshotCommit = {
+    val table = new Path(tableDir)
+    require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
+    val names = stageFiles(spark, table, df, key, numFiles)
+    commit(spark, table, 0L, names, meta = Seq(s"key=$key"))
+    SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
+  }
+
+  /** Apply changeset `cs` ([[Merge.apply]]'s contract) to the latest
+    * version, copy-on-write, committing the result as the next version.
+    * Planning and rewrite are [[CowMerge.execute]]'s (footer pruning,
+    * scoped insert admission); the difference is the commit — untouched
+    * files are REFERENCED by the new manifest, never moved, and the old
+    * version remains readable.
+    */
+  def merge(spark: SparkSession, tableDir: String, cs: DataFrame,
+      key: String, meta: Seq[String] = Nil): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val names = manifest(spark, tableDir, v)
+    val files = filesOf(spark, tableDir, v)
+    val delNames = deletes(spark, tableDir, v)
+    val delKeys: Option[DataFrame] =
+      if (delNames.isEmpty) None else Some(readDeleteKeys(spark, table, delNames, key))
+    def masked(df: DataFrame): DataFrame =
+      delKeys.fold(df)(dk => df.join(dk, Seq(key), "left_anti"))
+    val ranges = CowMerge.keyRangesOf(spark, files, key)
+
+    val updDel = cs.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
+    val ins = cs.where(col("op") === Merge.OpInsert)
+    val insKeys = ins.select(col(key))
+    // Re-inserting a MERGE-on-read-deleted key forces a scoped CoW of the
+    // masked row's file(s): the new row must land while the old physical
+    // row goes away, or the key-based mask (purged below) would either
+    // swallow the new row or resurrect the old one. Cost is the insert's
+    // masked-key footprint, not the table.
+    val maskedIns: Option[DataFrame] =
+      delKeys.map(dk => insKeys.join(dk, Seq(key), "left_semi"))
+    val maskedHitFiles = maskedIns match {
+      case Some(mi) if !ins.isEmpty => CowMerge.matchFiles(spark, ranges, mi)
+      case _                        => Nil
+    }
+    val affected =
+      CowMerge.matchFiles(spark, ranges, updDel.select(col(key))).toSet ++ maskedHitFiles
+    val insCheck = CowMerge.matchFiles(spark, ranges, insKeys)
+    val untouchedNames = names.filterNot(n =>
+      affected.contains(new Path(dataDir(table), n).toString))
+
+    val rewritten: Option[DataFrame] =
+      if (affected.isEmpty) None
+      else Some(Merge(masked(spark.read.parquet(affected.toSeq: _*)), updDel, key))
+
+    val payload = spark.read.parquet(files.head.toString).columns
+      .filterNot(_ == key).toSeq
+    val admitted: Option[DataFrame] =
+      if (ins.isEmpty) None
+      else {
+        val insRows = ins.select(col(key) +: payload.map(col): _*)
+        Some(
+          if (insCheck.isEmpty) insRows
+          else insRows.join(
+            masked(spark.read.parquet(insCheck: _*).select(col(key))),
+            Seq(key), "left_anti"))
+      }
+
+    // Delete vectors survive the merge (they still mask untouched files)
+    // EXCEPT keys this merge re-inserts: those are purged — their masked
+    // physical rows were rewritten away via maskedHitFiles above.
+    val newDelNames: Seq[String] = (delKeys, maskedIns) match {
+      case (Some(dk), Some(mi)) if !ins.isEmpty && !mi.isEmpty =>
+        val remaining = dk.join(insKeys, Seq(key), "left_anti")
+        if (remaining.isEmpty) Nil else stageFiles(spark, table, remaining, key, 1)
+      case _ => delNames
+    }
+
+    val newData = (rewritten, admitted) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (Some(r), None)    => Some(r)
+      case (None, Some(i))    => Some(i)
+      case (None, None)       => None
+    }
+    val newNames = newData match {
+      case Some(df) => stageFiles(spark, table, df, key, math.max(1, affected.size))
+      case None     => Nil
+    }
+    commit(spark, table, v + 1, untouchedNames ++ newNames,
+      meta :+ s"key=$key", newDelNames)
+    SnapshotCommit(v + 1,
+      CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
+  }
+
+  /** MERGE-ON-READ delete: commit `keys` as a delete vector — NO data
+    * file is rewritten (every data line is carried by reference; the
+    * report shows zero rewrites), so dropping 0.01% of a 100 TB table is
+    * one small parquet write + one manifest create, against CoW's
+    * footprint rewrite. Readers pay one anti-join until [[compact]]
+    * materializes. Successive calls consolidate into ONE vector file
+    * (cost stays O(deleted keys), not O(delete commits)). Deleting an
+    * absent key is a harmless no-op mask, same as MERGE's delete
+    * semantics.
+    */
+  def deleteKeys(spark: SparkSession, tableDir: String, keys: DataFrame,
+      key: String): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val names = manifest(spark, tableDir, v)
+    val old = deletes(spark, tableDir, v)
+    val all =
+      if (old.isEmpty) keys.select(col(key)).distinct()
+      else readDeleteKeys(spark, table, old, key)
+        .unionByName(keys.select(col(key))).distinct()
+    val newDel = stageFiles(spark, table, all, key, 1)
+    commit(spark, table, v + 1, names, Seq(s"key=$key"), newDel)
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
+  /** OPTIMIZE: rewrite the current logical table (delete vectors
+    * materialized, small files coalesced) into `numFiles` key-clustered
+    * files and commit it as the next version — old versions stay
+    * readable; the rewritten-away bytes are reclaimed by [[vacuum]]'s
+    * retention policy, not by this call.
+    */
+  def compact(spark: SparkSession, tableDir: String, numFiles: Int): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val before = manifest(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, read(spark, tableDir, v), key, numFiles)
+    commit(spark, table, v + 1, newNames, Seq(s"key=$key"))
+    SnapshotCommit(v + 1,
+      CowMergeReport(before.size, before.size, 0, newNames.size))
+  }
+
+  /** Changed rows between two committed versions, computed from the
+    * manifests' FILE DIFF: only files present in exactly one of the two
+    * versions are read. Output: `op` ([[Merge]]'s constants), the key,
+    * and the after-image payload (null for deletes); rows rewritten
+    * without change cancel in the key join and are not emitted.
+    */
+  def cdc(spark: SparkSession, tableDir: String, v0: Long, v1: Long,
+      key: String): DataFrame = {
+    val m0 = manifest(spark, tableDir, v0).toSet
+    val m1 = manifest(spark, tableDir, v1).toSet
+    val table = new Path(tableDir)
+    def delKeysOf(v: Long): Option[DataFrame] = {
+      val ns = deletes(spark, tableDir, v)
+      if (ns.isEmpty) None else Some(readDeleteKeys(spark, table, ns, key))
+    }
+    def maskWith(df: DataFrame, dk: Option[DataFrame]): DataFrame =
+      dk.fold(df)(k => df.join(k, Seq(key), "left_anti"))
+    val dk0 = delKeysOf(v0)
+    val dk1 = delKeysOf(v1)
+    def readNames(ns: Iterable[String]): DataFrame =
+      if (ns.isEmpty) read(spark, tableDir, v1).where(lit(false))
+      else spark.read.parquet(ns.map(n => new Path(dataDir(table), n).toString).toSeq: _*)
+
+    // A-part: rows whose DATA FILE is in exactly one version, each side
+    // under its own version's delete mask.
+    val before = maskWith(readNames(m0 -- m1), dk0)
+    val after = maskWith(readNames(m1 -- m0), dk1)
+    val payload = before.columns.filterNot(_ == key).toSeq
+    val b = before.as("b")
+    val a = after.as("a")
+    val joined = b.join(a, col(s"b.$key") === col(s"a.$key"), "full_outer")
+    val changed = payload.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduce(_ || _)
+    val aPart = joined
+      .withColumn("op",
+        when(col(s"a.$key").isNull, Merge.OpDelete)
+          .when(col(s"b.$key").isNull, Merge.OpInsert)
+          .when(changed, Merge.OpUpdate))
+      .where(col("op").isNotNull)
+      .select(col("op") +: coalesce(col(s"b.$key"), col(s"a.$key")).as(key) +:
+        payload.map(c => col(s"a.$c").as(c)): _*)
+
+    // B-part: merge-on-read deletes — keys newly masked in v1 whose
+    // physical row lives in a SHARED data file (no file diff to catch
+    // them). Footer-pruned to the masked keys' footprint; the semi-join
+    // keeps only keys actually present (masking an absent key is not a
+    // change). Disjoint from A by the single-physical-copy invariant:
+    // a key's row is either in the diff (A) or shared (B), and un-delete
+    // without a file rewrite cannot happen ([[merge]] purges a mask only
+    // after rewriting the masked row's file).
+    val bPart: Option[DataFrame] = dk1.map(k1 => maskWith(k1, dk0)).flatMap { newlyMasked =>
+      val shared = (m0 & m1).toSeq
+      if (shared.isEmpty) None
+      else {
+        val paths = shared.map(n => new Path(dataDir(table), n))
+        val hit = CowMerge.matchFiles(spark,
+          CowMerge.keyRangesOf(spark, paths, key), newlyMasked)
+        if (hit.isEmpty) None
+        else {
+          val sdf = spark.read.parquet(hit: _*)
+          val nulls = sdf.schema.filter(_.name != key)
+            .map(f => lit(null).cast(f.dataType).as(f.name))
+          Some(sdf.join(newlyMasked, Seq(key), "left_semi")
+            .select(lit(Merge.OpDelete).as("op") +: col(key) +: nulls: _*))
+        }
+      }
+    }
+    bPart.fold(aPart)(bp => aPart.unionByName(bp.select(aPart.columns.map(col): _*)))
+  }
+
+  /** Delete manifests below `retainFrom` and every data file no retained
+    * manifest references (expired versions' exclusive files + crash
+    * orphans never committed). Returns (manifests deleted, data files
+    * deleted). Versions >= retainFrom stay fully readable.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): (Int, Int) = {
+    val table = new Path(tableDir)
+    val hfs = fs(spark, table)
+    val (expired, retained) = versions(spark, tableDir).partition(_ < retainFrom)
+    require(retained.nonEmpty, s"vacuum would delete every version of $tableDir")
+    val live = retained
+      .flatMap(v => manifest(spark, tableDir, v) ++ deletes(spark, tableDir, v))
+      .toSet
+    val dead = hfs.listStatus(dataDir(table)).toSeq.map(_.getPath.getName)
+      .filterNot(live)
+    dead.foreach(n => hfs.delete(new Path(dataDir(table), n), false))
+    expired.foreach(v => hfs.delete(manifestPath(table, v), false))
+    (expired.size, dead.size)
+  }
+}

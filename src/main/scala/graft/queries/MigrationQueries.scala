@@ -341,6 +341,63 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // Snapshot-log CDC (m12) — the transaction-log layer over m11's
+    // copy-on-write merge ([[graft.operators.SnapshotLog]]): the table is
+    // a manifest-committed file set (commit = ONE exclusive manifest
+    // create, no directory rename — the protocol that survives object
+    // stores), versions share untouched files by reference, and "what
+    // changed between v0 and v1" is computed from the manifests' FILE
+    // DIFF — only files present in exactly one version are read, so a
+    // changeset touching 0.1% of a 100 TB table diffs at 0.1% scan cost.
+    // This entry inits the share table at v0, merges the m09 changeset to
+    // v1, and returns cdc(v0, v1): op + key + after-image. Rows CoW
+    // happened to rewrite unchanged cancel in the before/after key join —
+    // the oracle derives the SEMANTIC change rows (delete/update/insert
+    // by the fixture's disjoint moduli) with no knowledge of file
+    // boundaries, so a single spuriously-emitted rewrite row fails the
+    // hash. Time travel (v0 still byte-readable after the merge),
+    // commit-race exclusivity, and vacuum are SnapshotLogSpec's.
+    Q("m12_snapshot_cdc", Merge0.snapshotCdcSql) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m12_snap", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+      }
+      SnapshotLog.cdc(s, dir, 0L, 1L, "id")
+        .select("op", "id", "share_type", "uid_owner", "item_type",
+          "item_source", "item_target", "file_source", "file_target")
+        .orderBy("id")
+    },
+
+    // Merge-on-read deletes + masked CoW merge (m13): the SAME final
+    // state as m09/m11, reached down the MoR path — the %9 deletes
+    // commit as a delete VECTOR (zero data files rewritten: dropping
+    // rows from a 100 TB table is one key-list parquet + one manifest
+    // create), then the update/insert remainder of the changeset merges
+    // copy-on-write UNDER the mask (masked rows dropped physically from
+    // rewritten files, mask carried for untouched ones, admission checks
+    // mask-aware). The oracle is m09's DuckDB MERGE twin VERBATIM — the
+    // two physical routes are certified to converge on one logical
+    // table. The mask subtleties (update of a masked key is a no-op,
+    // re-insert forces a scoped rewrite + purge, compaction is
+    // CDC-invisible) are MorDeleteSpec's.
+    Q("m13_mor_delete", Merge0.keyedMergeSql) { (s, d) =>
+      import graft.operators.{Merge, SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m13_mor", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.deleteKeys(s, out,
+          shares.where(col("id") % 9 === 0).select("id"), "id")
+        SnapshotLog.merge(s, out,
+          Merge0.changeset(shares).where(col("op") =!= Merge.OpDelete), "id")
+      }
+      SnapshotLog.readLatest(s, dir)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 
@@ -415,6 +472,37 @@ object MigrationQueries {
          |SELECT id, share_type, uid_owner, item_type, item_source, item_target,
          |       file_source, file_target
          |FROM ins
+         |ORDER BY id""".stripMargin
+
+    /** The m12 oracle: the SEMANTIC change rows between the snapshot
+      * table's v0 and v1 — derived straight from the changeset fixture's
+      * disjoint moduli (delete %9, update %5 of the rest, insert %11
+      * offset), with op + after-image (nulls for deletes). The engine
+      * side computes the same rows from the manifests' physical file
+      * diff, so any CoW-rewritten-but-unchanged row it fails to cancel
+      * breaks the hash.
+      */
+    def snapshotCdcSql: String =
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT 'delete' AS op, id,
+         |       CAST(NULL AS INTEGER) AS share_type,
+         |       CAST(NULL AS VARCHAR) AS uid_owner,
+         |       CAST(NULL AS VARCHAR) AS item_type,
+         |       CAST(NULL AS VARCHAR) AS item_source,
+         |       CAST(NULL AS VARCHAR) AS item_target,
+         |       CAST(NULL AS BIGINT) AS file_source,
+         |       CAST(NULL AS VARCHAR) AS file_target
+         |FROM shares WHERE id % 9 = 0
+         |UNION ALL
+         |SELECT 'update', id, share_type, uid_owner, item_type, item_source,
+         |       '/moved/' || CAST(id AS VARCHAR), file_source,
+         |       '/merged/' || CAST(id AS VARCHAR)
+         |FROM shares WHERE id % 9 <> 0 AND id % 5 = 0
+         |UNION ALL
+         |SELECT 'insert', id + $InsertIdOffset, CAST(3 AS INTEGER), 'merge_user',
+         |       'file', CAST(id AS VARCHAR), '/new/' || CAST(id AS VARCHAR),
+         |       id, '/n' || CAST(id AS VARCHAR) || '.dat'
+         |FROM shares WHERE id % 11 = 0
          |ORDER BY id""".stripMargin
   }
 }

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Merge, SnapshotLog, SyntheticShares, ConcurrentCommitException}
+import graft.queries.MigrationQueries.Merge0
+
+/** Manifest-committed versioned table: time travel, file sharing across
+  * versions, exclusive-create commit races, file-diff CDC, vacuum.
+  */
+class SnapshotLogSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def base: DataFrame = SyntheticShares.shares(Tables.orders(spark, sfDir))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.select(col("id"), col("share_type"), col("uid_owner"), col("item_type"),
+        col("item_source"), col("item_target"), col("file_source"), col("file_target"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  /** Narrow changeset over the lowest key decile (CowMergeSpec's shape):
+    * updates %5, deletes %9, one fresh insert far above the range.
+    */
+  private def narrowChangeset(b: DataFrame): DataFrame = {
+    val maxId = b.agg(max("id")).head().getLong(0)
+    val cut = maxId / 10
+    val nullS = lit(null).cast("string")
+    val nullI = lit(null).cast("int")
+    val nullL = lit(null).cast("long")
+    val csUpd = b.where(col("id") <= cut && col("id") % 5 === 0 && col("id") % 9 =!= 0)
+      .select(lit(Merge.OpUpdate).as("op"), col("id"),
+        nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+        nullS.as("item_source"),
+        concat(lit("/snap/"), col("id").cast("string")).as("item_target"),
+        nullL.as("file_source"), nullS.as("file_target"))
+    val csDel = b.where(col("id") <= cut && col("id") % 9 === 0)
+      .select(lit(Merge.OpDelete).as("op"), col("id"),
+        nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+        nullS.as("item_source"), nullS.as("item_target"),
+        nullL.as("file_source"), nullS.as("file_target"))
+    import spark.implicits._
+    val csIns = Seq((Merge.OpInsert, maxId + 1000L, 3, "snap_user", "file", "x",
+      "/snap/new", 7L, "/n.dat"))
+      .toDF("op", "id", "share_type", "uid_owner", "item_type",
+        "item_source", "item_target", "file_source", "file_target")
+    csUpd.unionByName(csDel).unionByName(csIns)
+  }
+
+  test("time travel: v0 stays readable after the merge; versions share untouched files") {
+    val dir = Files.createTempDirectory("graft_snap").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 8)
+    val baseRows = rows(b)
+    assert(rows(SnapshotLog.read(spark, dir, 0)) == baseRows)
+
+    val cs = narrowChangeset(b)
+    val commit = SnapshotLog.merge(spark, dir, cs, "id")
+    assert(commit.version == 1L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L))
+
+    // v1 is the functional merge; v0 is STILL the base — time travel
+    assert(rows(SnapshotLog.read(spark, dir, 1)) == rows(Merge(b, cs, "id")))
+    assert(rows(SnapshotLog.read(spark, dir, 0)) == baseRows)
+
+    // untouched files are SHARED by reference: same names in both
+    // manifests (same physical file — byte identity is free), and the
+    // narrow changeset must leave most files shared
+    val m0 = SnapshotLog.manifest(spark, dir, 0).toSet
+    val m1 = SnapshotLog.manifest(spark, dir, 1).toSet
+    assert((m0 & m1).size == commit.report.nUntouched)
+    assert(commit.report.nRewritten > 0 &&
+      commit.report.nRewritten < commit.report.nFilesBefore,
+      s"fixture degenerate: ${commit.report.nRewritten} of ${commit.report.nFilesBefore}")
+  }
+
+  test("commit is exclusive-create: the version-race loser throws, the winner stands") {
+    val dir = Files.createTempDirectory("graft_snap2").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 4)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val names = SnapshotLog.manifest(spark, dir, 0)
+    // racer wins version 1 (a no-op commit re-referencing v0's files)
+    SnapshotLog.commit(spark, table, 1L, names)
+    // the loser of the same version number must throw, not overwrite
+    intercept[ConcurrentCommitException] {
+      SnapshotLog.commit(spark, table, 1L, names.take(1))
+    }
+    assert(SnapshotLog.manifest(spark, dir, 1) == names.sorted,
+      "loser overwrote the winner's manifest")
+    // the optimistic-concurrency recovery: re-read latest, re-plan — the
+    // next merge lands at version 2 on top of the racer's commit
+    val c = SnapshotLog.merge(spark, dir, narrowChangeset(b), "id")
+    assert(c.version == 2L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+  }
+
+  test("cdc equals the brute-force version diff and reads only non-shared files") {
+    val dir = Files.createTempDirectory("graft_snap3").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 8)
+    SnapshotLog.merge(spark, dir, narrowChangeset(b), "id")
+
+    val v0 = SnapshotLog.read(spark, dir, 0)
+    val v1 = SnapshotLog.read(spark, dir, 1)
+    def keyed(df: DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(r.fieldIndex("id")) -> r.mkString("|")).toMap
+    val beforeM = keyed(v0)
+    val afterM = keyed(v1)
+    val expected = (
+      (beforeM.keySet -- afterM.keySet).map(k => s"delete|$k") ++
+        (afterM.keySet -- beforeM.keySet).map(k => s"insert|$k") ++
+        (beforeM.keySet & afterM.keySet).collect {
+          case k if beforeM(k) != afterM(k) => s"update|$k"
+        }).toSeq.sorted
+
+    val cdc = SnapshotLog.cdc(spark, dir, 0, 1, "id")
+    val got = cdc.select("op", "id").collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}").sorted.toSeq
+    assert(got == expected, "cdc diverged from brute-force version diff")
+    assert(got.nonEmpty)
+
+    // after-image: update rows carry the merged payload, deletes null payload
+    val upd = cdc.where(col("op") === Merge.OpUpdate)
+    assert(upd.where(!col("item_target").startsWith("/snap/")).isEmpty)
+    assert(cdc.where(col("op") === Merge.OpDelete)
+      .where(col("item_target").isNotNull).isEmpty)
+
+    // the scale fact: cdc scans ONLY files outside the shared set
+    val m0 = SnapshotLog.manifest(spark, dir, 0).toSet
+    val m1 = SnapshotLog.manifest(spark, dir, 1).toSet
+    val sharedNames = m0 & m1
+    val scanned = cdc.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(scanned.nonEmpty && scanned.intersect(sharedNames).isEmpty,
+      s"cdc read shared files: ${scanned.intersect(sharedNames)}")
+
+    // identical versions diff to nothing
+    assert(SnapshotLog.cdc(spark, dir, 1, 1, "id").isEmpty)
+  }
+
+  test("a merge chain replays: v2 == merge(merge(base, A), B); cross-version cdc works") {
+    val dir = Files.createTempDirectory("graft_snap4").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 8)
+    val csA = narrowChangeset(b)
+    SnapshotLog.merge(spark, dir, csA, "id")
+    val afterA = Merge(b, csA, "id")
+    val csB = Merge0.changeset(b).where(col("op") =!= Merge.OpInsert)
+    SnapshotLog.merge(spark, dir, csB, "id")
+    assert(rows(SnapshotLog.read(spark, dir, 2)) == rows(Merge(afterA, csB, "id")))
+    // non-adjacent diff: same file-diff machinery, v0 vs v2
+    val keys0 = SnapshotLog.read(spark, dir, 0).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val keys2 = SnapshotLog.read(spark, dir, 2).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val cdc02 = SnapshotLog.cdc(spark, dir, 0, 2, "id")
+    assert(cdc02.where(col("op") === Merge.OpDelete).count() == (keys0 -- keys2).size)
+    assert(cdc02.where(col("op") === Merge.OpInsert).count() == (keys2 -- keys0).size)
+  }
+
+  test("vacuum drops expired manifests, their exclusive files, and crash orphans") {
+    val dir = Files.createTempDirectory("graft_snap5").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 8)
+    SnapshotLog.merge(spark, dir, narrowChangeset(b), "id")
+    val v1Rows = rows(SnapshotLog.read(spark, dir, 1))
+    // a crash orphan: staged but never committed
+    val orphan = new java.io.File(s"$dir/data/part-orphan-never-committed.parquet")
+    val ow = new java.io.FileWriter(orphan); ow.write("x"); ow.close()
+
+    val m0 = SnapshotLog.manifest(spark, dir, 0).toSet
+    val m1 = SnapshotLog.manifest(spark, dir, 1).toSet
+    val (nManifests, nFiles) = SnapshotLog.vacuum(spark, dir, retainFrom = 1)
+    assert(nManifests == 1)
+    assert(nFiles == (m0 -- m1).size + 1, "expected v0-exclusive files + the orphan")
+    assert(!orphan.exists)
+    assert(SnapshotLog.versions(spark, dir) == Seq(1L))
+    // the retained version is untouched
+    assert(rows(SnapshotLog.read(spark, dir, 1)) == v1Rows)
+    // retaining nothing is refused
+    intercept[IllegalArgumentException] {
+      SnapshotLog.vacuum(spark, dir, retainFrom = 99)
+    }
+  }
+
+  test("streaming epochs stamp the manifest; a replayed epoch is skipped, never re-applied") {
+    import spark.implicits._
+    import graft.streaming.SnapshotStreams
+    val dir = Files.createTempDirectory("graft_snap6").toString + "/t"
+    SnapshotLog.init(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "id", numFiles = 2)
+    val e0 = Seq(("update", 1L, "a2"), ("insert", 10L, "j")).toDF("op", "id", "v")
+    val e1 = Seq(("delete", 2L, null.asInstanceOf[String])).toDF("op", "id", "v")
+    assert(SnapshotStreams.applyEpoch(spark, dir, e0, 0L, "s1", "id")
+      .exists(_.version == 1L))
+    assert(SnapshotStreams.applyEpoch(spark, dir, e1, 1L, "s1", "id")
+      .exists(_.version == 2L))
+    // replay of epoch 0 after a lost checkpoint: the txn stamp skips it
+    assert(SnapshotStreams.applyEpoch(spark, dir, e0, 0L, "s1", "id").isEmpty)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(SnapshotLog.manifestMeta(spark, dir, 1).contains("txn=s1/0"))
+    assert(SnapshotLog.manifestMeta(spark, dir, 2).contains("txn=s1/1"))
+    val got = SnapshotLog.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (3L, "c"), (10L, "j")))
+  }
+
+  test("writeStreamExactlyOnce commits one version per drained micro-batch") {
+    import spark.implicits._
+    import graft.streaming.SnapshotStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_snap7").toString
+    val dir = s"$root/t"
+    SnapshotLog.init(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id", numFiles = 1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    var commits = List.empty[(Long, Long)]
+    val q = SnapshotStreams.writeStreamExactlyOnce(
+        mem.toDF().toDF("op", "id", "v"), dir, "s2", "id") { (c, e) =>
+        commits ::= (c.version, e)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      mem.addData(("update", 1L, "x"))
+      q.processAllAvailable()
+      mem.addData(("insert", 20L, "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(commits.reverse.map(_._2) == List(0L, 1L))
+    val got = SnapshotLog.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x"), (2L, "b"), (20L, "y")))
+  }
+}
