@@ -1960,7 +1960,95 @@ object DedupQueries {
         .select(col("component"), (-col("best.nid")).as("keeper"),
           col("best.q").as("keeper_q"), col("n_members"))
         .orderBy("component")
+    },
+
+    // EXACT all-pairs set-similarity join at Jaccard >= 0.5 via prefix
+    // filtering (the AllPairs/PPJoin family — Chaudhuri et al. SSJoin
+    // primitive, Bayardo et al. WWW'07): every detector above trades
+    // something for scale (d02/d03 probabilistic recall, d06 a df CAP
+    // that silently DROPS pairs sharing only common shingles), but a
+    // compliance-grade dedup needs the exact answer. The naive exact
+    // route — the unbounded inverted-index self-join — costs sum(df^2)
+    // and detonates on boilerplate shingles. Prefix filtering bounds it
+    // with ZERO loss: order tokens globally rarest-first (df asc,
+    // shingle asc), index only each doc's first |sh| - ceil(t|sh|) + 1
+    // tokens; any pair with J >= t MUST collide inside both prefixes
+    // (completeness theorem: overlap >= ceil(t*max(|x|,|y|)) tokens
+    // cannot all hide in either suffix). Boilerplate thus never enters
+    // the index unless a doc is mostly boilerplate — the hot-key cost is
+    // structurally at the RARE end. Size filter (t|x| <= |y| <= |x|/t,
+    // integer form) prunes cross-size candidates; df = 1 prefix tokens
+    // are dropped AFTER ranking (they cannot produce a pair). Exactness
+    // is triple-certified: the oracle runs the same complete algorithm
+    // in SQL, AllPairsSpec brute-forces every doc pair at sf0.001 and
+    // asserts set equality, and d06's df-capped pairs are asserted a
+    // subset. Integer prefix arithmetic ((sz+1) DIV 2) keeps both
+    // engines bit-identical.
+    Q("d28_allpairs_exact",
+      s"""WITH $dupDocsSql,
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM dupdocs),
+         |inv28 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |df28 AS (SELECT shingle, COUNT(*) AS df FROM inv28 GROUP BY shingle),
+         |pre28 AS (
+         |  SELECT doc_id, shingle, sz FROM (
+         |    SELECT i.doc_id, i.shingle, d.df AS df, len(s.sh) AS sz,
+         |           ROW_NUMBER() OVER (PARTITION BY i.doc_id
+         |                              ORDER BY d.df, i.shingle) AS rnk
+         |    FROM inv28 i JOIN df28 d USING (shingle) JOIN sh s USING (doc_id)
+         |  ) AS t
+         |  WHERE rnk <= sz - (sz + 1) // 2 + 1 AND df >= 2
+         |),
+         |cand28 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre28 a JOIN pre28 b ON a.shingle = b.shingle
+         |       AND a.doc_id < b.doc_id
+         |       AND a.sz * 2 >= b.sz AND b.sz * 2 >= a.sz
+         |)
+         |SELECT c.doc_a, c.doc_b, ${jaccardSql("x.sh", "y.sh")} AS jaccard
+         |FROM cand28 c JOIN sh x ON c.doc_a = x.doc_id
+         |              JOIN sh y ON c.doc_b = y.doc_id
+         |WHERE ${jaccardSql("x.sh", "y.sh")} >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      GraftNative.ensure(s)
+      val sh = shingleStage(s, d)
+      val pre = prefixIndex(s, d)
+      val cand = pre.as("a").join(pre.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", GraftNative.jaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** d28's written prefix index (doc_id, shingle, sz): each doc's
+    * rarest-first prefix under the global (df asc, shingle asc) token
+    * order, prefix length |sh| - ceil(|sh|/2) + 1 for t = 0.5, df = 1
+    * tokens dropped post-ranking. One df aggregate + one per-doc window
+    * (bounded by the doc's shingle count) — then every consumer joins
+    * the WRITTEN index, never re-derives it.
+    */
+  private[graft] def prefixIndex(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val sh = shingleStage(s, d)
+    Stage.sharedTable(s, "d28_prefix", d) {
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val dft = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      inv.join(dft, Seq("shingle"))
+        .withColumn("rnk", row_number().over(w))
+        .join(sh.select(col("doc_id"), size(col("sh")).as("sz")), Seq("doc_id"))
+        .where(col("rnk") <= col("sz") - expr("(sz + 1) DIV 2") + 1 &&
+          col("df") >= 2)
+        .select("doc_id", "shingle", "sz")
+    }
+  }
 
 }
