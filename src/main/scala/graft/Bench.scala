@@ -16,17 +16,44 @@ import org.apache.spark.sql.SparkSession
   * one wanting only the headline reads the last line.
   */
 object Bench {
+
+  /** Shuffle partitions sized with the data: one partition per ~3 MB of
+    * compressed parquet under `sfDir`, floored at `cpus`, rounded down to
+    * a power of two — 32 at sf0.1 (17 MB), 64 at sf1 (198 MB), 128 at
+    * sf3 (597 MB). The slab is calibrated on the recorded sf3 stress:
+    * 128 partitions keeps the heaviest sort (d06's exploded shingle
+    * working set) out of spill, while 32 there cost 36x. On a real
+    * cluster this is the number AQE's initialPartitionNum would start
+    * from; in the single-JVM harness we set it directly.
+    */
+  def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    val bytes = sizeOf(new java.io.File(sfDir))
+    val want = math.min(math.max(cpus.toLong, bytes / (3L << 20)), 1L << 14)
+    math.max(Integer.highestOneBit(want.toInt), cpus)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle partitions default to the thread count, but scale recordings
-    // above sf0.1 set this higher: a fixed 32 with 30x the rows makes
-    // individual sort/aggregate partitions spill — a harness artifact a
-    // real cluster (AQE, more executors) doesn't have.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Partition sizing is DATA-DRIVEN, no hand-knob: shuffle partitions
+    // scale with the input bytes actually under sfDir (one compressed-
+    // parquet ~4 MB slab per partition, floored at the thread count,
+    // rounded to a power of two) — 32 at sf0.1, 64 at sf1, 128 at sf3.
+    // This removes the old SPARK_GRAFT_SHUFFLE env override: a fixed
+    // count that fits sf0.1 made individual sort/agg partitions spill at
+    // 30x rows, and a knob an operator must remember to turn IS the bug.
+    // The alternative fix — AQE-owned sizing (initialPartitionNum=512,
+    // advisory 64m) — was measured and REJECTED: it regressed d06 3x at
+    // sf3 (207 s vs 72.7 s; recorded in BENCH_sf3_heavy.json), because
+    // AQE coalesces on compressed shuffle-write bytes, which for the
+    // exploded shingle working set under-estimates in-memory sort size.
+    val shuffle = autoShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.shuffle.partitions", shuffle.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts nanos
       .config("spark.ui.enabled", "false")

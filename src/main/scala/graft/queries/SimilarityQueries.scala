@@ -139,21 +139,28 @@ object SimilarityQueries {
     * this stage; v16 walks it.
     */
   private[queries] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
-    Stage.sharedTable(s, "v16_graph", d) {
-      GraftNative.ensure(s)
-      val b = bucketedQv(s, d)
-      val left = b.select(col("vec_id").as("src_id"), col("bucket"),
-        col("q").as("src_q"), col("n2").as("src_n2"))
-      val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
-        .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
-        .select(col("src_id"), col("vec_id").as("dst_id"),
-          (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
-            sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
-          col("q"), col("n2"))
-      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= KnnGraphK)
-    }
+    Stage.sharedTable(s, "v16_graph", d) { knnGraphBuild(s, d) }
+
+  /** The UNSTAGED graph-build computation behind [[knnGraphEdges]] — split
+    * out so plan-shape tests can pin the build's physical plan (bucket
+    * equi-join + WindowGroupLimit) regardless of whether another consumer
+    * already memoized the written stage in this JVM.
+    */
+  private[graft] def knnGraphBuild(s: SparkSession, d: String): DataFrame = {
+    GraftNative.ensure(s)
+    val b = bucketedQv(s, d)
+    val left = b.select(col("vec_id").as("src_id"), col("bucket"),
+      col("q").as("src_q"), col("n2").as("src_n2"))
+    val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
+      .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
+      .select(col("src_id"), col("vec_id").as("dst_id"),
+        (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
+          sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
+        col("q"), col("n2"))
+    val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= KnnGraphK)
+  }
 
   /** [[qvSql]] with caller-chosen CTE names, so composed oracles (t18)
     * can avoid colliding with their own `qv`/`n` CTEs.

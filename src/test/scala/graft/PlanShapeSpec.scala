@@ -132,7 +132,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("v11 kNN graph: bucket equi-join (never nested-loop), bounded top-k") {
-    val p = planOf("v11_knn_graph")
+    // pin the graph-BUILD plan, not the registered query: v11 projects
+    // from the memoized v16_graph written stage, so when another suite in
+    // this JVM already paid the build, planOf("v11_knn_graph") sees only
+    // a stage scan — the join/top-k shape under test lives in the build
+    spark.catalog.clearCache()
+    val df = queries.SimilarityQueries.knnGraphBuild(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"), s"v11 build plan did not finalize")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"the self-join must key on the LSH bucket:\n$p")
     assert(p.contains("WindowGroupLimit"),
