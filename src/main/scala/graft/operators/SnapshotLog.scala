@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A committed table version: the log version number plus the file-level
   * merge report that produced it (v0's report is all-new-files).
@@ -145,6 +146,21 @@ object SnapshotLog {
       case m if m.startsWith("key=") => m.stripPrefix("key=")
     }.getOrElse(sys.error(s"version $v of $tableDir has no key= stamp"))
 
+  /** Version `v`'s LOGICAL schema, as stamped into its manifest (one json
+    * line) — how the table evolves without touching data: a version whose
+    * schema gained a column reads old files THROUGH the wider schema
+    * (parquet resolves columns by name; absent ones come back null), so
+    * schema resolution is a metadata lookup, never a footer sweep of a
+    * 100 TB file set (`mergeSchema`'s cost). Absent on manifests
+    * committed by raw [[commit]] calls — readers fall back to file-derived
+    * schema.
+    */
+  def tableSchema(spark: SparkSession, tableDir: String, v: Long): Option[StructType] =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith("schema=") =>
+        DataType.fromJson(m.stripPrefix("schema=")).asInstanceOf[StructType]
+    }
+
   private def filesOf(spark: SparkSession, tableDir: String, v: Long): Seq[Path] = {
     val table = new Path(tableDir)
     manifest(spark, tableDir, v).map(n => new Path(dataDir(table), n))
@@ -158,11 +174,15 @@ object SnapshotLog {
   /** The table as of version `v` — any retained version, not just the
     * latest (time travel). Delete vectors, if the version carries any,
     * are applied as one anti-join on the stamped key (the merge-on-read
-    * path: the masked rows' data files were never rewritten).
+    * path: the masked rows' data files were never rewritten). Files older
+    * than the version's stamped schema read THROUGH it: columns the table
+    * gained since a file was written come back null, unrewritten.
     */
   def read(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val table = new Path(tableDir)
-    val data = spark.read.parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
+    val reader = tableSchema(spark, tableDir, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    val data = reader.parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
     else {
@@ -173,6 +193,28 @@ object SnapshotLog {
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     read(spark, tableDir, latestVersion(spark, tableDir))
+
+  /** Footer-pruned point lookup: the rows of version `v` whose key is in
+    * `keys`, reading ONLY the data files whose footer key range can hold
+    * one of them — on a key-clustered 100 TB table a point lookup touches
+    * ~1 file, not the table. Planning is [[CowMerge]]'s broadcast range
+    * join over footer stats (metadata cost, |files| rows); delete-vector
+    * masks still apply, so a MoR-deleted key returns nothing.
+    */
+  def lookupKeys(spark: SparkSession, tableDir: String, v: Long,
+      keys: DataFrame): DataFrame = {
+    val table = new Path(tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val hit = CowMerge.matchFiles(spark,
+      CowMerge.keyRangesOf(spark, filesOf(spark, tableDir, v), key), keys)
+    if (hit.isEmpty) return read(spark, tableDir, v).where(lit(false))
+    val data = tableSchema(spark, tableDir, v)
+      .fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
+      .join(keys.select(col(keys.columns.head).as(key)), Seq(key), "left_semi")
+    val dels = deletes(spark, tableDir, v)
+    if (dels.isEmpty) data
+    else data.join(readDeleteKeys(spark, table, dels, key), Seq(key), "left_anti")
+  }
 
   /** Exclusive-create commit of manifest `v`. Atomic winner-takes-the-
     * version; losers get [[ConcurrentCommitException]].
@@ -217,13 +259,16 @@ object SnapshotLog {
     names
   }
 
+  private def metaOf(key: String, schema: StructType): Seq[String] =
+    Seq(s"key=$key", s"schema=${schema.json}")
+
   /** Create the table at version 0 from `df`, clustered by `key`. */
   def init(spark: SparkSession, tableDir: String, df: DataFrame, key: String,
-      numFiles: Int): SnapshotCommit = {
+      numFiles: Int, meta: Seq[String] = Nil): SnapshotCommit = {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
     val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, 0L, names, meta = Seq(s"key=$key"))
+    commit(spark, table, 0L, names, meta ++ metaOf(key, df.schema))
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
 
@@ -241,6 +286,19 @@ object SnapshotLog {
     val names = manifest(spark, tableDir, v)
     val files = filesOf(spark, tableDir, v)
     val delNames = deletes(spark, tableDir, v)
+    // SCHEMA EVOLUTION: changeset columns the base lacks widen the
+    // table's stamped schema for v+1 — rewritten/inserted files carry
+    // them physically, every untouched file keeps its bytes and reads
+    // through the wider stamp as null. The changeset must carry every
+    // payload column of the EVOLVED schema (nulls = untouched), the same
+    // contract Merge.apply enforces.
+    val baseSchema = tableSchema(spark, tableDir, v)
+      .getOrElse(spark.read.parquet(files.head.toString).schema)
+    val evolved = StructType(baseSchema.fields ++
+      cs.schema.fields.filter(f => f.name != "op" && f.name != key &&
+        !baseSchema.fieldNames.contains(f.name)))
+    def readEvolved(paths: Seq[String]): DataFrame =
+      spark.read.schema(evolved).parquet(paths: _*)
     val delKeys: Option[DataFrame] =
       if (delNames.isEmpty) None else Some(readDeleteKeys(spark, table, delNames, key))
     def masked(df: DataFrame): DataFrame =
@@ -269,10 +327,9 @@ object SnapshotLog {
 
     val rewritten: Option[DataFrame] =
       if (affected.isEmpty) None
-      else Some(Merge(masked(spark.read.parquet(affected.toSeq: _*)), updDel, key))
+      else Some(Merge(masked(readEvolved(affected.toSeq)), updDel, key))
 
-    val payload = spark.read.parquet(files.head.toString).columns
-      .filterNot(_ == key).toSeq
+    val payload = evolved.fieldNames.filterNot(_ == key).toSeq
     val admitted: Option[DataFrame] =
       if (ins.isEmpty) None
       else {
@@ -280,7 +337,7 @@ object SnapshotLog {
         Some(
           if (insCheck.isEmpty) insRows
           else insRows.join(
-            masked(spark.read.parquet(insCheck: _*).select(col(key))),
+            masked(readEvolved(insCheck).select(col(key))),
             Seq(key), "left_anti"))
       }
 
@@ -305,9 +362,27 @@ object SnapshotLog {
       case None     => Nil
     }
     commit(spark, table, v + 1, untouchedNames ++ newNames,
-      meta :+ s"key=$key", newDelNames)
+      meta ++ metaOf(key, evolved), newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
+  }
+
+  /** Full-replacement commit (REPLACE TABLE AS ... / INSERT OVERWRITE):
+    * the next version's file set is `df`, key-clustered; previous
+    * versions stay time-travel-readable until vacuumed. The right op when
+    * the table is SMALL and derived (a maintained view, a dimension
+    * snapshot) — for a big table use [[merge]], whose write is footprint-
+    * bounded.
+    */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+      key: String, numFiles: Int, meta: Seq[String] = Nil): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val before = manifest(spark, tableDir, v)
+    val names = stageFiles(spark, table, df, key, numFiles)
+    commit(spark, table, v + 1, names, meta ++ metaOf(key, df.schema))
+    SnapshotCommit(v + 1,
+      CowMergeReport(before.size, before.size, 0, names.size))
   }
 
   /** MERGE-ON-READ delete: commit `keys` as a delete vector — NO data
@@ -331,7 +406,9 @@ object SnapshotLog {
       else readDeleteKeys(spark, table, old, key)
         .unionByName(keys.select(col(key))).distinct()
     val newDel = stageFiles(spark, table, all, key, 1)
-    commit(spark, table, v + 1, names, Seq(s"key=$key"), newDel)
+    val schema = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    commit(spark, table, v + 1, names, metaOf(key, schema), newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
 
@@ -346,20 +423,27 @@ object SnapshotLog {
     val v = latestVersion(spark, tableDir)
     val key = tableKey(spark, tableDir, v)
     val before = manifest(spark, tableDir, v)
-    val newNames = stageFiles(spark, table, read(spark, tableDir, v), key, numFiles)
-    commit(spark, table, v + 1, newNames, Seq(s"key=$key"))
+    val data = read(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, data, key, numFiles)
+    commit(spark, table, v + 1, newNames, metaOf(key, data.schema))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
 
-  /** Changed rows between two committed versions, computed from the
-    * manifests' FILE DIFF: only files present in exactly one of the two
-    * versions are read. Output: `op` ([[Merge]]'s constants), the key,
-    * and the after-image payload (null for deletes); rows rewritten
-    * without change cancel in the key join and are not emitted.
+  /** The shared CDC machinery: the A-part full-outer join over the two
+    * manifests' file diff with the `op` column attached (null = a row CoW
+    * rewrote without change — both images equal), the payload column
+    * list, and the B-part full BEFORE rows (merge-on-read deletes — keys
+    * newly masked in v1 whose physical row lives in a SHARED data file,
+    * where no file diff can catch them; footer-pruned to the masked keys'
+    * footprint, semi-joined so masking an absent key is not a change).
+    * A and B are disjoint by the single-physical-copy invariant: a key's
+    * row is either in the diff (A) or shared (B), and un-delete without a
+    * file rewrite cannot happen ([[merge]] purges a mask only after
+    * rewriting the masked row's file).
     */
-  def cdc(spark: SparkSession, tableDir: String, v0: Long, v1: Long,
-      key: String): DataFrame = {
+  private def cdcParts(spark: SparkSession, tableDir: String, v0: Long,
+      v1: Long, key: String): (DataFrame, Seq[String], Option[DataFrame]) = {
     val m0 = manifest(spark, tableDir, v0).toSet
     val m1 = manifest(spark, tableDir, v1).toSet
     val table = new Path(tableDir)
@@ -371,38 +455,35 @@ object SnapshotLog {
       dk.fold(df)(k => df.join(k, Seq(key), "left_anti"))
     val dk0 = delKeysOf(v0)
     val dk1 = delKeysOf(v1)
-    def readNames(ns: Iterable[String]): DataFrame =
+    val sch0 = tableSchema(spark, tableDir, v0)
+    val sch1 = tableSchema(spark, tableDir, v1)
+    def readNames(ns: Iterable[String], sch: Option[StructType]): DataFrame =
       if (ns.isEmpty) read(spark, tableDir, v1).where(lit(false))
-      else spark.read.parquet(ns.map(n => new Path(dataDir(table), n).toString).toSeq: _*)
+      else sch.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(ns.map(n => new Path(dataDir(table), n).toString).toSeq: _*)
 
     // A-part: rows whose DATA FILE is in exactly one version, each side
-    // under its own version's delete mask.
-    val before = maskWith(readNames(m0 -- m1), dk0)
-    val after = maskWith(readNames(m1 -- m0), dk1)
-    val payload = before.columns.filterNot(_ == key).toSeq
+    // under its own version's delete mask. The BEFORE side is aligned to
+    // v1's logical schema — columns the table gained between the versions
+    // read as null on the old side, so an update that populated a new
+    // column reports null -> value, exactly the semantic change.
+    val after = maskWith(readNames(m1 -- m0, sch1), dk1)
+    val before0 = maskWith(readNames(m0 -- m1, sch0), dk0)
+    val before = after.columns.filterNot(before0.columns.contains)
+      .foldLeft(before0)((df, c) =>
+        df.withColumn(c, lit(null).cast(after.schema(c).dataType)))
+    val payload = after.columns.filterNot(_ == key).toSeq
     val b = before.as("b")
     val a = after.as("a")
-    val joined = b.join(a, col(s"b.$key") === col(s"a.$key"), "full_outer")
     val changed = payload.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
       .reduce(_ || _)
-    val aPart = joined
+    val joined = b.join(a, col(s"b.$key") === col(s"a.$key"), "full_outer")
       .withColumn("op",
         when(col(s"a.$key").isNull, Merge.OpDelete)
           .when(col(s"b.$key").isNull, Merge.OpInsert)
           .when(changed, Merge.OpUpdate))
-      .where(col("op").isNotNull)
-      .select(col("op") +: coalesce(col(s"b.$key"), col(s"a.$key")).as(key) +:
-        payload.map(c => col(s"a.$c").as(c)): _*)
 
-    // B-part: merge-on-read deletes — keys newly masked in v1 whose
-    // physical row lives in a SHARED data file (no file diff to catch
-    // them). Footer-pruned to the masked keys' footprint; the semi-join
-    // keeps only keys actually present (masking an absent key is not a
-    // change). Disjoint from A by the single-physical-copy invariant:
-    // a key's row is either in the diff (A) or shared (B), and un-delete
-    // without a file rewrite cannot happen ([[merge]] purges a mask only
-    // after rewriting the masked row's file).
-    val bPart: Option[DataFrame] = dk1.map(k1 => maskWith(k1, dk0)).flatMap { newlyMasked =>
+    val bRows: Option[DataFrame] = dk1.map(k1 => maskWith(k1, dk0)).flatMap { newlyMasked =>
       val shared = (m0 & m1).toSeq
       if (shared.isEmpty) None
       else {
@@ -410,16 +491,57 @@ object SnapshotLog {
         val hit = CowMerge.matchFiles(spark,
           CowMerge.keyRangesOf(spark, paths, key), newlyMasked)
         if (hit.isEmpty) None
-        else {
-          val sdf = spark.read.parquet(hit: _*)
-          val nulls = sdf.schema.filter(_.name != key)
-            .map(f => lit(null).cast(f.dataType).as(f.name))
-          Some(sdf.join(newlyMasked, Seq(key), "left_semi")
-            .select(lit(Merge.OpDelete).as("op") +: col(key) +: nulls: _*))
-        }
+        else Some(sch1.fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
+          .join(newlyMasked, Seq(key), "left_semi")
+          .select(col(key) +: payload.map(col): _*))
       }
     }
+    (joined, payload, bRows)
+  }
+
+  /** Changed rows between two committed versions, computed from the
+    * manifests' FILE DIFF: only files present in exactly one of the two
+    * versions are read. Output: `op` ([[Merge]]'s constants), the key,
+    * and the after-image payload (null for deletes); rows rewritten
+    * without change cancel in the key join and are not emitted.
+    */
+  def cdc(spark: SparkSession, tableDir: String, v0: Long, v1: Long,
+      key: String): DataFrame = {
+    val (joined, payload, bRows) = cdcParts(spark, tableDir, v0, v1, key)
+    val aPart = joined
+      .where(col("op").isNotNull)
+      .select(col("op") +: coalesce(col(s"b.$key"), col(s"a.$key")).as(key) +:
+        payload.map(c => col(s"a.$c").as(c)): _*)
+    val bPart = bRows.map { rows =>
+      val nulled = payload.map(c =>
+        lit(null).cast(rows.schema(c).dataType).as(c))
+      rows.select(lit(Merge.OpDelete).as("op") +: col(key) +: nulled: _*)
+    }
     bPart.fold(aPart)(bp => aPart.unionByName(bp.select(aPart.columns.map(col): _*)))
+  }
+
+  /** [[cdc]] re-shaped as SIGNED change images — the input incremental
+    * view maintenance wants ([[IncrementalView.applyCdc]]): one row per
+    * image in the table's own schema plus `__sign`: every vanished row
+    * (delete, or the BEFORE side of an update) at -1, every appeared row
+    * (insert, or the AFTER side of an update) at +1. Rows rewritten
+    * without change emit nothing, so any additive aggregate maintained
+    * from this stream moves by exactly the semantic delta. Same file-diff
+    * scan bound as [[cdc]]: only non-shared files (plus the masked-key
+    * footprint of shared files) are ever read.
+    */
+  def cdcSigned(spark: SparkSession, tableDir: String, v0: Long, v1: Long,
+      key: String): DataFrame = {
+    val (joined, payload, bRows) = cdcParts(spark, tableDir, v0, v1, key)
+    val minus = joined.where(col("op").isin(Merge.OpDelete, Merge.OpUpdate))
+      .select(col(s"b.$key").as(key) +: payload.map(c => col(s"b.$c").as(c)) :+
+        lit(-1).as("__sign"): _*)
+    val plus = joined.where(col("op").isin(Merge.OpInsert, Merge.OpUpdate))
+      .select(col(s"a.$key").as(key) +: payload.map(c => col(s"a.$c").as(c)) :+
+        lit(1).as("__sign"): _*)
+    val aPart = minus.unionByName(plus)
+    bRows.fold(aPart)(rows =>
+      aPart.unionByName(rows.withColumn("__sign", lit(-1))))
   }
 
   /** Delete manifests below `retainFrom` and every data file no retained

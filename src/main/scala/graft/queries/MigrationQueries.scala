@@ -398,6 +398,65 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // Incremental view maintenance from CDC (m14): the per-owner
+    // aggregate (row count, sum of file_source, sum of file_target
+    // length) maintained ACROSS the m12 merge by absorbing the signed
+    // change images — never re-aggregating the base. The standing view is
+    // a WRITTEN stage (|groups| rows); the maintenance job scans only
+    // that stage plus the file-diff CDC, so at 100 TB the per-changeset
+    // cost is the changeset's footprint, not the table
+    // ([[graft.operators.IncrementalView]]). The oracle recomputes the
+    // aggregate from scratch over the merged table — a plan the engine
+    // never runs — so the hash gate proves maintenance ≡ recompute:
+    // deletes debit their group, the %11 inserts create the brand-new
+    // 'merge_user' group, updates land as (-before, +after) pairs (the
+    // file_target length change), and CoW-rewritten-unchanged rows
+    // contribute exactly nothing. Group-moving updates, emptied groups,
+    // chained deltas, and the MoR-delete path are IncrementalViewSpec's.
+    Q("m14_incremental_view", Merge0.incViewSql) { (s, d) =>
+      import graft.operators.{IncrementalView, SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m12_snap", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+      }
+      val measures = Seq(
+        "sum_fs" -> col("file_source"),
+        "sum_ftl" -> length(col("file_target")).cast("long"))
+      val view0 = Stage.sharedTable(s, "m14_view0", d) {
+        IncrementalView.build(SnapshotLog.read(s, dir, 0L), "uid_owner", measures)
+      }
+      IncrementalView.applyCdc(view0,
+          SnapshotLog.cdcSigned(s, dir, 0L, 1L, "id"), "uid_owner", measures)
+        .orderBy("uid_owner")
+    },
+
+    // Schema evolution on the snapshot table (m15): a merge whose
+    // changeset carries a column the table never had (`quota`) widens the
+    // version's STAMPED schema — rewritten and inserted files carry the
+    // column physically, every untouched file keeps its exact bytes and
+    // reads through the wider stamp as null. At 100 TB this is the only
+    // viable add-column: the alternative (rewriting the table, or
+    // mergeSchema's footer sweep of every file at every read) costs a
+    // full pass; here evolution costs the changeset's footprint and
+    // schema resolution is one manifest line. The %13 updates set quota
+    // on existing rows, the %17 inserts arrive with it; everyone else
+    // reads back null through files that predate the column. Old-version
+    // reads keep the old shape, evolved CDC, and compaction
+    // materialization are SchemaEvolutionSpec's.
+    Q("m15_schema_evolution", Merge0.evolveSql) { (s, d) =>
+      import graft.operators.{Merge, SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m15_evo", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.evolveChangeset(shares), "id")
+      }
+      SnapshotLog.readLatest(s, dir)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target", "quota")
+        .orderBy("id")
     }
   )
 
@@ -445,9 +504,12 @@ object MigrationQueries {
       csDel.unionByName(csUpd).unionByName(csIns)
     }
 
-    /** The m09/m11 oracle: DuckDB's view of the post-merge share table. */
-    def keyedMergeSql: String =
-      s"""WITH ${SyntheticShares.sharesSql},
+    /** The m09 fixture's post-merge table as a CTE chain ending in
+      * `merged` — shared by the row-level oracles (m09/m11/m13) and the
+      * aggregate recompute oracle (m14).
+      */
+    def keyedMergeCtes: String =
+      s"""${SyntheticShares.sharesSql},
          |upd AS (
          |  SELECT id, '/moved/' || CAST(id AS VARCHAR) AS item_target,
          |         '/merged/' || CAST(id AS VARCHAR) AS file_target
@@ -461,18 +523,87 @@ object MigrationQueries {
          |         id AS file_source,
          |         '/n' || CAST(id AS VARCHAR) || '.dat' AS file_target
          |  FROM shares WHERE id % 11 = 0
-         |)
-         |SELECT s.id, s.share_type, s.uid_owner, s.item_type, s.item_source,
-         |       COALESCE(u.item_target, s.item_target) AS item_target,
-         |       s.file_source,
-         |       COALESCE(u.file_target, s.file_target) AS file_target
-         |FROM shares s LEFT JOIN upd u ON s.id = u.id
-         |WHERE s.id % 9 <> 0
+         |),
+         |merged AS (
+         |  SELECT s.id, s.share_type, s.uid_owner, s.item_type, s.item_source,
+         |         COALESCE(u.item_target, s.item_target) AS item_target,
+         |         s.file_source,
+         |         COALESCE(u.file_target, s.file_target) AS file_target
+         |  FROM shares s LEFT JOIN upd u ON s.id = u.id
+         |  WHERE s.id % 9 <> 0
+         |  UNION ALL
+         |  SELECT id, share_type, uid_owner, item_type, item_source, item_target,
+         |         file_source, file_target
+         |  FROM ins
+         |)""".stripMargin
+
+    /** The m09/m11 oracle: DuckDB's view of the post-merge share table. */
+    def keyedMergeSql: String =
+      s"""WITH $keyedMergeCtes
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM merged ORDER BY id""".stripMargin
+
+    /** The m15 evolution changeset: %13 updates set ONLY the brand-new
+      * `quota` column (all pre-existing payloads null = untouched), %17
+      * inserts arrive carrying it — the two ways a new column enters a
+      * live table.
+      */
+    def evolveChangeset(shares: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import graft.operators.Merge
+      val nullS = lit(null).cast("string")
+      val nullI = lit(null).cast("int")
+      val nullL = lit(null).cast("long")
+      val csUpd = shares.where(col("id") % 13 === 0)
+        .select(lit(Merge.OpUpdate).as("op"), col("id"),
+          nullI.as("share_type"), nullS.as("uid_owner"), nullS.as("item_type"),
+          nullS.as("item_source"), nullS.as("item_target"),
+          nullL.as("file_source"), nullS.as("file_target"),
+          (col("id") * 3).as("quota"))
+      val csIns = shares.where(col("id") % 17 === 0)
+        .select(lit(Merge.OpInsert).as("op"),
+          (col("id") + InsertIdOffset).as("id"),
+          lit(4).as("share_type"), lit("evo_user").as("uid_owner"),
+          lit("file").as("item_type"), col("id").cast("string").as("item_source"),
+          concat(lit("/evo/"), col("id").cast("string")).as("item_target"),
+          col("id").as("file_source"),
+          concat(lit("/e"), col("id").cast("string"), lit(".dat")).as("file_target"),
+          (col("id") * 7).as("quota"))
+      csUpd.unionByName(csIns)
+    }
+
+    /** The m15 oracle: the logical table after the add-column merge —
+      * derived straight from the moduli, with no notion of which physical
+      * files carry the column. A single row whose null didn't surface
+      * (or surfaced where a value belongs) breaks the hash.
+      */
+    def evolveSql: String =
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target,
+         |       CASE WHEN id % 13 = 0 THEN id * 3
+         |            ELSE CAST(NULL AS BIGINT) END AS quota
+         |FROM shares
          |UNION ALL
-         |SELECT id, share_type, uid_owner, item_type, item_source, item_target,
-         |       file_source, file_target
-         |FROM ins
+         |SELECT id + $InsertIdOffset, CAST(4 AS INTEGER), 'evo_user', 'file',
+         |       CAST(id AS VARCHAR), '/evo/' || CAST(id AS VARCHAR),
+         |       id, '/e' || CAST(id AS VARCHAR) || '.dat', id * 7
+         |FROM shares WHERE id % 17 = 0
          |ORDER BY id""".stripMargin
+
+    /** The m14 oracle: the maintained view's TARGET — a from-scratch
+      * recompute of the grouped aggregate over the merged table. The
+      * engine never runs this plan; it maintains v0's view by the CDC
+      * delta, and the hash gate proves the two coincide. Integer
+      * measures (sum of file_source; sum of file_target's length) keep
+      * both engines bit-exact; HUGEINT sums cast back to BIGINT.
+      */
+    def incViewSql: String =
+      s"""WITH $keyedMergeCtes
+         |SELECT uid_owner, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(file_source) AS BIGINT) AS sum_fs,
+         |       CAST(SUM(length(file_target)) AS BIGINT) AS sum_ftl
+         |FROM merged GROUP BY uid_owner ORDER BY uid_owner""".stripMargin
 
     /** The m12 oracle: the SEMANTIC change rows between the snapshot
       * table's v0 and v1 — derived straight from the changeset fixture's
