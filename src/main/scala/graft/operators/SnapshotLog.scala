@@ -238,16 +238,16 @@ object SnapshotLog {
     finally out.close()
   }
 
-  /** Stage `df` as immutable data files under `data/` (key-clustered so
-    * footer min/max stays narrow) and return their names. Spark part-file
-    * names carry the write job's UUID — globally unique, so staged files
-    * from different commits never collide.
+  /** Stage immutable data files under `data/` via `write(scratchDir)` and
+    * return their names. Spark part-file names carry the write job's
+    * UUID — globally unique, so staged files from different commits never
+    * collide.
     */
-  private def stageFiles(spark: SparkSession, table: Path, df: DataFrame,
-      key: String, numFiles: Int): Seq[String] = {
+  private def stageWith(spark: SparkSession, table: Path)
+      (write: String => Unit): Seq[String] = {
     val hfs = fs(spark, table)
     val scratch = new Path(table, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-    CowMerge.writeKeyed(df, key, numFiles, scratch.toString)
+    write(scratch.toString)
     hfs.mkdirs(dataDir(table))
     val names = hfs.listStatus(scratch).toSeq.map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -258,6 +258,13 @@ object SnapshotLog {
     hfs.delete(scratch, true)
     names
   }
+
+  /** [[stageWith]] in the default key-clustered layout (narrow footer
+    * min/max on the key — what CoW planning and [[lookupKeys]] prune on).
+    */
+  private def stageFiles(spark: SparkSession, table: Path, df: DataFrame,
+      key: String, numFiles: Int): Seq[String] =
+    stageWith(spark, table)(out => CowMerge.writeKeyed(df, key, numFiles, out))
 
   private def metaOf(key: String, schema: StructType): Seq[String] =
     Seq(s"key=$key", s"schema=${schema.json}")
@@ -497,6 +504,31 @@ object SnapshotLog {
       }
     }
     (joined, payload, bRows)
+  }
+
+  /** OPTIMIZE ZORDER: like [[compact]], but the rewritten files are
+    * clustered on the MORTON CURVE of two integer dimensions
+    * ([[ZOrder.writeClustered]]) instead of the key alone — after it,
+    * footer min/max is narrow on BOTH columns, so scans filtered on
+    * either dimension skip most files (a key-sorted layout only ever
+    * skips on the key; the second dimension spans the whole domain in
+    * every file). Same commit protocol, same CDC-invisibility, masks
+    * materialized away. `a` is typically the table key — [[lookupKeys]]
+    * still prunes on it, over curve-segmented (wider but bounded)
+    * per-file ranges.
+    */
+  def compactZ(spark: SparkSession, tableDir: String, a: String, b: String,
+      numFiles: Int): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val before = manifest(spark, tableDir, v)
+    val data = read(spark, tableDir, v)
+    val newNames = stageWith(spark, table)(out =>
+      ZOrder.writeClustered(data, a, b, numFiles, out))
+    commit(spark, table, v + 1, newNames, metaOf(key, data.schema))
+    SnapshotCommit(v + 1,
+      CowMergeReport(before.size, before.size, 0, newNames.size))
   }
 
   /** Changed rows between two committed versions, computed from the

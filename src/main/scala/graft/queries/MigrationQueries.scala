@@ -457,6 +457,37 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target", "quota")
         .orderBy("id")
+    },
+
+    // Footer-pruned point lookup on the snapshot table (m16): the
+    // reference's whole reason to exist is keyed point access (S2/S3
+    // inode lookups); this is that access pattern against the lakehouse
+    // layer. `SnapshotLog.lookupKeys` plans from footer key min/max
+    // exactly like the CoW merge — on the key-clustered table the %97
+    // probe set reads only the files whose range can hold one of its
+    // keys, never the table (MaterializedViewSpec pins the 1-of-4 scan
+    // fact; at 100 TB this is the difference between a point lookup and
+    // a table scan). Runs against m12's POST-MERGE version, so deleted
+    // probe keys (%9) must come back absent and updated ones (%5) with
+    // their merged payload — the oracle recomputes both from the moduli.
+    Q("m16_point_lookup",
+      s"""WITH ${Merge0.keyedMergeCtes}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM merged WHERE id IN (SELECT id FROM shares WHERE id % 97 = 0)
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m12_snap", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+      }
+      val probes = SyntheticShares.shares(Tables.orders(s, d))
+        .where(col("id") % 97 === 0).select("id")
+      SnapshotLog.lookupKeys(s, dir, 1L, probes)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 

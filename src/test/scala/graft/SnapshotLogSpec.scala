@@ -184,6 +184,41 @@ class SnapshotLogSpec extends SparkTestBase {
     }
   }
 
+  test("compactZ: z-ordered OPTIMIZE is CDC-invisible and narrows footers on BOTH dims") {
+    import spark.implicits._
+    import graft.operators.CowMerge
+    val dir = Files.createTempDirectory("graft_snapz").toString + "/t"
+    // ts decorrelated from id (Knuth multiplicative hash), so the
+    // key-clustered layout leaves every file's ts span ~ the full domain
+    val df = (1L to 4096L).map(i => (i, (i * 2654435761L) % 4096L, s"v$i"))
+      .toDF("id", "ts", "v")
+    SnapshotLog.init(spark, dir, df, "id", numFiles = 8)
+    def avgSpan(v: Long, colName: String): Double = {
+      val paths = SnapshotLog.manifest(spark, dir, v)
+        .map(n => new org.apache.hadoop.fs.Path(s"$dir/data/$n"))
+      val rs = CowMerge.keyRangesOf(spark, paths, colName)
+      assert(rs.forall(_.hasStats), s"missing $colName stats at v$v")
+      rs.map(r => (r.hi - r.lo).toDouble).sum / rs.size
+    }
+    val preTs = avgSpan(0, "ts")
+    assert(preTs > 4096 * 0.6, s"fixture degenerate: pre-z ts span $preTs")
+
+    val c = SnapshotLog.compactZ(spark, dir, "id", "ts", numFiles = 16)
+    // logical table unchanged, CDC-invisible like any compaction
+    assert(SnapshotLog.read(spark, dir, c.version).count() == 4096L)
+    assert(SnapshotLog.cdc(spark, dir, 0, c.version, "id").isEmpty)
+    // both dims now narrow per file: either-dimension scans skip files
+    val postTs = avgSpan(c.version, "ts")
+    val postId = avgSpan(c.version, "id")
+    assert(postTs < preTs * 0.6, s"z-order did not narrow ts: $preTs -> $postTs")
+    assert(postId < 4096 * 0.6, s"z-order left id unprunable: $postId")
+    // key lookups still footer-prune over the curve-segmented ranges
+    val hit = SnapshotLog.lookupKeys(spark, dir, c.version, Seq(77L).toDF("id"))
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((77L, "v77")))
+    assert(hit.inputFiles.length < 16, "lookup scanned every z file")
+  }
+
   test("streaming epochs stamp the manifest; a replayed epoch is skipped, never re-applied") {
     import spark.implicits._
     import graft.streaming.SnapshotStreams
