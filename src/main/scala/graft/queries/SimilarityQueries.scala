@@ -151,15 +151,19 @@ object SimilarityQueries {
     val b = bucketedQv(s, d)
     val left = b.select(col("vec_id").as("src_id"), col("bucket"),
       col("q").as("src_q"), col("n2").as("src_n2"))
+    // narrow rows through the top-k window (no vectors — see
+    // [[beamGraphEdges]]); survivors re-join the corpus for the embedded
+    // neighbor vectors
     val scored = left.join(b.select("vec_id", "bucket", "q", "n2"), Seq("bucket"))
       .where(col("vec_id") =!= col("src_id") && col("src_n2") > 0 && col("n2") > 0)
       .select(col("src_id"), col("vec_id").as("dst_id"),
         (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
-          sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
-        col("q"), col("n2"))
+          sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"))
     val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= KnnGraphK)
+      .join(b.select(col("vec_id").as("dst_id"), col("q"), col("n2")), Seq("dst_id"))
+      .select("src_id", "dst_id", "cosine", "q", "n2", "rnk")
   }
 
   /** [[qvSql]] with caller-chosen CTE names, so composed oracles (t18)
@@ -276,10 +280,14 @@ object SimilarityQueries {
     * is scored twice.
     */
   private[queries] def probeBuckets(bucket: Column): Column =
-    array((bucket +: (0 until LshPlanes).map { i =>
+    probeBucketsP(bucket, LshPlanes)
+
+  /** [[probeBuckets]] at an explicit plane count. */
+  private[queries] def probeBucketsP(bucket: Column, p: Int): Column =
+    array((bucket +: (0 until p).map { i =>
       concat(substring(bucket, 1, i),
         when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring(bucket, i + 2, LshPlanes - i - 1))
+        substring(bucket, i + 2, p - i - 1))
     }): _*)
 
   /** Multi-probe LSH search: each probe searches its own bucket AND the
@@ -340,38 +348,106 @@ object SimilarityQueries {
   val BeamHops = 5
   val BeamGraphK = 8
 
+  /** Per-bucket occupancy the beam bucketing targets: the plane count
+    * grows as ceil(log2(n / target)) (floored at [[LshPlanes]]), so the
+    * quadratic-in-occupancy bucket join stays O(n · target · planes)
+    * however big the corpus — the standard LSH sizing rule the fixed
+    * 4-plane fixture constant deliberately ignores at test scale. 512
+    * keeps every sf <= 0.1 at exactly [[LshPlanes]] (all recorded recalls
+    * and the BeamSearchSpec fixtures unchanged) and activates at sf1+
+    * (sf1: 7 planes / 128 buckets; the un-scaled build measured 75.7 s =
+    * 14.5x at 10x rows — the one super-linear query of the r11 sf1
+    * recording — and would be hopeless at 100 TB).
+    */
+  val BeamBucketTarget = 512L
+
+  private[queries] def beamPlaneCount(n: Long): Int = {
+    var p = LshPlanes
+    while (p < MaxPlanes && (n >> p) > BeamBucketTarget) p += 1
+    p
+  }
+
+  /** The corpus bucketed for the beam machinery: [[bucketedQv]]'s shared
+    * stage verbatim when [[beamPlaneCount]] resolves to [[LshPlanes]]
+    * (every certification sf), a separate written stage at the scaled
+    * plane count above it. Returns the frame plus the resolved count.
+    */
+  private[queries] def beamBucketed(s: SparkSession, d: String): (DataFrame, Int) = {
+    val p = beamPlaneCount(quantized(s, d).count())
+    if (p == LshPlanes) (bucketedQv(s, d), p)
+    else (Stage.sharedTable(s, "v16_bucketed", d) {
+      quantized(s, d).withColumn("bucket", lshBucketP(col("q"), p))
+    }, p)
+  }
+
+  /** Per-(node, bucket) edge quotas: [[BeamOwnEdges]] nearest from the
+    * node's own bucket, [[BeamFlipEdges]] nearest from EACH Hamming-1
+    * bucket. The quota is the point (HNSW's edge-diversity heuristic in
+    * bucket form): a GLOBAL top-k cut lets own-bucket neighbors crowd out
+    * every cross-bucket edge as buckets get finer — measured at sf1
+    * (6 planes): global top-8 → worst-probe recall 0.10; quotas → every
+    * node keeps a guaranteed long link PER PLANE, so any plane can be
+    * crossed in one hop from anywhere.
+    */
+  val BeamOwnEdges = 4
+  val BeamFlipEdges = 2
+
   /** The graph v16 walks. v11's kNN graph is built from OWN-BUCKET
     * candidates only, which makes it bucket-CLOSED: every neighbor of a
     * bucket member is in the same bucket, so a walk seeded from the
     * probe's bucket could never leave it (measured: beam == single-probe
     * recall exactly). A navigable graph needs CROSS-BUCKET edges — here
-    * each vector's top-[[BeamGraphK]] neighbors are drawn from its own
-    * bucket AND its [[LshPlanes]] Hamming-1 buckets (the multi-probe
-    * candidate set), so consecutive hops cross one sign-plane at a time
-    * and the walk can reach neighbors arbitrarily many planes away —
-    * the HNSW long-link effect, built from the same disjoint-bucket
-    * machinery as v06. Build cost is (planes+1) x the v11 join, paid
-    * once into a written stage with each neighbor's vector embedded.
+    * each vector keeps [[BeamOwnEdges]] own-bucket neighbors plus
+    * [[BeamFlipEdges]] from EACH Hamming-1 bucket (per-bucket quota, not
+    * a global cut), so consecutive hops cross one sign-plane at a time
+    * and the walk can reach neighbors arbitrarily many planes away — the
+    * HNSW long-link effect, built from the same disjoint-bucket machinery
+    * as v06. Build cost is (planes+1) · Σ_b occupancy_b² — bounded by
+    * [[BeamBucketTarget]] via the data-scaled plane count, so the join
+    * stays O(n · target · planes) at any corpus size; paid once into a
+    * written stage with each neighbor's vector embedded. (An NN-descent
+    * build — bounded Hamming-1 seed sample + neighbor-of-neighbor
+    * rounds — was built and measured as the alternative: 119 s and 0.30
+    * worst-probe recall at sf1; the exact bounded-bucket join beats
+    * sampling on both axes at these densities.)
     */
   private[queries] def beamGraphEdges(s: SparkSession, d: String): DataFrame =
     Stage.sharedTable(s, "v16_beam_graph", d) {
       GraftNative.ensure(s)
-      val b = bucketedQv(s, d)
-      val left = b.where(col("n2") > 0)
-        .select(col("vec_id").as("src_id"),
-          explode(probeBuckets(col("bucket"))).as("p_bucket"),
+      val (bAll, p) = beamBucketed(s, d)
+      val b = bAll.where(col("n2") > 0)
+      val left = b
+        .select(col("vec_id").as("src_id"), col("bucket").as("src_bucket"),
+          explode(probeBucketsP(col("bucket"), p)).as("p_bucket"),
           col("q").as("src_q"), col("n2").as("src_n2"))
+      // the scored frame entering the window carries NO vectors — ranking
+      // |pairs| wide rows would drag every q array through the partial
+      // sort (measured 25 s vs 3 s at sf1 for the same pair count); the
+      // survivors (|V| · quota rows) re-join the corpus for their
+      // embedded vectors afterwards, at negligible cost
       val scored = left.join(
-          b.where(col("n2") > 0).select(col("vec_id"), col("bucket"), col("q"), col("n2")),
+          b.select(col("vec_id"), col("bucket"), col("q"), col("n2")),
           col("bucket") === col("p_bucket"))
         .where(col("vec_id") =!= col("src_id"))
         .select(col("src_id"), col("vec_id").as("dst_id"),
           (GraftNative.longDot(col("src_q"), col("q")).cast("double") /
             sqrt((col("src_n2") * col("n2")).cast("double"))).as("cosine"),
-          col("q"), col("n2"))
-      val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("dst_id"))
+          col("bucket").as("dst_bucket"),
+          (col("bucket") === col("src_bucket")).as("own"))
+      // the quota window: rank within each (node, probed bucket). The
+      // window filter is the CONSTANT max quota so WindowGroupLimit
+      // kicks in (a partial top-k below the shuffle — a data-dependent
+      // bound would force the full scored set through the sort); the
+      // smaller flip quota prunes afterwards.
+      val w = Window.partitionBy("src_id", "dst_bucket")
+        .orderBy(col("cosine").desc, col("dst_id"))
       scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= BeamGraphK)
+        .where(col("rnk") <= BeamOwnEdges)
+        .where(col("own") || col("rnk") <= BeamFlipEdges)
+        .drop("own", "dst_bucket")
+        .join(b.select(col("vec_id").as("dst_id"), col("q"), col("n2")),
+          Seq("dst_id"))
+        .select("src_id", "dst_id", "cosine", "q", "n2", "rnk")
     }
 
   /** HNSW-lite beam search (v16): entry through the probe's own LSH
@@ -398,7 +474,18 @@ object SimilarityQueries {
   private[graft] def beamKnn(s: SparkSession, d: String,
       hops: Int = BeamHops, width: Int = BeamWidth): DataFrame = {
     GraftNative.ensure(s)
-    val b = bucketedQv(s, d)
+    // entry buckets at the SAME (data-scaled) plane count the graph was
+    // built with — at certification sfs this is bucketedQv verbatim.
+    // The walk LENGTH scales with the plane count too: crossing k planes
+    // takes >= k hops (edges flip one plane at a time), so each plane the
+    // bucketing gains adds a hop — at certification sfs this is exactly
+    // `hops`.
+    val (b, p) = beamBucketed(s, d)
+    // finer buckets = longer, wider walks: crossing k planes takes >= k
+    // hops (edges flip one plane at a time) and the smaller entry bucket
+    // supplies fewer seeds, so both scale with the gained planes
+    val effHops = hops + math.max(0, p - LshPlanes)
+    val effWidth = width + 8 * math.max(0, p - LshPlanes)
     val graph = beamGraphEdges(s, d)
     val probes = b.where(col("vec_id") < NumProbes && col("n2") > 0)
       .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
@@ -419,8 +506,8 @@ object SimilarityQueries {
     val rollS = new Stage.Rolling(keep = 2)
     var visited = rollV.table(hop0, "v16_visited")
     var frontier = visited.withColumn("r", row_number().over(wB))
-      .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
-    for (_ <- 1 to hops) {
+      .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
+    for (_ <- 1 to effHops) {
       val cand = graph
         .join(broadcast(frontier.withColumnRenamed("vec_id", "src_id")), Seq("src_id"))
         .select(col("probe_id"), col("dst_id").as("vec_id"), col("q"), col("n2"))
@@ -432,7 +519,7 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id"), cosineCol), "v16_scored")
       visited = rollV.table(visited.unionByName(scored), "v16_visited")
       frontier = scored.withColumn("r", row_number().over(wB))
-        .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
+        .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
     }
     visited.withColumn("rnk", row_number().over(wB))
       .where(col("rnk") <= K)
@@ -618,14 +705,27 @@ object SimilarityQueries {
     */
   val LshPlanes = 4 // 2^4 buckets: populated even at the smallest test sf;
                     // at production N, more planes = finer pruning
-  private val planes: Seq[Seq[Long]] = {
+  /** Upper bound of the shared hyperplane pool ([[beamPlaneCount]] never
+    * asks for more — 2^16 buckets holds per-bucket occupancy at
+    * [[BeamBucketTarget]] up to ~34M vectors; beyond that, raise it).
+    */
+  val MaxPlanes = 16
+  private val allPlanes: Seq[Seq[Long]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(LshPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    // one seeded stream: the first LshPlanes planes are bit-identical to
+    // the 4-plane history every oracle-pinned bucket expression uses
+    Seq.fill(MaxPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
+  private val planes: Seq[Seq[Long]] = allPlanes.take(LshPlanes)
 
-  private[graft] def lshBucket(q: Column): Column =
-    concat(planes.map(p =>
-      when(GraftNative.longDot(q, typedlit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  private[graft] def lshBucket(q: Column): Column = lshBucketP(q, LshPlanes)
+
+  /** [[lshBucket]] at an explicit plane count (prefix of the same seeded
+    * pool) — the beam machinery's data-scaled bucketing.
+    */
+  private[graft] def lshBucketP(q: Column, p: Int): Column =
+    concat(allPlanes.take(p).map(pl =>
+      when(GraftNative.longDot(q, typedlit(pl)) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   private[queries] def lshBucketSql(q: String): String =
     planes.map { p =>
