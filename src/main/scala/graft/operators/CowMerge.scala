@@ -136,10 +136,23 @@ object CowMerge {
   /** Files from `ranges` whose [lo, hi] intersects any key in `keys` —
     * the broadcast range join of planning. `keys` is changeset-sized;
     * `ranges` is |files|-rows and broadcast.
+    *
+    * The long-range stats only exist for INTEGRAL keys ([[keyRangesOf]]).
+    * For any other key type planning degrades to the conservative answer
+    * — every file matches (so the merge rewrites everything, correct but
+    * unpruned) — rather than casting the keys to long, which for e.g. a
+    * string key yields all-null → zero matches → updates and deletes
+    * silently dropped.
     */
   private[operators] def matchFiles(spark: SparkSession, ranges: Seq[CowFileStats],
       keys: DataFrame): Seq[String] = {
     if (ranges.isEmpty) return Nil
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = keys.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (!integral) return if (keys.isEmpty) Nil else ranges.map(_.file)
     import spark.implicits._
     val rdf = ranges.toDF()
     keys.select(col(keys.columns.head).cast("long").as("__k")).na.drop().distinct()

@@ -217,7 +217,11 @@ object SnapshotLog {
   }
 
   /** Exclusive-create commit of manifest `v`. Atomic winner-takes-the-
-    * version; losers get [[ConcurrentCommitException]].
+    * version; losers get [[ConcurrentCommitException]]. Only the
+    * ALREADY-EXISTS signal is mapped to the race exception — a transient
+    * I/O or permission failure is rethrown as what it is, so callers'
+    * retry loops ([[commitWithRetry]]) never spin on a broken filesystem
+    * believing they lost a race.
     */
   private[graft] def commit(spark: SparkSession, table: Path, v: Long,
       names: Seq[String], meta: Seq[String] = Nil,
@@ -225,13 +229,18 @@ object SnapshotLog {
     val hfs = fs(spark, table)
     hfs.mkdirs(logDir(table))
     val p = manifestPath(table, v)
+    def race(e: Exception) = new ConcurrentCommitException(
+      s"version $v already committed under $table (${e.getMessage}); " +
+        "re-read the latest manifest and re-plan the merge")
     val out =
       try hfs.create(p, false)
       catch {
-        case e: java.io.IOException =>
-          throw new ConcurrentCommitException(
-            s"version $v already committed under $table (${e.getMessage}); " +
-              "re-read the latest manifest and re-plan the merge")
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw race(e)
+        case e: java.nio.file.FileAlreadyExistsException        => throw race(e)
+        // some FileSystem impls signal the lost create race as a bare
+        // IOException — only the post-hoc existence check separates it
+        // from a genuine I/O failure, which must propagate unchanged
+        case e: java.io.IOException if hfs.exists(p) => throw race(e)
       }
     val lines = meta.map("# " + _) ++ delNames.sorted.map("-" + _) ++ names.sorted
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -482,8 +491,11 @@ object SnapshotLog {
     val payload = after.columns.filterNot(_ == key).toSeq
     val b = before.as("b")
     val a = after.as("a")
+    // foldLeft, not reduce: a key-only table has no payload columns, and
+    // its rows genuinely cannot "change" — updates are impossible, so the
+    // changed predicate is the false literal, not an empty-reduce crash
     val changed = payload.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     val joined = b.join(a, col(s"b.$key") === col(s"a.$key"), "full_outer")
       .withColumn("op",
         when(col(s"a.$key").isNull, Merge.OpDelete)
@@ -576,12 +588,55 @@ object SnapshotLog {
       aPart.unionByName(rows.withColumn("__sign", lit(-1))))
   }
 
+  /** Re-run `plan` on [[ConcurrentCommitException]] — the optimistic-
+    * concurrency retry loop every multi-writer deployment needs: `plan`
+    * must RE-READ the table state each attempt (every committing op here
+    * does — [[merge]]/[[deleteKeys]]/[[compact]] resolve `latestVersion`
+    * on entry), so the loser of a version race re-plans against the
+    * winner's manifest instead of blindly re-creating the same file.
+    * Only the race signal retries; any other failure propagates on the
+    * first throw (see [[commit]]'s exception discipline).
+    */
+  def commitWithRetry[A](maxAttempts: Int = 5)(plan: => A): A = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return plan
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Grace window [[vacuum]] applies before reclaiming an UNREFERENCED
+    * file: a concurrent commit stages its data files under `data/`
+    * BEFORE its manifest create, so a zero-grace sweep could delete an
+    * in-flight commit's files and leave the winning manifest referencing
+    * nothing. 15 minutes bounds the stage-to-commit window of any sane
+    * writer by orders of magnitude.
+    */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
   /** Delete manifests below `retainFrom` and every data file no retained
     * manifest references (expired versions' exclusive files + crash
-    * orphans never committed). Returns (manifests deleted, data files
-    * deleted). Versions >= retainFrom stay fully readable.
+    * orphans never committed), plus crashed `.stage-*` scratch dirs.
+    * Returns (manifests deleted, data files deleted — staged scratch
+    * files included).
+    *
+    * Reader contract: versions >= retainFrom stay fully readable forever;
+    * a time-travel read of a version being EXPIRED by this call is only
+    * safe while the files it scans survive — pin retention (retainFrom)
+    * at or below the oldest version any in-flight reader holds, exactly
+    * Delta's retention-duration rule. Unreferenced files younger than
+    * `graceMs` are NEVER deleted (nor are young scratch dirs): they may
+    * be an in-flight commit's staged output, invisible only because its
+    * manifest hasn't landed yet (see [[DefaultVacuumGraceMs]]).
     */
-  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): (Int, Int) = {
+  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long,
+      graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     val table = new Path(tableDir)
     val hfs = fs(spark, table)
     val (expired, retained) = versions(spark, tableDir).partition(_ < retainFrom)
@@ -589,10 +644,23 @@ object SnapshotLog {
     val live = retained
       .flatMap(v => manifest(spark, tableDir, v) ++ deletes(spark, tableDir, v))
       .toSet
-    val dead = hfs.listStatus(dataDir(table)).toSeq.map(_.getPath.getName)
-      .filterNot(live)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = hfs.listStatus(dataDir(table)).toSeq
+      .filter(st => !live(st.getPath.getName) && st.getModificationTime < cutoff)
+      .map(_.getPath.getName)
     dead.foreach(n => hfs.delete(new Path(dataDir(table), n), false))
+    // crashed stage scratch: a writer that died between stageWith's write
+    // and its renames leaves a .stage-* dir no manifest will ever
+    // reference — reclaim it under the same grace window
+    val staleStages = hfs.listStatus(table).toSeq
+      .filter(st => st.getPath.getName.startsWith(".stage-") &&
+        st.getModificationTime < cutoff)
+    var nStaged = 0
+    staleStages.foreach { st =>
+      nStaged += hfs.listStatus(st.getPath).length
+      hfs.delete(st.getPath, true)
+    }
     expired.foreach(v => hfs.delete(manifestPath(table, v), false))
-    (expired.size, dead.size)
+    (expired.size, dead.size + nStaged)
   }
 }

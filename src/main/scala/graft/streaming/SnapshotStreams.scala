@@ -1,13 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import graft.operators.{SnapshotCommit, SnapshotLog}
+import graft.operators.{MaterializedView, SnapshotCommit, SnapshotLog}
 
-/** Streaming CDC into the manifest-committed snapshot table — m12's
-  * continuous twin, with a twist the other streaming sinks can't offer:
-  * THE TRANSACTION LOG IS THE EPOCH LEDGER. [[MergeStreams]] needs a
-  * separate [[EpochLedger]] because its JDBC statements leave no
+/** Streaming CDC into AND out of the manifest-committed snapshot table —
+  * m12's continuous twin, with a twist the other streaming sinks can't
+  * offer: THE TRANSACTION LOG IS THE EPOCH LEDGER. [[MergeStreams]] needs
+  * a separate [[EpochLedger]] because its JDBC statements leave no
   * replay-detectable trace; here every commit is already an atomic,
   * exclusive manifest create, so the epoch stamp rides INSIDE the
   * manifest as commit metadata (`txn=<streamId>/<epochId>`) and replay
@@ -22,16 +24,53 @@ import graft.operators.{SnapshotCommit, SnapshotLog}
   * construction (no manifest references them; [[SnapshotLog.vacuum]]
   * reclaims), and a replayed epoch either finds its txn stamp (skip) or
   * re-stages and commits fresh files — never a double apply, because the
-  * stamp and the data commit are one atomic create.
+  * stamp and the data commit are one atomic file create.
+  *
+  * The SOURCE side ([[readVersionFeed]]/[[readChanges]]/[[maintainView]])
+  * closes the loop the sink opens: because a commit IS one new file under
+  * `_log/`, the log directory is ALREADY a stream Spark's file source can
+  * tail — no custom DSv2 source, no polling loop. Each newly committed
+  * version's manifest arrives as micro-batch input exactly once (the file
+  * source checkpoint tracks processed files), and the batch handler turns
+  * the version range into [[SnapshotLog.cdcSigned]] deltas — the
+  * Delta-style version-fed CDC stream, at file-diff scan cost per batch.
   */
 object SnapshotStreams {
 
-  /** True iff some committed version carries this stream's epoch stamp. */
+  /** Per-(table, stream) replay watermark: the highest epoch id whose txn
+    * stamp has been SEEN in a committed manifest, plus the version the
+    * scan has covered. Epochs are monotone per stream (structured
+    * streaming batch ids), so `epochId <= max seen` decides replay — the
+    * standard lakehouse txn-version check — and each call only scans
+    * manifests committed since the previous call: O(total versions) reads
+    * over a stream's whole lifetime, not per micro-batch. The cache is
+    * advisory (a cold JVM rebuilds it from the manifests on first call),
+    * so crash-restart correctness never depends on it.
+    */
+  private val epochSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** True iff some committed version carries this stream's epoch stamp
+    * (or an stamp of a LATER epoch — epochs commit in order, so a lower
+    * id than the watermark is by definition a replay).
+    */
   def epochCommitted(spark: SparkSession, tableDir: String, streamId: String,
       epochId: Long): Boolean = {
-    val stamp = s"txn=$streamId/$epochId"
-    SnapshotLog.versions(spark, tableDir)
-      .exists(v => SnapshotLog.manifestMeta(spark, tableDir, v).contains(stamp))
+    val cacheKey = s"$tableDir|$streamId"
+    val vs = SnapshotLog.versions(spark, tableDir)
+    if (vs.isEmpty) return false
+    val (scannedThrough, cachedMax) =
+      Option(epochSeen.get(cacheKey)).getOrElse((-1L, Long.MinValue))
+    val stampPrefix = s"txn=$streamId/"
+    var maxEpoch = cachedMax
+    vs.iterator.filter(_ > scannedThrough).foreach { v =>
+      SnapshotLog.manifestMeta(spark, tableDir, v).foreach { m =>
+        if (m.startsWith(stampPrefix))
+          maxEpoch = math.max(maxEpoch, m.stripPrefix(stampPrefix).toLong)
+      }
+    }
+    epochSeen.put(cacheKey, (vs.last, maxEpoch))
+    epochId <= maxEpoch
   }
 
   /** One epoch's changeset applied copy-on-write, replay-safe: skipped
@@ -54,12 +93,96 @@ object SnapshotStreams {
     */
   def writeStreamExactlyOnce(cs: DataFrame, tableDir: String,
       streamId: String, key: String)
-      (onCommit: (SnapshotCommit, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      (onCommit: (SnapshotCommit, Long) => Unit): DataStreamWriter[Row] =
     cs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyEpoch(batch.sparkSession, tableDir, batch, batchId, streamId, key)
           .foreach(c => onCommit(c, batchId))
         () // discard: foreachBatch wants Unit
+      }
+
+  // ------------------------------------------------------------------
+  // Source side: the _log directory as a stream
+  // ------------------------------------------------------------------
+
+  /** The table's commit feed as a STREAMING DataFrame: one row per
+    * manifest line, with the committed version attached. Commit =
+    * exclusive manifest create = one new file under `_log/`, so Spark's
+    * file stream source tails the log natively — each committed version
+    * arrives in exactly one micro-batch (the source checkpoint tracks
+    * processed files), with no custom source and no polling of table
+    * state. At 100 TB the batch input is manifest TEXT (file-count-sized
+    * metadata), never data.
+    */
+  def readVersionFeed(spark: SparkSession, tableDir: String): DataFrame =
+    spark.readStream.text(new Path(tableDir, "_log").toString)
+      .select(col("value"),
+        regexp_extract(col("_metadata").getField("file_name"),
+          "^(\\d+)\\.manifest$", 1).cast("long").as("version"))
+      .where(col("version").isNotNull)
+
+  /** Streaming CDC source: each micro-batch hands `process` the SIGNED
+    * change images ([[SnapshotLog.cdcSigned]]'s `__sign` contract) of
+    * every version committed since the last processed one, as ONE
+    * composed delta (the file diff of the batch's version range), plus
+    * the (fromVersion, toVersion) range it covers. The first batch —
+    * which contains version 0's manifest — bootstraps with v0's full
+    * content as +1 images before the diff, so a consumer folding the
+    * deltas from an empty state converges on the live table.
+    *
+    * Delivery is exactly-once per CHECKPOINT but at-least-once across
+    * crashes (foreachBatch replays the in-flight batch), so `process`
+    * must be idempotent — keyed on `toVersion`, exactly how
+    * [[maintainView]]'s watermark makes the end-to-end loop exactly-once.
+    */
+  def readChanges(spark: SparkSession, tableDir: String, key: String)
+      (process: (DataFrame, Long, Long) => Unit): DataStreamWriter[Row] =
+    readVersionFeed(spark, tableDir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (vs.nonEmpty) {
+          val session = batch.sparkSession
+          // versions are contiguous and the file source delivers each
+          // manifest once, in order: everything below the batch's first
+          // version was already processed by an earlier batch
+          val to = vs.last
+          val from = vs.head - 1
+          val signed =
+            if (from < 0) {
+              val bootstrap = SnapshotLog.read(session, tableDir, 0L)
+                .withColumn("__sign", lit(1))
+              if (to == 0L) bootstrap
+              else bootstrap.unionByName(
+                SnapshotLog.cdcSigned(session, tableDir, 0L, to, key))
+            } else SnapshotLog.cdcSigned(session, tableDir, from, to, key)
+          process(signed, math.max(from, 0L), to)
+        }
+        ()
+      }
+
+  /** CONTINUOUS incremental view maintenance — the completion of m14's
+    * loop: tail the base table's commit feed and absorb every new version
+    * into the durable [[MaterializedView]] as it lands. Each micro-batch
+    * is one [[MaterializedView.refresh]]: delta-bounded (one cdcSigned
+    * file-diff scan + the |groups|-row view, never the base), and
+    * idempotent through the view's atomic `asof` watermark — a replayed
+    * batch (crash between refresh and checkpoint advance) finds
+    * asof == latest and no-ops, so the maintained view is exactly-once
+    * end-to-end with no state beyond the two transaction logs themselves.
+    */
+  def maintainView(spark: SparkSession, baseDir: String, viewDir: String,
+      measures: Seq[(String, org.apache.spark.sql.Column)],
+      numFiles: Int = 1)
+      (onRefresh: SnapshotCommit => Unit = _ => ()): DataStreamWriter[Row] =
+    readVersionFeed(spark, baseDir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          MaterializedView.refresh(batch.sparkSession, baseDir, viewDir,
+            measures, numFiles).foreach(onRefresh)
+        ()
       }
 }

@@ -139,4 +139,31 @@ class CowMergeSpec extends SparkTestBase {
     CowMerge.execute(spark, dir, cs, "id")
     assert(rows(spark.read.parquet(dir)) == rows(Merge(base, cs, "id")))
   }
+
+  test("non-integral key: planning degrades to rewrite-all, never drops updates or admits dup inserts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cow4").toString
+    val dir = s"$root/table"
+    // STRING-keyed table: parquet footers carry binary stats the long-
+    // range planner can't use — the conservative path must treat every
+    // file as affected, not cast the keys to all-null and match nothing
+    val base = (1 to 50).map(i => (f"k$i%03d", i.toLong)).toDF("k", "x")
+    CowMerge.writeKeyed(base, "k", numFiles = 4, dir)
+    val cs = Seq(
+      (Merge.OpUpdate, "k010", 9999L),
+      (Merge.OpDelete, "k020", 0L),
+      (Merge.OpInsert, "k030", 7L),   // existing key: must be IGNORED
+      (Merge.OpInsert, "zzz1", 42L))  // fresh key: must land
+      .toDF("op", "k", "x")
+    val report = CowMerge.execute(spark, dir, cs, "k")
+    assert(report.nRewritten == report.nFilesBefore,
+      s"string key must match all files conservatively, got $report")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("k010") == 9999L, "update silently dropped on non-integral key")
+    assert(!got.contains("k020"), "delete silently dropped on non-integral key")
+    assert(got("k030") == 30L, "duplicate-key insert admitted on non-integral key")
+    assert(got("zzz1") == 42L)
+    assert(got.size == 50, s"row count drifted: ${got.size}")
+  }
 }

@@ -103,7 +103,7 @@ class MorDeleteSpec extends SparkTestBase {
     SnapshotLog.deleteKeys(spark, dir, Seq(1L).toDF("id"), "id")
     SnapshotLog.deleteKeys(spark, dir, Seq(6L).toDF("id"), "id") // consolidates
     val liveDel = SnapshotLog.deletes(spark, dir, 2)
-    val (nM, nF) = SnapshotLog.vacuum(spark, dir, retainFrom = 2)
+    val (nM, nF) = SnapshotLog.vacuum(spark, dir, retainFrom = 2, graceMs = 0L)
     assert(nM == 2)
     assert(nF == 1, s"expected exactly v1's superseded delete vector, got $nF")
     assert(SnapshotLog.deletes(spark, dir, 2) == liveDel)

@@ -171,16 +171,88 @@ class SnapshotLogSpec extends SparkTestBase {
 
     val m0 = SnapshotLog.manifest(spark, dir, 0).toSet
     val m1 = SnapshotLog.manifest(spark, dir, 1).toSet
-    val (nManifests, nFiles) = SnapshotLog.vacuum(spark, dir, retainFrom = 1)
+    // a PLANNED time-travel read of the retained version, issued before
+    // the vacuum — the reader contract: retained versions survive
+    val retainedRead = SnapshotLog.read(spark, dir, 1)
+    val (nManifests, nFiles) = SnapshotLog.vacuum(spark, dir, retainFrom = 1,
+      graceMs = 0L)
     assert(nManifests == 1)
     assert(nFiles == (m0 -- m1).size + 1, "expected v0-exclusive files + the orphan")
     assert(!orphan.exists)
     assert(SnapshotLog.versions(spark, dir) == Seq(1L))
-    // the retained version is untouched
+    // the retained version is untouched — including the mid-scan reader
+    assert(rows(retainedRead) == v1Rows)
     assert(rows(SnapshotLog.read(spark, dir, 1)) == v1Rows)
     // retaining nothing is refused
     intercept[IllegalArgumentException] {
-      SnapshotLog.vacuum(spark, dir, retainFrom = 99)
+      SnapshotLog.vacuum(spark, dir, retainFrom = 99, graceMs = 0L)
+    }
+  }
+
+  test("vacuum grace window: young unreferenced files (in-flight commits) survive; stale stage dirs are swept") {
+    val dir = Files.createTempDirectory("graft_snapg").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 4)
+    SnapshotLog.merge(spark, dir, narrowChangeset(b), "id")
+    // a FRESH orphan — indistinguishable from a concurrent commit's just-
+    // staged data file (staged under data/ BEFORE its manifest create)
+    val fresh = new java.io.File(s"$dir/data/part-inflight-commit.parquet")
+    val fw = new java.io.FileWriter(fresh); fw.write("x"); fw.close()
+    // a STALE crashed-stage scratch dir (writer died before its renames)
+    val staleStage = new java.io.File(s"$dir/.stage-deadbeef")
+    staleStage.mkdirs()
+    val sf = new java.io.File(staleStage, "part-crashed.parquet")
+    val sw = new java.io.FileWriter(sf); sw.write("y"); sw.close()
+    staleStage.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+
+    val m0 = SnapshotLog.manifest(spark, dir, 0).toSet
+    val m1 = SnapshotLog.manifest(spark, dir, 1).toSet
+    // default grace: NO young unreferenced file is deleted — not the
+    // orphan (it may be an in-flight commit's staged data) and not even
+    // v0's just-expired exclusive files (a reader may still be scanning
+    // them; they wait out the grace window, Delta's retention rule) —
+    // while the STALE stage dir is reclaimed
+    val (nM, nF) = SnapshotLog.vacuum(spark, dir, retainFrom = 1)
+    assert(nM == 1)
+    assert(fresh.exists, "grace window violated: fresh unreferenced file deleted")
+    assert(!staleStage.exists, "stale .stage-* scratch not reclaimed")
+    assert(nF == 1, "expected exactly the stale stage orphan")
+    // once the grace expires (forced here via graceMs = 0), the expired
+    // version's files and the orphan are reclaimed on the next sweep
+    val (_, nF2) = SnapshotLog.vacuum(spark, dir, retainFrom = 1, graceMs = 0L)
+    assert(nF2 == (m0 -- m1).size + 1, "expected v0-exclusive files + the orphan")
+    assert(!fresh.exists)
+  }
+
+  test("commitWithRetry: the race loser re-plans and lands; both writers' commits stand") {
+    val dir = Files.createTempDirectory("graft_snapr").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 4)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val v0Names = SnapshotLog.manifest(spark, dir, 0)
+
+    // writer A plans against the version it read, but writer B commits
+    // that version first (the injected interleaving) — A's first attempt
+    // throws ConcurrentCommitException; the retry re-reads the log and
+    // lands on top of B
+    var attempts = 0
+    SnapshotLog.commitWithRetry(maxAttempts = 3) {
+      val v = SnapshotLog.latestVersion(spark, dir)
+      attempts += 1
+      if (attempts == 1) // B sneaks in between A's read and A's create
+        SnapshotLog.commit(spark, table, v + 1, v0Names, meta = Seq("writer=B"))
+      SnapshotLog.commit(spark, table, v + 1, v0Names, meta = Seq("writer=A"))
+    }
+    assert(attempts == 2, s"expected one race retry, took $attempts attempts")
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(SnapshotLog.manifestMeta(spark, dir, 1).contains("writer=B"))
+    assert(SnapshotLog.manifestMeta(spark, dir, 2).contains("writer=A"))
+
+    // exhausted retries rethrow the race signal
+    intercept[ConcurrentCommitException] {
+      SnapshotLog.commitWithRetry(maxAttempts = 2) {
+        SnapshotLog.commit(spark, table, 1L, v0Names)
+      }
     }
   }
 
