@@ -488,6 +488,39 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // SQL DML surface (m17): the m09 changeset applied VIA SQL TEXT — one
+    // `MERGE INTO` statement parsed by the session's own parser
+    // (GraftExtensions injects [[graft.sql.GraftSqlParser]]), rewritten to
+    // a runnable command, executed through [[SnapshotLog.merge]]'s
+    // copy-on-write transaction-log path. The oracle is m09/m11's DuckDB
+    // MERGE twin VERBATIM, so the SQL entry surface is certified
+    // hash-equal to both the functional merge and the Scala-API CoW
+    // merge: a SQL-only user writes the lakehouse table with zero
+    // semantic drift. UPDATE/DELETE statements and the guard rails are
+    // SqlDmlSpec's.
+    Q("m17_sql_merge", Merge0.keyedMergeSql) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      import graft.sql.SnapshotDml
+      val dir = Stage.sharedDir(s, "m17_sql", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotDml.register(s, "m17_snap", out)
+        Merge0.changeset(shares).createOrReplaceTempView("m17_cs")
+        s.sql(
+          """MERGE INTO m17_snap t USING m17_cs c ON t.id = c.id
+            |WHEN MATCHED AND c.op = 'delete' THEN DELETE
+            |WHEN MATCHED AND c.op = 'update' THEN
+            |  UPDATE SET item_target = c.item_target, file_target = c.file_target
+            |WHEN NOT MATCHED AND c.op = 'insert' THEN INSERT *
+            |""".stripMargin).collect()
+        ()
+      }
+      SnapshotLog.readLatest(s, dir)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 

@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into two `private[sql]` seams a session-extension library
+  * legitimately needs (the usual pattern for Spark extensions — the
+  * members are stable across the 3.x/4.x line but scoped to Spark's own
+  * package tree, so the bridge lives in a subpackage of it):
+  *
+  *  - [[ofRows]]: analyze + wrap a hand-built [[LogicalPlan]] as a
+  *    DataFrame — how [[graft.sql.SnapshotDml]]'s parser-injected DML
+  *    commands turn their rewritten plans (unresolved projections over
+  *    the snapshot read) into executable frames;
+  *  - [[column]]: lift a catalyst [[Expression]] into a public
+  *    [[Column]] (Spark 4 removed the public Column-from-Expression
+  *    constructor in favor of ColumnNode).
+  */
+object CatalystBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+}
