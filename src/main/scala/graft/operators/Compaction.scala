@@ -72,8 +72,10 @@ object Compaction {
       targetFileBytes: Long, tombstones: org.apache.spark.sql.DataFrame,
       key: String, sortBy: Seq[String] = Nil): Int = {
     val n = math.max(1L, (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    // size-guarded hint: a contract-sized tombstone batch broadcasts; a
+    // 100x one degrades to a shuffle anti-join instead of OOMing the driver
     val df = spark.read.parquet(inDir)
-      .join(org.apache.spark.sql.functions.broadcast(tombstones), Seq(key), "left_anti")
+      .join(Joins.sizedBroadcast(tombstones), Seq(key), "left_anti")
     val laid =
       if (sortBy.nonEmpty) {
         val cols = sortBy.map(org.apache.spark.sql.functions.col)

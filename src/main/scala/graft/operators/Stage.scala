@@ -175,6 +175,32 @@ object Stage {
   /** Forget memoized shared stages (files stay until JVM exit). */
   def resetShared(): Unit = shared.clear()
 
+  /** Total row count of a written parquet directory from its file
+    * FOOTERS — driver-side metadata reads (one ranged footer fetch per
+    * file), no Spark job, no column scan. The way a standing build reads
+    * "how big is this stage" at 100 TB: a `df.count()` action would scan
+    * a column of the whole corpus to learn a number the footers already
+    * hold.
+    */
+  def rowCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try n += reader.getRecordCount
+        finally reader.close()
+      }
+    }
+    n
+  }
+
   /** The memoized shared stages built so far for input `dir` under the
     * session's stage root: stage name -> written path. This is the
     * catalog surface's inventory ([[graft.GraftCatalog.registerStages]]

@@ -1163,7 +1163,10 @@ object DedupQueries {
       val comp = minhashComponents(s, d)
       val dropIds = comp.where(col("doc_id") =!= col("component")).select("doc_id")
       dupDocs(s, d).select("doc_id")
-        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        // size-guarded: the drop list is dup-count-sized by contract, but
+        // a pathological corpus (everything duplicated) must degrade to a
+        // shuffle anti-join, not OOM the driver
+        .join(graft.operators.Joins.sizedBroadcast(dropIds), Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
 

@@ -88,9 +88,16 @@ object SimilarityQueries {
   val IvfCells = 8
   val IvfIters = 3
 
-  private[queries] def quantized(s: SparkSession, d: String): DataFrame = {
+  private[queries] def quantized(s: SparkSession, d: String): DataFrame =
+    quantizedWithPath(s, d)._1
+
+  /** [[quantized]] plus its written directory — the beam machinery reads
+    * the corpus SIZE from this stage's parquet footers ([[Stage.rowCount]],
+    * metadata-only) instead of running a count() action over the corpus.
+    */
+  private[queries] def quantizedWithPath(s: SparkSession, d: String): (DataFrame, String) = {
     GraftNative.ensure(s)
-    Stage.sharedTable(s, "qv", d) {
+    Stage.sharedTableWithPath(s, "qv", d) {
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("q"))
         .withColumn("n2", GraftNative.longDot(col("q"), col("q")))
@@ -371,12 +378,21 @@ object SimilarityQueries {
     * stage verbatim when [[beamPlaneCount]] resolves to [[LshPlanes]]
     * (every certification sf), a separate written stage at the scaled
     * plane count above it. Returns the frame plus the resolved count.
+    * The corpus size feeding the plane count comes from the quantized
+    * stage's parquet FOOTERS (metadata reads), never a count() action —
+    * at 100 TB a full-column scan just to compute ceil(log2(n/512)) per
+    * build/search session would dwarf the build itself. `pOverride` pins
+    * the plane count explicitly (tests exercising the scaled path at
+    * small sf); the stage name carries the plane count so differently-
+    * bucketed builds never collide.
     */
-  private[queries] def beamBucketed(s: SparkSession, d: String): (DataFrame, Int) = {
-    val p = beamPlaneCount(quantized(s, d).count())
+  private[queries] def beamBucketed(s: SparkSession, d: String,
+      pOverride: Option[Int] = None): (DataFrame, Int) = {
+    val (qv, qvPath) = quantizedWithPath(s, d)
+    val p = pOverride.getOrElse(beamPlaneCount(Stage.rowCount(s, qvPath)))
     if (p == LshPlanes) (bucketedQv(s, d), p)
-    else (Stage.sharedTable(s, "v16_bucketed", d) {
-      quantized(s, d).withColumn("bucket", lshBucketP(col("q"), p))
+    else (Stage.sharedTable(s, s"v16_bucketed_p$p", d) {
+      qv.withColumn("bucket", lshBucketP(col("q"), p))
     }, p)
   }
 
@@ -411,10 +427,11 @@ object SimilarityQueries {
     * worst-probe recall at sf1; the exact bounded-bucket join beats
     * sampling on both axes at these densities.)
     */
-  private[queries] def beamGraphEdges(s: SparkSession, d: String): DataFrame =
-    Stage.sharedTable(s, "v16_beam_graph", d) {
-      GraftNative.ensure(s)
-      val (bAll, p) = beamBucketed(s, d)
+  private[queries] def beamGraphEdges(s: SparkSession, d: String,
+      pOverride: Option[Int] = None): DataFrame = {
+    GraftNative.ensure(s)
+    val (bAll, p) = beamBucketed(s, d, pOverride)
+    Stage.sharedTable(s, s"v16_beam_graph_p$p", d) {
       val b = bAll.where(col("n2") > 0)
       val left = b
         .select(col("vec_id").as("src_id"), col("bucket").as("src_bucket"),
@@ -449,6 +466,7 @@ object SimilarityQueries {
           Seq("dst_id"))
         .select("src_id", "dst_id", "cosine", "q", "n2", "rnk")
     }
+  }
 
   /** HNSW-lite beam search (v16): entry through the probe's own LSH
     * bucket (the coarse locator — exactly v04's candidate set, scored in
@@ -472,28 +490,42 @@ object SimilarityQueries {
     * (d24's contracted-loop discipline).
     */
   private[graft] def beamKnn(s: SparkSession, d: String,
-      hops: Int = BeamHops, width: Int = BeamWidth): DataFrame = {
+      hops: Int = BeamHops, width: Int = BeamWidth,
+      pOverride: Option[Int] = None): DataFrame = {
     GraftNative.ensure(s)
     // entry buckets at the SAME (data-scaled) plane count the graph was
     // built with — at certification sfs this is bucketedQv verbatim.
-    // The walk LENGTH scales with the plane count too: crossing k planes
-    // takes >= k hops (edges flip one plane at a time), so each plane the
-    // bucketing gains adds a hop — at certification sfs this is exactly
-    // `hops`.
-    val (b, p) = beamBucketed(s, d)
-    // finer buckets = longer, wider walks: crossing k planes takes >= k
-    // hops (edges flip one plane at a time) and the smaller entry bucket
-    // supplies fewer seeds, so both scale with the gained planes
-    val effHops = hops + math.max(0, p - LshPlanes)
-    val effWidth = width + 8 * math.max(0, p - LshPlanes)
-    val graph = beamGraphEdges(s, d)
-    val probes = b.where(col("vec_id") < NumProbes && col("n2") > 0)
-      .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+    val (b, p) = beamBucketed(s, d, pOverride)
+    // HNSW-style coarse entry instead of a longer walk: when the data-
+    // scaled bucketing is FINER than the fixture planes, the entry probes
+    // the probe's own bucket AND its p Hamming-1 flips (v06's disjoint
+    // multi-probe set) — seeds land one flip away on EVERY plane, so a
+    // bucket k flips away is reachable in k-1 graph hops from the best
+    // entry instead of k hops from a single-bucket start. That keeps the
+    // walk CONSTANT (`hops`/`width`, no per-plane scaling — the previous
+    // scheme's effHops/effWidth grew linearly with gained planes, an 80-
+    // wide walk by sf100) at entry cost (p+1) * target occupancy, i.e.
+    // O(log n * 512) scored entry rows per probe. Certification sfs keep
+    // the single-bucket entry bit-for-bit (p == LshPlanes).
+    val graph = beamGraphEdges(s, d, pOverride)
+    val entryBucket =
+      if (p > LshPlanes) explode(probeBucketsP(col("bucket"), p))
+      else col("bucket")
+    // one row per probe (scoring side) vs one row per probed ENTRY
+    // bucket (hop-0 join side) — the loop's re-score join must see each
+    // probe once or the multi-probe explode would multiply candidates
+    val probeVecs = b.where(col("vec_id") < NumProbes && col("n2") > 0)
+      .select(col("vec_id").as("probe_id"), col("bucket"),
         col("q").as("p_q"), col("n2").as("p_n2"))
+    val probes = probeVecs
+      .select(col("probe_id"), entryBucket.as("p_bucket"),
+        col("p_q"), col("p_n2"))
     def cosineCol = (GraftNative.longDot(col("p_q"), col("q")).cast("double") /
       sqrt((col("p_n2") * col("n2")).cast("double"))).as("cosine")
     val wB = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
-    // hop 0: the bucket entry — v04's whole candidate set, scored
+    // hop 0: the (multi-probe at scale) bucket entry, scored — probed
+    // buckets are DISJOINT (each vector lives in one bucket), so no
+    // candidate is scored twice
     val hop0 = b.join(broadcast(probes),
         col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
       .where(col("n2") > 0)
@@ -506,8 +538,8 @@ object SimilarityQueries {
     val rollS = new Stage.Rolling(keep = 2)
     var visited = rollV.table(hop0, "v16_visited")
     var frontier = visited.withColumn("r", row_number().over(wB))
-      .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
-    for (_ <- 1 to effHops) {
+      .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
+    for (_ <- 1 to hops) {
       val cand = graph
         .join(broadcast(frontier.withColumnRenamed("vec_id", "src_id")), Seq("src_id"))
         .select(col("probe_id"), col("dst_id").as("vec_id"), col("q"), col("n2"))
@@ -515,11 +547,11 @@ object SimilarityQueries {
         .dropDuplicates("probe_id", "vec_id")
         .join(visited.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"), "left_anti")
       val scored = rollS.table(cand
-        .join(broadcast(probes.select("probe_id", "p_q", "p_n2")), Seq("probe_id"))
+        .join(broadcast(probeVecs.select("probe_id", "p_q", "p_n2")), Seq("probe_id"))
         .select(col("probe_id"), col("vec_id"), cosineCol), "v16_scored")
       visited = rollV.table(visited.unionByName(scored), "v16_visited")
       frontier = scored.withColumn("r", row_number().over(wB))
-        .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
+        .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
     }
     visited.withColumn("rnk", row_number().over(wB))
       .where(col("rnk") <= K)
@@ -532,8 +564,9 @@ object SimilarityQueries {
     * improvement over v04; the v16 entry emits [[certifiedRecall]].
     */
   def beamRecallRaw(s: SparkSession, d: String,
-      hops: Int = BeamHops, width: Int = BeamWidth): DataFrame = {
-    val approx = beamKnn(s, d, hops, width)
+      hops: Int = BeamHops, width: Int = BeamWidth,
+      pOverride: Option[Int] = None): DataFrame = {
+    val approx = beamKnn(s, d, hops, width, pOverride)
       .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
     exactTopK(s, d).join(approx, Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
@@ -954,7 +987,11 @@ object SimilarityQueries {
     Q("v13_ann_tombstones", tombstoneMaskedSql) { (s, d) =>
       val bucketed = dupEmbIndexWithPath(s, d)._1
       val index = bucketed.where(col("vec_id") < DedupQueries.BatchIdOffset)
-        .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+        // size-guarded hint (graft.operators.Joins): a delete batch
+        // broadcasts; a bulk delete routed through the tombstone path
+        // degrades to a shuffle anti-join instead of OOMing the driver
+        .join(graft.operators.Joins.sizedBroadcast(tombstones(s, d)),
+          Seq("vec_id"), "left_anti")
       val probes = bucketed.where(col("vec_id") >= DedupQueries.BatchIdOffset)
         .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
           col("q").as("p_q"), col("n2").as("p_n2"))

@@ -32,6 +32,24 @@ class BeamSearchSpec extends SparkTestBase {
     }
   }
 
+  test("scaled-plane path: multi-probe entry + CONSTANT capped walk holds the floor") {
+    // force the data-scaled bucketing two planes finer than the fixture
+    // (4x more, 4x smaller buckets — the sf1+ shape) and verify the
+    // HNSW-style coarse entry (own bucket + every Hamming-1 flip) keeps
+    // recall above the certified floor WITHOUT the old per-plane growth
+    // of hops/width: the walk runs at the same BeamHops/BeamWidth the
+    // certification sfs use.
+    val p = SimilarityQueries.LshPlanes + 2
+    val beam = SimilarityQueries.beamRecallRaw(spark, sfDir, pOverride = Some(p))
+      .select("probe_id", "recall").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(beam.nonEmpty)
+    beam.foreach { case (pr, r) =>
+      assert(r >= SimilarityQueries.RecallFloor,
+        s"probe $pr: scaled-path recall $r below floor with capped walk")
+    }
+  }
+
   test("beam search is deterministic and ranked per probe") {
     val a = SimilarityQueries.beamKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
