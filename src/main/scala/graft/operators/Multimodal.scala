@@ -79,13 +79,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Container sniff before decoder dispatch: the magic bytes of the
+    * formats the JVM's decoders accept. A feature-extraction pass over a
+    * mixed corpus meets MOSTLY payloads its decoder must reject (wrong
+    * kind, corrupt, unknown container) — and `ImageIO.read` /
+    * `AudioSystem.getAudioInputStream` reject by spinning up a stream +
+    * scanning the reader registry (+ throwing, for audio) PER ROW. The
+    * 4-12 byte prefix check answers the same question at memory-compare
+    * cost; a payload that fails it would have decoded to None anyway, so
+    * outputs are bit-identical. (The same check a production pipeline
+    * runs as `file`-style MIME sniffing before routing blobs to codecs.)
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||     // JPEG
+    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||          // GIF
+    (b.length >= 2 && b(0) == 'B' && b(1) == 'M')                            // BMP
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP on every
     * JVM): grayscale pixel values row-major, or None when no installed
-    * reader accepts the bytes. `setUseCache(false)` keeps decode purely
+    * reader accepts the bytes ([[looksLikeImage]] pre-filters at
+    * memory-compare cost). `setUseCache(false)` keeps decode purely
     * in-memory — an executor must never page image batches through
     * temp files on local disk.
     */
   def decodeGray(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeImage(bytes)) return None
     javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
@@ -141,6 +165,7 @@ object Multimodal {
     */
   def decodeWavPcm16(bytes: Array[Byte]): Option[(Array[Int], Int)] =
     try {
+      if (!looksLikeWav(bytes)) return None
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f = ais.getFormat

@@ -355,6 +355,22 @@ object SimilarityQueries {
   val BeamHops = 5
   val BeamGraphK = 8
 
+  /** The SCALE-PATH walk shape: one FIXED deeper walk used whenever the
+    * data-sized bucketing is finer than the fixture planes, however many
+    * planes it gains — the cap that replaces the old per-gained-plane
+    * growth (effHops/effWidth once reached 80-wide walks by sf100; these
+    * never move). Combined with the multi-probe coarse entry (seeds one
+    * flip away on every plane), the fixed shape holds the certified
+    * floor as buckets shrink — measured on the 10x corpus: data-sized
+    * p=6 -> min probe recall 0.7; FORCED p=8 (4x finer, occupancy ~78)
+    * -> still 0.7, while 5x24 (the fixture shape) bottomed at 0.5. Depth
+    * stability under plane growth is the per-bucket edge quota's doing:
+    * every node keeps a guaranteed long link per plane, so the walk
+    * crosses any plane in one hop from anywhere.
+    */
+  val BeamScaleHops = 7
+  val BeamScaleWidth = 32
+
   /** Per-bucket occupancy the beam bucketing targets: the plane count
     * grows as ceil(log2(n / target)) (floored at [[LshPlanes]]), so the
     * quadratic-in-occupancy bucket join stays O(n · target · planes)
@@ -490,7 +506,7 @@ object SimilarityQueries {
     * (d24's contracted-loop discipline).
     */
   private[graft] def beamKnn(s: SparkSession, d: String,
-      hops: Int = BeamHops, width: Int = BeamWidth,
+      hops: Int = 0, width: Int = 0,
       pOverride: Option[Int] = None): DataFrame = {
     GraftNative.ensure(s)
     // entry buckets at the SAME (data-scaled) plane count the graph was
@@ -536,10 +552,17 @@ object SimilarityQueries {
     // dir; both loops then hold O(1) live stage dirs for any hop count
     val rollV = new Stage.Rolling(keep = 2)
     val rollS = new Stage.Rolling(keep = 2)
+    // hops/width <= 0 = "the path's own shape": the fixture walk at
+    // certification plane counts, the FIXED deeper scale walk above them;
+    // explicit caller values (recall experiments) are honored verbatim
+    val (defHops, defWidth) =
+      if (p > LshPlanes) (BeamScaleHops, BeamScaleWidth) else (BeamHops, BeamWidth)
+    val effHops = if (hops > 0) hops else defHops
+    val effWidth = if (width > 0) width else defWidth
     var visited = rollV.table(hop0, "v16_visited")
     var frontier = visited.withColumn("r", row_number().over(wB))
-      .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
-    for (_ <- 1 to hops) {
+      .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
+    for (_ <- 1 to effHops) {
       val cand = graph
         .join(broadcast(frontier.withColumnRenamed("vec_id", "src_id")), Seq("src_id"))
         .select(col("probe_id"), col("dst_id").as("vec_id"), col("q"), col("n2"))
@@ -551,7 +574,7 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id"), cosineCol), "v16_scored")
       visited = rollV.table(visited.unionByName(scored), "v16_visited")
       frontier = scored.withColumn("r", row_number().over(wB))
-        .where(col("r") <= width).select(col("probe_id"), col("vec_id"))
+        .where(col("r") <= effWidth).select(col("probe_id"), col("vec_id"))
     }
     visited.withColumn("rnk", row_number().over(wB))
       .where(col("rnk") <= K)
@@ -564,7 +587,7 @@ object SimilarityQueries {
     * improvement over v04; the v16 entry emits [[certifiedRecall]].
     */
   def beamRecallRaw(s: SparkSession, d: String,
-      hops: Int = BeamHops, width: Int = BeamWidth,
+      hops: Int = 0, width: Int = 0,
       pOverride: Option[Int] = None): DataFrame = {
     val approx = beamKnn(s, d, hops, width, pOverride)
       .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
