@@ -1050,6 +1050,38 @@ object SimilarityQueries {
         col("bucket") === col("p_bucket")))
     },
 
+    // The ANN index AS a snapshot table (v17) — the lakehouse layer
+    // managing the vector-index lifecycle, composing the two families
+    // m11-m16 and v13/v14 built separately: the written bucket index is
+    // committed as a [[graft.operators.SnapshotLog]] table keyed by
+    // vec_id, the v13 tombstone batch lands as a MERGE-ON-READ delete
+    // vector (one key-list parquet + one manifest create — NO index file
+    // rewritten, the v13 "delete without rebuild" contract with crash
+    // safety and time travel on top), and the probe scans
+    // [[SnapshotLog.readLatest]], whose mask anti-join is exactly v13's
+    // query-time mask. The oracle is v13/v14's DuckDB twin VERBATIM —
+    // the THIRD physical route (query-time mask / compacted files /
+    // transaction-log delete vector) certified to one logical answer.
+    // OPTIMIZE (SnapshotLog.compact) then materializes the mask away
+    // CDC-invisibly — v14's job with a commit protocol —
+    // AnnSnapshotSpec pins those physical facts plus pre-delete time
+    // travel of the index.
+    Q("v17_ann_snapshot_mor", tombstoneMaskedSql) { (s, d) =>
+      import graft.operators.SnapshotLog
+      val dir = Stage.sharedDir(s, "v17_snap_index", d) { out =>
+        val (idx, _) = dupEmbIndexWithPath(s, d)
+        SnapshotLog.init(s, out, idx, "vec_id", numFiles = 8)
+        SnapshotLog.deleteKeys(s, out, tombstones(s, d), "vec_id")
+      }
+      val masked = SnapshotLog.readLatest(s, dir)
+      val index = masked.where(col("vec_id") < DedupQueries.BatchIdOffset)
+      val probes = masked.where(col("vec_id") >= DedupQueries.BatchIdOffset)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+          col("q").as("p_q"), col("n2").as("p_n2"))
+      scoreAndRank(index.join(broadcast(probes),
+        col("bucket") === col("p_bucket")))
+    },
+
     // LSH-bucketed: search only the probe's random-hyperplane bucket.
     Q("v04_knn_lsh",
       s"""WITH $qvSql,

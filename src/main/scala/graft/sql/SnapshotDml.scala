@@ -205,6 +205,89 @@ object SnapshotDml {
   }
 
   // ------------------------------------------------------------------
+  // Maintenance statements (no Spark grammar to piggyback on: the
+  // delegate parser would throw on the raw text, so these two match the
+  // statement TEXT before delegation — the Delta-style maintenance
+  // surface, accepted only for registered snapshot tables)
+  // ------------------------------------------------------------------
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  /** Pre-delegation text match: Some(command) for a maintenance
+    * statement over a REGISTERED snapshot table, None otherwise (the
+    * text goes to the delegate parser untouched).
+    */
+  def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(name, a, b) if dirOf(name).isDefined =>
+      Some(SnapshotOptimizeCommand(name.toLowerCase,
+        Option(a).map(x => (x, b))))
+    case VacuumRe(name, k) if dirOf(name).isDefined =>
+      Some(SnapshotVacuumCommand(name.toLowerCase, k.toInt))
+    case _ => None
+  }
+
+  /** Session conf key for [[SnapshotOptimizeCommand]]'s target file
+    * size; default 128 MB — the parquet sweet spot the compaction
+    * operators already use.
+    */
+  val CompactTargetKey = "spark.graft.compactTargetBytes"
+  val DefaultCompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** `OPTIMIZE name [ZORDER BY (a, b)]` — [[SnapshotLog.compact]] /
+    * [[SnapshotLog.compactZ]] with the file count sized from the live
+    * table's bytes (totalBytes / target, floored at 1), committed as the
+    * next version. Returns (version, files_before, files_after).
+    */
+  final case class SnapshotOptimizeCommand(name: String,
+      zorder: Option[(String, String)]) extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("files_before", LongType, nullable = false)(),
+      AttributeReference("files_after", LongType, nullable = false)())
+    override def run(s: SparkSession): Seq[Row] = {
+      val dir = dirOf(name).getOrElse(fail(s"$name is not registered"))
+      val v = SnapshotLog.latestVersion(s, dir)
+      val table = new org.apache.hadoop.fs.Path(dir)
+      val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = SnapshotLog.manifest(s, dir, v).map { n =>
+        hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(table, "data"), n)).getLen
+      }.sum
+      val target = s.conf.getOption(CompactTargetKey).map(_.toLong)
+        .getOrElse(DefaultCompactTargetBytes)
+      val numFiles = math.max(1L, (bytes + target - 1) / target).toInt
+      val c = zorder match {
+        case Some((a, b)) => SnapshotLog.compactZ(s, dir, a, b, numFiles)
+        case None         => SnapshotLog.compact(s, dir, numFiles)
+      }
+      refreshView(s, name)
+      Seq(Row(c.version, c.report.nFilesBefore.toLong, c.report.nNewFiles.toLong))
+    }
+  }
+
+  /** `VACUUM name RETAIN <k> VERSIONS` — [[SnapshotLog.vacuum]] keeping
+    * the newest k versions (the grace window applies as always). Returns
+    * (manifests_deleted, files_deleted).
+    */
+  final case class SnapshotVacuumCommand(name: String, retainVersions: Int)
+      extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = Seq(
+      AttributeReference("manifests_deleted", LongType, nullable = false)(),
+      AttributeReference("files_deleted", LongType, nullable = false)())
+    override def run(s: SparkSession): Seq[Row] = {
+      if (retainVersions < 1) fail("VACUUM must retain at least 1 version")
+      val dir = dirOf(name).getOrElse(fail(s"$name is not registered"))
+      val latest = SnapshotLog.latestVersion(s, dir)
+      val (nM, nF) = SnapshotLog.vacuum(s, dir,
+        retainFrom = math.max(0L, latest - retainVersions + 1))
+      Seq(Row(nM.toLong, nF.toLong))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // The commands
   // ------------------------------------------------------------------
 
@@ -393,7 +476,8 @@ object SnapshotDml {
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    SnapshotDml.rewrite(delegate.parsePlan(sqlText))
+    SnapshotDml.maintenance(sqlText)
+      .getOrElse(SnapshotDml.rewrite(delegate.parsePlan(sqlText)))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -89,7 +89,12 @@ object SnapshotStreams {
   /** The stream sink: each micro-batch of changeset rows ([[
     * graft.operators.Merge]]'s op + key + payload contract) commits one
     * snapshot version through [[applyEpoch]]'s stamp seam; `onCommit`
-    * sees every non-replayed epoch's commit report.
+    * sees every non-replayed epoch's commit report. A version race
+    * against a concurrent writer retries through
+    * [[SnapshotLog.commitWithRetry]] — each attempt re-reads the log and
+    * re-plans the merge against the winner's manifest (and re-checks the
+    * epoch stamp, so a race lost to our OWN replayed epoch resolves to a
+    * skip, never a double apply).
     */
   def writeStreamExactlyOnce(cs: DataFrame, tableDir: String,
       streamId: String, key: String)
@@ -97,8 +102,9 @@ object SnapshotStreams {
     cs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyEpoch(batch.sparkSession, tableDir, batch, batchId, streamId, key)
-          .foreach(c => onCommit(c, batchId))
+        SnapshotLog.commitWithRetry() {
+          applyEpoch(batch.sparkSession, tableDir, batch, batchId, streamId, key)
+        }.foreach(c => onCommit(c, batchId))
         () // discard: foreachBatch wants Unit
       }
 

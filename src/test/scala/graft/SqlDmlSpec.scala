@@ -104,6 +104,34 @@ class SqlDmlSpec extends SparkTestBase {
       "existing-key insert must be ignored (WHEN NOT MATCHED)")
   }
 
+  test("OPTIMIZE and VACUUM statements run the log maintenance ops") {
+    val dir = freshTable("dml_maint")
+    SnapshotDml.register(spark, "dml_maint", dir)
+    spark.sql("DELETE FROM dml_maint WHERE id % 4 = 0") // leaves a MoR vector
+    val before = rows(snap(dir))
+
+    // OPTIMIZE: mask materialized away, rows identical, fresh version
+    val opt = spark.sql("OPTIMIZE dml_maint").head()
+    assert(opt.getLong(0) == 2L, "OPTIMIZE must commit the next version")
+    assert(SnapshotLog.deletes(spark, dir, 2L).isEmpty,
+      "OPTIMIZE must materialize the delete vector away")
+    assert(rows(snap(dir)) == before)
+
+    // OPTIMIZE ZORDER BY: still answer-invariant
+    spark.sql("OPTIMIZE dml_maint ZORDER BY (id, x)")
+    assert(rows(snap(dir)) == before)
+
+    // VACUUM RETAIN 1 VERSIONS: old manifests gone, latest readable;
+    // grace keeps the young expired data files until a later sweep
+    val vac = spark.sql("VACUUM dml_maint RETAIN 1 VERSIONS").head()
+    assert(vac.getLong(0) == 3L, s"expected 3 expired manifests, got $vac")
+    assert(SnapshotLog.versions(spark, dir) == Seq(3L))
+    assert(rows(snap(dir)) == before)
+
+    // unregistered target: the text falls through to Spark's parser
+    intercept[Exception] { spark.sql("OPTIMIZE not_registered") }
+  }
+
   test("guard rails reject what the changeset semantics cannot honor") {
     val dir = freshTable("dml_guard")
     SnapshotDml.register(spark, "dml_guard", dir)
