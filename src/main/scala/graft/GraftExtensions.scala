@@ -23,7 +23,8 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftNative.registrations.foreach(ext.injectFunction)
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }
 

@@ -121,11 +121,36 @@ object SnapshotDml {
       case _ => ()
     }
 
-  /** Rewrite a freshly parsed plan: the three DML nodes over a registered
-    * snapshot table become runnable commands; everything else passes
-    * through untouched.
+  /** SQL time travel: `SELECT ... FROM name VERSION AS OF n` — Spark's
+    * grammar already parses the suffix into [[RelationTimeTravel]]; for
+    * registered snapshot tables the node is replaced (anywhere in the
+    * tree — it's a relation, not a statement) by the analyzed snapshot
+    * read of that version, masks and stamped schema applied exactly as
+    * the DataFrame read. Resolution cost is the version's manifest read
+    * (metadata). TIMESTAMP AS OF is rejected: manifests version by
+    * number, not wall clock.
     */
-  def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+  private def timeTravel(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan transform {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        target(tt.relation) match {
+          case Some((name, alias)) =>
+            val dir = dirOf(name).get
+            val v = tt.version.map(_.toLong).getOrElse(
+              fail(s"snapshot table $name supports VERSION AS OF <n>, not TIMESTAMP AS OF"))
+            val read = SnapshotLog.read(session, dir, v).queryExecution.analyzed
+            alias.fold(read)(a => SubqueryAlias(a, read))
+          case None => tt
+        }
+    }
+
+  /** Rewrite a freshly parsed plan: the three DML nodes over a registered
+    * snapshot table become runnable commands, `VERSION AS OF` relations
+    * become version reads; everything else passes through untouched.
+    */
+  def rewrite(session: SparkSession, plan0: LogicalPlan): LogicalPlan = {
+    val plan = timeTravel(session, plan0)
+    plan match {
     case d: DeleteFromTable =>
       target(d.table).map { case (name, alias) =>
         SnapshotDeleteCommand(name, alias, raw(d.condition))
@@ -143,6 +168,7 @@ object SnapshotDml {
           raw((m.sourceTable, m.mergeCondition, m.matchedActions, m.notMatchedActions)))
       }.getOrElse(m)
     case p => p
+    }
   }
 
   private def assignmentOf(a: Assignment, where: String): (String, Expression) =
@@ -473,11 +499,12 @@ object SnapshotDml {
   * [[SnapshotDml]] commands. Statements over anything else — and every
   * other parser entry point — pass through byte-identical.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
     SnapshotDml.maintenance(sqlText)
-      .getOrElse(SnapshotDml.rewrite(delegate.parsePlan(sqlText)))
+      .getOrElse(SnapshotDml.rewrite(session, delegate.parsePlan(sqlText)))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -104,6 +104,29 @@ class SqlDmlSpec extends SparkTestBase {
       "existing-key insert must be ignored (WHEN NOT MATCHED)")
   }
 
+  test("VERSION AS OF reads a past version from SQL text; TIMESTAMP AS OF is rejected") {
+    val dir = freshTable("dml_tt")
+    SnapshotDml.register(spark, "dml_tt", dir)
+    val v0Rows = rows(snap(dir))
+    spark.sql("UPDATE dml_tt SET x = 0 WHERE id <= 5")
+    val v1Rows = rows(snap(dir))
+    assert(v1Rows != v0Rows)
+
+    def q(sql: String): Set[String] =
+      rows(spark.sql(s"SELECT id, owner, x, path FROM $sql"))
+    assert(q("dml_tt VERSION AS OF 0") == v0Rows, "time travel to v0 diverged")
+    assert(q("dml_tt VERSION AS OF 1") == v1Rows)
+    // works with an alias and inside a bigger query
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM dml_tt VERSION AS OF 0 t WHERE t.x > 0")
+      .head().getLong(0)
+    assert(n == 60L)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
   test("OPTIMIZE and VACUUM statements run the log maintenance ops") {
     val dir = freshTable("dml_maint")
     SnapshotDml.register(spark, "dml_maint", dir)
