@@ -146,23 +146,37 @@ object SnapshotStreams {
       (process: (DataFrame, Long, Long) => Unit): DataStreamWriter[Row] =
     readVersionFeed(spark, tableDir).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val vs = batch.select("version").distinct()
           .collect().map(_.getLong(0)).sorted
         if (vs.nonEmpty) {
           val session = batch.sparkSession
-          // versions are contiguous and the file source delivers each
-          // manifest once, in order: everything below the batch's first
-          // version was already processed by an earlier batch
+          // versions commit contiguously and the file source delivers
+          // each manifest once, in order: everything below the batch's
+          // first version was either processed by an earlier batch
+          // (batchId > 0) or — when the stream STARTS on a table whose
+          // older versions were vacuumed — never existed to deliver.
+          // Only the stream's FIRST batch may bootstrap from its first
+          // visible version's full content; a mid-stream gap (a version
+          // this stream still needed, vacuumed away) is a retention-
+          // contract violation and must fail loudly, never silently
+          // re-bootstrap and double-count.
           val to = vs.last
           val from = vs.head - 1
+          val fromCommitted =
+            from >= 0 && SnapshotLog.versions(session, tableDir).contains(from)
           val signed =
-            if (from < 0) {
-              val bootstrap = SnapshotLog.read(session, tableDir, 0L)
+            if (!fromCommitted && batchId == 0L) {
+              val bootstrap = SnapshotLog.read(session, tableDir, vs.head)
                 .withColumn("__sign", lit(1))
-              if (to == 0L) bootstrap
+              if (to == vs.head) bootstrap
               else bootstrap.unionByName(
-                SnapshotLog.cdcSigned(session, tableDir, 0L, to, key))
+                SnapshotLog.cdcSigned(session, tableDir, vs.head, to, key))
+            } else if (!fromCommitted) {
+              throw new IllegalStateException(
+                s"version $from of $tableDir was vacuumed while this change " +
+                  "feed still needed it — pin vacuum retention above every " +
+                  "streaming consumer (SnapshotLog.vacuum's reader contract)")
             } else SnapshotLog.cdcSigned(session, tableDir, from, to, key)
           process(signed, math.max(from, 0L), to)
         }

@@ -119,6 +119,33 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
       SnapshotLog.latestVersion(spark, viewDir)) == 3L)
   }
 
+  test("a stream starting on VACUUMED history bootstraps from its first visible version") {
+    val root = freshRoot("snapsrc4")
+    val baseDir = s"$root/base"
+    SnapshotLog.init(spark, baseDir, baseRows, "id", numFiles = 2)
+    SnapshotLog.merge(spark, baseDir, cs(0), "id")
+    SnapshotLog.merge(spark, baseDir, cs(1), "id")
+    // expire versions 0-1: a fresh consumer can only ever see v2
+    SnapshotLog.vacuum(spark, baseDir, retainFrom = 2, graceMs = 0L)
+    assert(SnapshotLog.versions(spark, baseDir) == Seq(2L))
+
+    var deltas = Vector.empty[DataFrame]
+    val q = SnapshotStreams.readChanges(spark, baseDir, "id") { (signed, _, _) =>
+        deltas :+= signed
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val empty = IncrementalView.build(
+      SnapshotLog.readLatest(spark, baseDir).limit(0), "grp", measures)
+    val folded = IncrementalView.applyCdc(
+      empty, deltas.reduce(_ unionByName _), "grp", measures)
+    assert(viewRows(folded) == viewRows(recompute(baseDir)),
+      "vacuumed-history bootstrap did not reproduce the live aggregate")
+  }
+
   test("readChanges: folding the delivered signed deltas from empty reproduces the live table's aggregate") {
     val root = freshRoot("snapsrc3")
     val baseDir = s"$root/base"
