@@ -42,10 +42,12 @@ import graft.operators.{Merge, SnapshotCommit, SnapshotLog}
   * stated loudly rather than silently diverging:
   *  - matched UPDATE is PARTIAL: unassigned columns keep base values;
   *    `SET c = NULL` is rejected (null means "keep" in the changeset);
-  *  - matched/not-matched conditions and assignment values may reference
-  *    the SOURCE row only (the standard streaming-upsert shape); a
-  *    target-column reference is rejected at parse-rewrite time;
-  *  - `WHEN NOT MATCHED BY SOURCE` is not supported (rejected).
+  *  - MATCHED / NOT MATCHED conditions and assignment values may
+  *    reference the SOURCE row only (the standard streaming-upsert
+  *    shape); a target-column reference is rejected loudly;
+  *  - `WHEN NOT MATCHED BY SOURCE` clauses see the TARGET row only
+  *    (there is no source row) — the reference rule flips, and the
+  *    unmatched-target set is computed as one anti-join on the key.
   */
 object SnapshotDml {
 
@@ -162,10 +164,9 @@ object SnapshotDml {
       }.getOrElse(u)
     case m: MergeIntoTable =>
       target(m.targetTable).map { case (name, alias) =>
-        if (m.notMatchedBySourceActions.nonEmpty)
-          fail("WHEN NOT MATCHED BY SOURCE is not supported")
         SnapshotMergeCommand(name, alias,
-          raw((m.sourceTable, m.mergeCondition, m.matchedActions, m.notMatchedActions)))
+          raw((m.sourceTable, m.mergeCondition, m.matchedActions,
+            m.notMatchedActions, m.notMatchedBySourceActions)))
       }.getOrElse(m)
     case p => p
     }
@@ -375,13 +376,15 @@ object SnapshotDml {
     * and an insert of a present key are both no-ops, exactly SQL MERGE).
     */
   final case class SnapshotMergeCommand(name: String, alias: Option[String],
-      dml: Raw[(LogicalPlan, Expression, Seq[MergeAction], Seq[MergeAction])])
+      dml: Raw[(LogicalPlan, Expression, Seq[MergeAction], Seq[MergeAction],
+        Seq[MergeAction])])
       extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = VersionOutput
 
     override def run(s: SparkSession): Seq[Row] = {
-      val (source, mergeCondition, matchedActions, notMatchedActions) = dml.value
-      val (dir, _, key, schema, _) = tableState(s, name, alias)
+      val (source, mergeCondition, matchedActions, notMatchedActions,
+        notMatchedBySourceActions) = dml.value
+      val (dir, _, key, schema, aliasedTarget) = tableState(s, name, alias)
       val targetNames = Set(name.toLowerCase) ++ alias.map(_.toLowerCase)
       val srcDf = ofRows(s, source)
       val srcCols = srcDf.columns.toSet
@@ -401,8 +404,13 @@ object SnapshotDml {
         case a: UpdateAction =>
           (a.condition.map(guardAll(_, "WHEN MATCHED AND")),
             Right(a.assignments.map(assignmentOf(_, "UPDATE SET"))))
-        case _: UpdateStarAction =>
-          fail("WHEN MATCHED THEN UPDATE SET * is not supported; list the columns")
+        case a: UpdateStarAction =>
+          // UPDATE SET *: every target payload column present in the
+          // source, by name (the source's `op` discriminator and other
+          // extras are simply not target columns)
+          (a.condition.map(guardAll(_, "WHEN MATCHED AND")),
+            Right(payload.filter(srcCols.contains)
+              .map(c => c -> (UnresolvedAttribute.quoted(c): Expression))))
         case other => fail(s"unsupported MATCHED action $other")
       })
       val matchedCs: Option[LogicalPlan] =
@@ -466,7 +474,66 @@ object SnapshotDml {
             srcDf.queryExecution.analyzed))
         }
 
-      val parts = (matchedCs.toSeq ++ insertCs.toSeq).map(ofRows(s, _))
+      // NOT MATCHED BY SOURCE actions -> ops over TARGET rows whose key
+      // has no source match: the conditions and UPDATE values evaluate
+      // over the TARGET row (there is no source row), so here the
+      // reference rule flips — source-qualified references are rejected.
+      val srcAlias: Option[String] = source match {
+        case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+        case _                    => None
+      }
+      def guardTargetOnly(e: Expression, where: String): Expression = {
+        e.foreach {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+              srcAlias.contains(a.nameParts.head.toLowerCase) =>
+            fail(s"$where references source column ${a.name}; NOT MATCHED " +
+              "BY SOURCE clauses see only the target row")
+          case _ => ()
+        }
+        e
+      }
+      val nmbsGuards = firstMatchGuards(notMatchedBySourceActions.map {
+        case a: DeleteAction =>
+          (a.condition.map(guardTargetOnly(_, "WHEN NOT MATCHED BY SOURCE AND")),
+            Left(()))
+        case a: UpdateAction =>
+          (a.condition.map(guardTargetOnly(_, "WHEN NOT MATCHED BY SOURCE AND")),
+            Right(a.assignments.map(assignmentOf(_, "UPDATE SET"))))
+        case other => fail(s"unsupported NOT MATCHED BY SOURCE action $other")
+      })
+      val nmbsCs: Option[LogicalPlan] =
+        if (nmbsGuards.isEmpty) None
+        else {
+          val srcKeys = Project(
+            Seq(Alias(srcKey, "__graft_src_key")()),
+            srcDf.queryExecution.analyzed)
+          val unmatched = org.apache.spark.sql.catalyst.plans.logical.Join(
+            aliasedTarget, srcKeys,
+            org.apache.spark.sql.catalyst.plans.LeftAnti,
+            Some(EqualTo(UnresolvedAttribute.quoted(key),
+              UnresolvedAttribute.quoted("__graft_src_key"))),
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+          val opExpr = caseOf(nmbsGuards.map {
+            case (g, Left(_))  => (g, Literal(Merge.OpDelete))
+            case (g, Right(_)) => (g, Literal(Merge.OpUpdate))
+          }, Literal.create(null, org.apache.spark.sql.types.StringType))
+          val colValues = payload.map { c =>
+            val branches = nmbsGuards.collect {
+              case (g, Right(assigns)) if assigns.exists(_._1 == c) =>
+                val v = guardTargetOnly(assigns.find(_._1 == c).get._2,
+                  s"UPDATE SET $c")
+                (g, Cast(v, schema(c).dataType): Expression)
+            }
+            Alias(caseOf(branches, nullOf(schema, c)), c)()
+          }
+          Some(Project(
+            Alias(opExpr, "op")() +:
+              Alias(UnresolvedAttribute.quoted(key), key)() +: colValues,
+            unmatched))
+        }
+
+      val parts = (matchedCs.toSeq ++ insertCs.toSeq ++ nmbsCs.toSeq)
+        .map(ofRows(s, _))
       if (parts.isEmpty) fail("MERGE needs at least one WHEN clause")
       val cs = parts.reduce(_ unionByName _).where(col("op").isNotNull)
       finish(s, name, SnapshotLog.merge(s, dir, cs, key))

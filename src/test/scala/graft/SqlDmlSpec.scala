@@ -104,6 +104,44 @@ class SqlDmlSpec extends SparkTestBase {
       "existing-key insert must be ignored (WHEN NOT MATCHED)")
   }
 
+  test("MERGE UPDATE SET * and WHEN NOT MATCHED BY SOURCE (delete + target-side update)") {
+    import spark.implicits._
+    val dir = freshTable("dml_nmbs")
+    SnapshotDml.register(spark, "dml_nmbs", dir)
+    // source: keys 1..10 with new x/path (no owner column — SET * maps
+    // only the columns the source carries; owner keeps base values)
+    (1L to 10L).map(i => (i, i * 100, s"/src/$i"))
+      .toDF("id", "x", "path").createOrReplaceTempView("dml_nmbs_cs")
+
+    spark.sql(
+      """MERGE INTO dml_nmbs t USING dml_nmbs_cs c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE AND x > 500 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET path = '/stale'
+        |""".stripMargin)
+
+    val got = snap(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // matched: x/path from source, owner untouched
+    (1L to 10L).foreach { i =>
+      assert(got(i) == ((s"u${i % 3}", i * 100, s"/src/$i")), s"id $i: ${got(i)}")
+    }
+    // not matched by source, x > 500 (base x = id*10): ids 51..60 deleted
+    (51L to 60L).foreach(i => assert(!got.contains(i), s"id $i should be deleted"))
+    // the rest of the unmatched targets: path rewritten, x/owner kept
+    (11L to 50L).foreach { i =>
+      assert(got(i) == ((s"u${i % 3}", i * 10, "/stale")), s"id $i: ${got(i)}")
+    }
+    // source-column references in an NMBS clause are rejected
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO dml_nmbs t USING dml_nmbs_cs c ON t.id = c.id
+          |WHEN NOT MATCHED BY SOURCE AND c.x > 0 THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("source column"))
+  }
+
   test("VERSION AS OF reads a past version from SQL text; TIMESTAMP AS OF is rejected") {
     val dir = freshTable("dml_tt")
     SnapshotDml.register(spark, "dml_tt", dir)
