@@ -166,6 +166,65 @@ object SnapshotLog {
     manifest(spark, tableDir, v).map(n => new Path(dataDir(table), n))
   }
 
+  // ---- Commit-time key-range stats ----------------------------------
+  //
+  // Every committing op here KNOWS the key ranges of the files it just
+  // wrote (it reads their footers once, commit-footprint-sized work) and
+  // stamps them into the manifest (`# range=<name>:<lo>:<hi>`, `:-` for
+  // no-stats files). Readers then plan merges / point lookups / CDC
+  // B-parts from ONE manifest read instead of a footer fetch per file —
+  // at 100 TB (10^5 files) the per-operation planning cost drops from
+  // 10^5 driver-side ranged reads to a metadata file it already reads.
+  // Files without a stamp (manifests committed by older code or raw
+  // commit() calls) fall back to the footer read, per file.
+
+  private val RangePrefix = "range="
+
+  private def rangeMeta(stats: Seq[CowFileStats]): Seq[String] =
+    stats.map { st =>
+      val name = st.file.substring(st.file.lastIndexOf('/') + 1)
+      if (st.hasStats) s"$RangePrefix$name:${st.lo}:${st.hi}"
+      else s"$RangePrefix$name:-"
+    }
+
+  private def stampedRanges(spark: SparkSession, tableDir: String,
+      v: Long): Map[String, CowFileStats] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(RangePrefix) =>
+        val body = m.stripPrefix(RangePrefix)
+        val i = body.indexOf(':')
+        val name = body.substring(0, i)
+        val stat = body.substring(i + 1) match {
+          case "-" => CowFileStats(name, Long.MinValue, Long.MaxValue, hasStats = false)
+          case lohi =>
+            val j = lohi.indexOf(':')
+            CowFileStats(name, lohi.substring(0, j).toLong,
+              lohi.substring(j + 1).toLong, hasStats = true)
+        }
+        name -> stat
+    }.toMap
+
+  /** Per-file key ranges of version `v`: from the manifest's commit-time
+    * stamps where present, footer reads only for unstamped files. The
+    * `file` field holds the full path (what [[CowMerge.matchFiles]]'s
+    * planning join returns).
+    */
+  private[graft] def keyRangesOfVersion(spark: SparkSession, tableDir: String,
+      v: Long, key: String): Seq[CowFileStats] = {
+    val table = new Path(tableDir)
+    val stamped = stampedRanges(spark, tableDir, v)
+    val (have, missing) = manifest(spark, tableDir, v)
+      .partition(stamped.contains)
+    val fromStamps = have.map { n =>
+      stamped(n).copy(file = new Path(dataDir(table), n).toString)
+    }
+    val fromFooters =
+      if (missing.isEmpty) Nil
+      else CowMerge.keyRangesOf(spark,
+        missing.map(n => new Path(dataDir(table), n)), key)
+    fromStamps ++ fromFooters
+  }
+
   private def readDeleteKeys(spark: SparkSession, table: Path,
       names: Seq[String], key: String): DataFrame =
     spark.read.parquet(names.map(n => new Path(dataDir(table), n).toString): _*)
@@ -206,7 +265,7 @@ object SnapshotLog {
     val table = new Path(tableDir)
     val key = tableKey(spark, tableDir, v)
     val hit = CowMerge.matchFiles(spark,
-      CowMerge.keyRangesOf(spark, filesOf(spark, tableDir, v), key), keys)
+      keyRangesOfVersion(spark, tableDir, v, key), keys)
     if (hit.isEmpty) return read(spark, tableDir, v).where(lit(false))
     val data = tableSchema(spark, tableDir, v)
       .fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
@@ -278,13 +337,21 @@ object SnapshotLog {
   private def metaOf(key: String, schema: StructType): Seq[String] =
     Seq(s"key=$key", s"schema=${schema.json}")
 
+  /** Footer key ranges of JUST-WRITTEN files — the one footer read each
+    * file ever needs, paid at commit time by the writer that produced it.
+    */
+  private def statsOfNew(spark: SparkSession, table: Path, names: Seq[String],
+      key: String): Seq[CowFileStats] =
+    CowMerge.keyRangesOf(spark, names.map(n => new Path(dataDir(table), n)), key)
+
   /** Create the table at version 0 from `df`, clustered by `key`. */
   def init(spark: SparkSession, tableDir: String, df: DataFrame, key: String,
       numFiles: Int, meta: Seq[String] = Nil): SnapshotCommit = {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
     val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, 0L, names, meta ++ metaOf(key, df.schema))
+    commit(spark, table, 0L, names, meta ++ metaOf(key, df.schema) ++
+      rangeMeta(statsOfNew(spark, table, names, key)))
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
 
@@ -319,7 +386,9 @@ object SnapshotLog {
       if (delNames.isEmpty) None else Some(readDeleteKeys(spark, table, delNames, key))
     def masked(df: DataFrame): DataFrame =
       delKeys.fold(df)(dk => df.join(dk, Seq(key), "left_anti"))
-    val ranges = CowMerge.keyRangesOf(spark, files, key)
+    // planning ranges from the manifest's commit-time stamps — one
+    // metadata read, not a footer fetch per file
+    val ranges = keyRangesOfVersion(spark, tableDir, v, key)
 
     val updDel = cs.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
     val ins = cs.where(col("op") === Merge.OpInsert)
@@ -377,8 +446,16 @@ object SnapshotLog {
       case Some(df) => stageFiles(spark, table, df, key, math.max(1, affected.size))
       case None     => Nil
     }
+    // range stamps: untouched files carry their already-known ranges
+    // forward; only the files this merge WROTE get a footer read
+    def nameOf(st: CowFileStats) =
+      st.file.substring(st.file.lastIndexOf('/') + 1)
+    val untouchedSet = untouchedNames.toSet
+    val carried = ranges.filter(st => untouchedSet(nameOf(st)))
     commit(spark, table, v + 1, untouchedNames ++ newNames,
-      meta ++ metaOf(key, evolved), newDelNames)
+      meta ++ metaOf(key, evolved) ++
+        rangeMeta(carried ++ statsOfNew(spark, table, newNames, key)),
+      newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
   }
@@ -396,7 +473,8 @@ object SnapshotLog {
     val v = latestVersion(spark, tableDir)
     val before = manifest(spark, tableDir, v)
     val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, v + 1, names, meta ++ metaOf(key, df.schema))
+    commit(spark, table, v + 1, names, meta ++ metaOf(key, df.schema) ++
+      rangeMeta(statsOfNew(spark, table, names, key)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, names.size))
   }
@@ -424,7 +502,10 @@ object SnapshotLog {
     val newDel = stageFiles(spark, table, all, key, 1)
     val schema = tableSchema(spark, tableDir, v)
       .getOrElse(read(spark, tableDir, v).schema)
-    commit(spark, table, v + 1, names, metaOf(key, schema), newDel)
+    // every data file is carried by reference — its range stamp too
+    commit(spark, table, v + 1, names,
+      metaOf(key, schema) ++ rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)),
+      newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
 
@@ -441,7 +522,8 @@ object SnapshotLog {
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val newNames = stageFiles(spark, table, data, key, numFiles)
-    commit(spark, table, v + 1, newNames, metaOf(key, data.schema))
+    commit(spark, table, v + 1, newNames, metaOf(key, data.schema) ++
+      rangeMeta(statsOfNew(spark, table, newNames, key)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -503,12 +585,14 @@ object SnapshotLog {
           .when(changed, Merge.OpUpdate))
 
     val bRows: Option[DataFrame] = dk1.map(k1 => maskWith(k1, dk0)).flatMap { newlyMasked =>
-      val shared = (m0 & m1).toSeq
+      val shared = m0 & m1
       if (shared.isEmpty) None
       else {
-        val paths = shared.map(n => new Path(dataDir(table), n))
-        val hit = CowMerge.matchFiles(spark,
-          CowMerge.keyRangesOf(spark, paths, key), newlyMasked)
+        def nameOf(st: CowFileStats) =
+          st.file.substring(st.file.lastIndexOf('/') + 1)
+        val sharedRanges = keyRangesOfVersion(spark, tableDir, v1, key)
+          .filter(st => shared(nameOf(st)))
+        val hit = CowMerge.matchFiles(spark, sharedRanges, newlyMasked)
         if (hit.isEmpty) None
         else Some(sch1.fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
           .join(newlyMasked, Seq(key), "left_semi")
@@ -538,7 +622,10 @@ object SnapshotLog {
     val data = read(spark, tableDir, v)
     val newNames = stageWith(spark, table)(out =>
       ZOrder.writeClustered(data, a, b, numFiles, out))
-    commit(spark, table, v + 1, newNames, metaOf(key, data.schema))
+    // key ranges of z-ordered files are curve-segmented (wider but
+    // bounded) — stamped from the same one-time footer read
+    commit(spark, table, v + 1, newNames, metaOf(key, data.schema) ++
+      rangeMeta(statsOfNew(spark, table, newNames, key)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }

@@ -256,6 +256,39 @@ class SnapshotLogSpec extends SparkTestBase {
     }
   }
 
+  test("commit-time range stamps equal footer ranges; unstamped manifests fall back to footers") {
+    import graft.operators.CowMerge
+    val dir = Files.createTempDirectory("graft_snaprg").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 8)
+    SnapshotLog.merge(spark, dir, narrowChangeset(b), "id")
+
+    def footerRanges(v: Long) = CowMerge.keyRangesOf(spark,
+      SnapshotLog.manifest(spark, dir, v)
+        .map(n => new org.apache.hadoop.fs.Path(s"$dir/data/$n")), "id")
+      .map(st => (st.file, st.lo, st.hi, st.hasStats)).sortBy(_._1)
+    def stamped(v: Long) = SnapshotLog.keyRangesOfVersion(spark, dir, v, "id")
+      .map(st => (st.file, st.lo, st.hi, st.hasStats)).sortBy(_._1)
+
+    // every committed version carries stamps identical to the footers
+    (0L to 1L).foreach { v =>
+      assert(SnapshotLog.manifestMeta(spark, dir, v).exists(_.startsWith("range=")),
+        s"v$v missing range stamps")
+      assert(stamped(v) == footerRanges(v), s"v$v stamps diverge from footers")
+    }
+    // a raw commit with NO stamps (older-code manifests): planning falls
+    // back to footer reads and keeps working
+    val names = SnapshotLog.manifest(spark, dir, 1)
+    SnapshotLog.commit(spark, new org.apache.hadoop.fs.Path(dir), 2L, names,
+      meta = Seq("key=id"))
+    assert(stamped(2L) == footerRanges(2L), "fallback diverged from footers")
+    import spark.implicits._
+    val someId = SnapshotLog.read(spark, dir, 2L).agg(min("id")).head().getLong(0)
+    val hit = SnapshotLog.lookupKeys(spark, dir, 2L, Seq(someId).toDF("id"))
+    assert(hit.count() == 1L)
+    assert(hit.inputFiles.length < names.size, "lookup on fallback ranges scanned everything")
+  }
+
   test("compactZ: z-ordered OPTIMIZE is CDC-invisible and narrows footers on BOTH dims") {
     import spark.implicits._
     import graft.operators.CowMerge
