@@ -256,6 +256,42 @@ class SnapshotLogSpec extends SparkTestBase {
     }
   }
 
+  test("two CONCURRENT mergers with commitWithRetry serialize; final state = composed merges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snapc").toString + "/t"
+    val b = base
+    SnapshotLog.init(spark, dir, b, "id", numFiles = 4)
+    // disjoint update-only changesets (commute, so the final state is
+    // order-independent): writer A moves %4 targets, writer B %4+1
+    def cs(residue: Int, tag: String): DataFrame = {
+      val nullS = lit(null).cast("string")
+      b.where(col("id") % 4 === residue)
+        .select(lit(Merge.OpUpdate).as("op"), col("id"),
+          lit(null).cast("int").as("share_type"), nullS.as("uid_owner"),
+          nullS.as("item_type"), nullS.as("item_source"),
+          concat(lit(s"/$tag/"), col("id").cast("string")).as("item_target"),
+          lit(null).cast("long").as("file_source"), nullS.as("file_target"))
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(residue: Int, tag: String) = new Thread(() =>
+      try {
+        barrier.await() // both mergers plan against the same base version
+        SnapshotLog.commitWithRetry(maxAttempts = 5) {
+          SnapshotLog.merge(spark, dir, cs(residue, tag), "id")
+        }
+        ()
+      } catch { case t: Throwable => errs.add(t) })
+    val (t1, t2) = (writer(0, "wa"), writer(1, "wb"))
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"concurrent merger failed: ${errs.peek()}")
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L),
+      "both mergers must land, serially")
+    val expected = rows(Merge(Merge(b, cs(0, "wa"), "id"), cs(1, "wb"), "id"))
+    assert(rows(SnapshotLog.readLatest(spark, dir)) == expected,
+      "concurrent merges lost an update")
+  }
+
   test("commit-time range stamps equal footer ranges; unstamped manifests fall back to footers") {
     import graft.operators.CowMerge
     val dir = Files.createTempDirectory("graft_snaprg").toString + "/t"
