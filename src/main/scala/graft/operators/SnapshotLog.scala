@@ -75,6 +75,20 @@ final class ConcurrentCommitException(msg: String)
   * [[CowMerge.execute]] (footer min/max pruning, insert admission scoped
   * to the insert footprint); m12 certifies the CDC output against the
   * DuckDB-derived changeset and SnapshotLogSpec pins the physical facts.
+  *
+  * MANIFEST SIZING, stated honestly: a manifest lists the version's FULL
+  * file set (plus one range stamp per file), so each commit writes
+  * O(live files) metadata text — ~100 bytes/file, i.e. ~10 MB per commit
+  * on a 10^5-file table, noise beside the data write it accompanies, and
+  * read once per planning operation (cheaper than the per-file footer
+  * fetches it replaced). The full-listing format is what buys O(1)-read
+  * time travel and set-algebra CDC ([[cdc]] diffs two manifests, no
+  * log replay); the total metadata footprint is bounded by [[vacuum]]'s
+  * retention, not by table lifetime. A Delta-style add/remove delta log
+  * with periodic checkpoints trades manifest write size for reader-side
+  * log replay and checkpoint machinery — the right trade only past
+  * ~10^6 live files per table, at which point partitioning the table
+  * (many logs) is the simpler lever.
   */
 object SnapshotLog {
 
