@@ -166,7 +166,8 @@ object SnapshotDml {
       target(m.targetTable).map { case (name, alias) =>
         SnapshotMergeCommand(name, alias,
           raw((m.sourceTable, m.mergeCondition, m.matchedActions,
-            m.notMatchedActions, m.notMatchedBySourceActions)))
+            m.notMatchedActions, m.notMatchedBySourceActions,
+            m.withSchemaEvolution)))
       }.getOrElse(m)
     case p => p
     }
@@ -377,17 +378,26 @@ object SnapshotDml {
     */
   final case class SnapshotMergeCommand(name: String, alias: Option[String],
       dml: Raw[(LogicalPlan, Expression, Seq[MergeAction], Seq[MergeAction],
-        Seq[MergeAction])])
+        Seq[MergeAction], Boolean)])
       extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = VersionOutput
 
     override def run(s: SparkSession): Seq[Row] = {
       val (source, mergeCondition, matchedActions, notMatchedActions,
-        notMatchedBySourceActions) = dml.value
-      val (dir, _, key, schema, aliasedTarget) = tableState(s, name, alias)
+        notMatchedBySourceActions, withSchemaEvolution) = dml.value
+      val (dir, _, key, targetSchema, aliasedTarget) = tableState(s, name, alias)
       val targetNames = Set(name.toLowerCase) ++ alias.map(_.toLowerCase)
       val srcDf = ofRows(s, source)
       val srcCols = srcDf.columns.toSet
+      // MERGE WITH SCHEMA EVOLUTION: source columns the target lacks
+      // widen the changeset (SnapshotLog.merge stamps the evolved schema;
+      // untouched files read through it as null). Without the keyword,
+      // extra source columns are simply not target columns — dropped.
+      val schema: StructType =
+        if (!withSchemaEvolution) targetSchema
+        else StructType(targetSchema.fields ++
+          srcDf.schema.fields.filter(f => f.name != "op" && f.name != key &&
+            !targetSchema.fieldNames.contains(f.name)))
       val payload = schema.fieldNames.filterNot(_ == key).toSeq
 
       // the source-side key expression, extracted from `ON t.key = <e>`
@@ -396,6 +406,20 @@ object SnapshotDml {
       def guardAll(e: Expression, where: String): Expression = {
         requireSourceOnly(e, targetNames, where); e
       }
+      // an assignment to a column the (possibly evolved) schema lacks
+      // would otherwise be silently dropped by the per-column chains
+      def checkAssigns(assigns: Seq[(String, Expression)], where: String,
+          allowKey: Boolean): Seq[(String, Expression)] = {
+        assigns.foreach { case (c, _) =>
+          if (!allowKey && c == key)
+            fail(s"$where must not assign the key column $key")
+          if (!schema.fieldNames.contains(c))
+            fail(s"$where assigns unknown column $c" +
+              (if (withSchemaEvolution) ""
+               else " (MERGE WITH SCHEMA EVOLUTION widens from the source)"))
+        }
+        assigns
+      }
 
       // MATCHED actions -> op chain + per-column update values
       val matchedGuards = firstMatchGuards(matchedActions.map {
@@ -403,7 +427,8 @@ object SnapshotDml {
           (a.condition.map(guardAll(_, "WHEN MATCHED AND")), Left(()))
         case a: UpdateAction =>
           (a.condition.map(guardAll(_, "WHEN MATCHED AND")),
-            Right(a.assignments.map(assignmentOf(_, "UPDATE SET"))))
+            Right(checkAssigns(a.assignments.map(assignmentOf(_, "UPDATE SET")),
+              "UPDATE SET", allowKey = false)))
         case a: UpdateStarAction =>
           // UPDATE SET *: every target payload column present in the
           // source, by name (the source's `op` discriminator and other
@@ -438,7 +463,8 @@ object SnapshotDml {
       val insertGuards = firstMatchGuards(notMatchedActions.map {
         case a: InsertAction =>
           (a.condition.map(guardAll(_, "WHEN NOT MATCHED AND")),
-            a.assignments.map(assignmentOf(_, "INSERT")))
+            checkAssigns(a.assignments.map(assignmentOf(_, "INSERT")),
+              "INSERT", allowKey = true))
         case a: InsertStarAction =>
           // INSERT *: target columns present in the source, by name;
           // absent ones insert as null (the source's `op` discriminator
@@ -498,7 +524,8 @@ object SnapshotDml {
             Left(()))
         case a: UpdateAction =>
           (a.condition.map(guardTargetOnly(_, "WHEN NOT MATCHED BY SOURCE AND")),
-            Right(a.assignments.map(assignmentOf(_, "UPDATE SET"))))
+            Right(checkAssigns(a.assignments.map(assignmentOf(_, "UPDATE SET")),
+              "NOT MATCHED BY SOURCE UPDATE SET", allowKey = false)))
         case other => fail(s"unsupported NOT MATCHED BY SOURCE action $other")
       })
       val nmbsCs: Option[LogicalPlan] =

@@ -142,6 +142,36 @@ class SqlDmlSpec extends SparkTestBase {
     assert(e.getMessage.contains("source column"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table from the source; without it, unknown columns fail loudly") {
+    import spark.implicits._
+    val dir = freshTable("dml_evo")
+    SnapshotDml.register(spark, "dml_evo", dir)
+    Seq((6L, 777L), (2000L, 999L)).toDF("id", "quota")
+      .createOrReplaceTempView("dml_evo_cs")
+
+    // without the keyword: assigning a column the target lacks is an error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO dml_evo t USING dml_evo_cs c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET quota = c.quota""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown column quota"))
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml_evo t USING dml_evo_cs c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET quota = c.quota
+        |WHEN NOT MATCHED THEN INSERT (id, owner, quota) VALUES (c.id, 'evo', c.quota)
+        |""".stripMargin)
+    val got = SnapshotLog.readLatest(spark, dir)
+    assert(got.schema.fieldNames.contains("quota"), "schema did not evolve")
+    val byId = got.select("id", "quota").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(6L) == Some(777L))
+    assert(byId(2000L) == Some(999L))
+    assert(byId(7L) == None, "untouched rows must read the new column as null")
+    assert(byId.size == 61)
+  }
+
   test("VERSION AS OF reads a past version from SQL text; TIMESTAMP AS OF is rejected") {
     val dir = freshTable("dml_tt")
     SnapshotDml.register(spark, "dml_tt", dir)
