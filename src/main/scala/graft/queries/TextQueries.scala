@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{DedupFns, TextFns}
@@ -286,6 +287,21 @@ object TextQueries {
       .select("query_id", "doc_id", "rnk", "score")
       .orderBy("query_id", "rnk")
   }
+
+  /** t22 shuffle seed and shard size: the seed keys the deterministic
+    * order; 128 docs/shard yields multiple full shards plus a remainder
+    * at every test sf (both the full-shard and tail paths exercised).
+    * Declared above [[entries]] — the oracle SQL interpolates them at
+    * object init (the Merge0 ordering lesson).
+    */
+  val ShuffleSeed = "graft42"
+  val ShardSize = 128
+
+  /** Hash-prefix chars of the t22 range bucketing: 2 = 256 buckets
+    * (~n/256 rows per in-bucket sort). The scale knob: each extra char
+    * is 16x more buckets — at 100 TB pick ceil(log16(n / targetRows)).
+    */
+  val ShuffleBucketChars = 2
 
   val entries: Seq[Q] = Seq(
 
@@ -1294,6 +1310,62 @@ object TextQueries {
         .select(col("src_a"), col("src_b"), col("n_shared"),
           col("exact_jppm"), col("est_jppm"), col("ok").as("within_tol"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Deterministic global shuffle + shard assignment (t22) — the last
+    // step of every training-data pipeline: the curated corpus must be
+    // written in a SEEDED random order, cut into fixed-size shards, and
+    // reproducibly so (the same seed re-derives the same shards on any
+    // cluster, any partitioning — resumable jobs, cross-run diffing).
+    // Order = (md5(seed || doc_id), doc_id): deterministic, uniform, and
+    // oracle-recomputable. The interesting part is the GLOBAL rank at
+    // scale: a ranking window with no PARTITION BY plans a single-
+    // partition sort — the one-reducer bottleneck that dies at 100 TB.
+    // Instead the total order is built distributively from the hash's
+    // OWN structure: the first [[ShuffleBucketChars]] hex chars of h
+    // are a deterministic range bucketing (bucket order IS hash order,
+    // because the bucket is a prefix of the sort key — no sampled range
+    // boundaries, so the assignment is identical across plan
+    // re-evaluations, executors, and runs), per-bucket counts become
+    // rank offsets via a prefix sum over the |buckets|-row frame (the
+    // one place a single-partition window is CORRECT — it sees 256
+    // rows), and row_number() WITHIN each bucket + its offset is the
+    // exact global rank, no node ever sorting more than one bucket
+    // (~n/256 rows; more prefix chars at bigger corpora). Shard =
+    // (rank-1) / ShardSize; output is the |shards|-row manifest (sizes,
+    // id checksums, hash boundaries) — what a shard writer would
+    // partitionBy. The oracle recomputes the ranks with DuckDB's global
+    // window, so a single misplaced row anywhere breaks the hash.
+    Q("t22_shuffle_shards",
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, h, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk FROM h
+         |)
+         |SELECT CAST(floor((rnk - 1) / $ShardSize) AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         |       MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("h"))
+        .withColumn("part", substring(col("h"), 1, ShuffleBucketChars))
+      val wOff = Window.orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hashed.groupBy("part").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum("n").over(wOff), lit(0L)))
+        .select("part", "offset")
+      val wIn = Window.partitionBy("part").orderBy("h", "doc_id")
+      hashed.join(broadcast(offsets), Seq("part"))
+        .withColumn("rnk", row_number().over(wIn) + col("offset"))
+        .withColumn("shard", floor((col("rnk") - 1) / ShardSize).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          min("h").as("min_h"), max("h").as("max_h"))
+        .orderBy("shard")
     }
   )
 }
