@@ -422,6 +422,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"triangle enumeration must key on vertex ids:\n$p")
   }
 
+  test("t22 shards: the corpus rank window is PARTITIONED — no global sort of the data") {
+    val p = planOf("t22_shuffle_shards")
+    // the per-row ranking window must partition by the hash-prefix bucket
+    assert(p.contains("windowspecdefinition(part#") ||
+      p.contains("windowspecdefinition(part "),
+      s"t22's corpus window lost its bucket partitioning:\n$p")
+    // the offsets frame (256 rows) broadcasts into the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t22 must never cross:\n$p")
+  }
+
   test("t20 overlap: the sketch table is tiny; only corpus-sized ops touch the stage") {
     // the 190-pair sketch combination may nested-loop (20 rows x 20 rows
     // — deliberately); what must NOT appear is a cartesian over anything
