@@ -2028,6 +2028,85 @@ object DedupQueries {
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The exact-dedup fingerprint index AS a snapshot table (d29) — the
+    // dedup family's v17: a standing corpus-wide dedup service is a
+    // KEYED INDEX that ingest batches MERGE into, and the merge's own
+    // WHEN-NOT-MATCHED semantics ARE the admission decision. The index
+    // (60-bit md5-prefix fingerprint -> first-seen keeper doc) is
+    // committed at v0 from the corpus; the batch (exact copies of every
+    // 10th doc + genuinely new %15 variants) pre-aggregates to one
+    // min-id row per fingerprint and MERGEs as inserts — an insert whose
+    // fingerprint exists is IGNORED (the dup), a fresh one lands (the
+    // admission), and the post-merge index answers "admitted or
+    // duplicate-of-whom" for every batch doc with one equi-join. Scale
+    // shape: fingerprints are uniform, so footer pruning is structurally
+    // useless for this key (true of ANY hash index) — the per-batch cost
+    // is one NARROW key-column scan of the index for insert admission
+    // plus the batch-sized write, never a corpus rescan; first-id-wins,
+    // crash safety, replayability and time travel all inherited from the
+    // log. Batch-INTERNAL dup groups resolve to their min batch doc (the
+    // pre-aggregate), exactly what the oracle derives from scratch.
+    Q("d29_dedup_index_log", {
+      val norm = normSql
+      val freshNorm =
+        "trim(regexp_replace(lower(text || ' fresh!'), '\\s+', ' ', 'g'))"
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5($norm), 1, 15) AS BIGINT) AS fp
+         |  FROM documents
+         |),
+         |batch AS (
+         |  SELECT doc_id + $BatchIdOffset AS batch_doc, fp
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * BatchIdOffset},
+         |         CAST('0x' || substring(md5($freshNorm), 1, 15) AS BIGINT)
+         |  FROM documents WHERE doc_id % 15 = 0
+         |),
+         |allk AS (
+         |  SELECT fp, MIN(owner) AS keeper FROM (
+         |    SELECT fp, doc_id AS owner FROM base
+         |    UNION ALL
+         |    SELECT fp, batch_doc AS owner FROM batch
+         |  ) GROUP BY fp
+         |)
+         |SELECT b.batch_doc,
+         |       CASE WHEN k.keeper = b.batch_doc THEN 'admitted'
+         |            ELSE 'duplicate' END AS status,
+         |       k.keeper
+         |FROM batch b JOIN allk k ON b.fp = k.fp
+         |ORDER BY batch_doc""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{Merge, SnapshotLog}
+      def fp60(norm: Column): Column =
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("long")
+      def batchFps: DataFrame = {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val copies = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + BatchIdOffset).as("batch_doc"),
+            fp60(DedupFns.normText(col("text"))).as("fp"))
+        val fresh = docs.where(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2 * BatchIdOffset).as("batch_doc"),
+            fp60(DedupFns.normText(concat(col("text"), lit(" fresh!")))).as("fp"))
+        copies.unionByName(fresh)
+      }
+      val dir = Stage.sharedDir(s, "d29_fpindex", d) { out =>
+        val corpus = Tables.documents(s, d)
+          .select(fp60(DedupFns.normText(col("text"))).as("fp"), col("doc_id"))
+          .groupBy("fp").agg(min("doc_id").as("keeper"))
+        SnapshotLog.init(s, out, corpus, "fp", numFiles = 4)
+        val cs = batchFps.groupBy("fp").agg(min("batch_doc").as("keeper"))
+          .select(lit(Merge.OpInsert).as("op"), col("fp"), col("keeper"))
+        SnapshotLog.merge(s, out, cs, "fp")
+      }
+      batchFps
+        .join(SnapshotLog.readLatest(s, dir), Seq("fp"))
+        .select(col("batch_doc"),
+          when(col("keeper") === col("batch_doc"), "admitted")
+            .otherwise("duplicate").as("status"),
+          col("keeper"))
+        .orderBy("batch_doc")
     }
   )
 
