@@ -86,23 +86,33 @@ object Multimodal {
     * `AudioSystem.getAudioInputStream` reject by spinning up a stream +
     * scanning the reader registry (+ throwing, for audio) PER ROW. The
     * 4-12 byte prefix check answers the same question at memory-compare
-    * cost; a payload that fails it would have decoded to None anyway, so
-    * outputs are bit-identical. (The same check a production pipeline
-    * runs as `file`-style MIME sniffing before routing blobs to codecs.)
+    * cost; for PNG/JPEG/GIF/BMP/TIFF corpora a payload that fails it
+    * would have decoded to None anyway, so outputs are bit-identical.
+    * (The same check a production pipeline runs as `file`-style MIME
+    * sniffing before routing blobs to codecs.) The one format ImageIO
+    * bundles that the sniff intentionally excludes is WBMP — see the
+    * note below the magics.
     */
   private def looksLikeImage(b: Array[Byte]): Boolean =
     (b.length >= 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
     (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||     // JPEG
     (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||          // GIF
-    (b.length >= 2 && b(0) == 'B' && b(1) == 'M')                            // BMP
+    (b.length >= 2 && b(0) == 'B' && b(1) == 'M') ||                         // BMP
+    (b.length >= 4 && b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) || // TIFF LE
+    (b.length >= 4 && b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a)    // TIFF BE
+    // NOT sniffed: WBMP. Its "magic" is two zero bytes — a prefix shared
+    // by arbitrary binary junk — so admitting it would route most of a
+    // mixed corpus's rejects through the expensive ImageIO registry scan
+    // and defeat the prefilter. decodeGray therefore returns None for
+    // WBMP payloads, a documented narrowing vs raw ImageIO.read.
 
   private def looksLikeWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP on every
-    * JVM): grayscale pixel values row-major, or None when no installed
+  /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF on
+    * every JVM): grayscale pixel values row-major, or None when no installed
     * reader accepts the bytes ([[looksLikeImage]] pre-filters at
     * memory-compare cost). `setUseCache(false)` keeps decode purely
     * in-memory — an executor must never page image batches through

@@ -348,8 +348,12 @@ object SnapshotDml {
       if (assigned.contains(key)) fail(s"UPDATE must not assign the key column $key")
       assigned.foreach { case (c, v) =>
         if (!schema.fieldNames.contains(c)) fail(s"UPDATE SET unknown column $c")
-        if (v == Literal(null) || v.isInstanceOf[Literal] &&
-            v.asInstanceOf[Literal].value == null)
+        // statically-null guard AFTER folding: a bare NULL literal, a
+        // CAST(NULL AS t), or any other resolved foldable expression that
+        // evaluates to null is the same silent no-op hazard — all of them
+        // would flow into the changeset as "keep base value"
+        if (v.resolved && v.foldable &&
+            v.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == null)
           fail(s"UPDATE SET $c = NULL is not supported (null means 'keep " +
             "base' in the partial-update changeset); DELETE + re-INSERT instead")
       }
@@ -487,8 +491,22 @@ object SnapshotDml {
                 requireSourceOnly(v, targetNames, s"INSERT $c")
                 (g, Cast(v, schema(c).dataType): Expression)
             }, nullOf(schema, c))
-          val keyValue = insertGuards.flatMap(_._2.find(_._1 == key)).headOption
-            .getOrElse(fail(s"INSERT must supply the key column $key"))
+          // EVERY insert action must assign the key — not just some: with
+          // multiple NOT MATCHED actions, a row firing a keyless action
+          // would fall to the key chain's null default and land as a
+          // null-keyed row no later merge or delete vector can address.
+          // Fail per offending action (INSERT * is keyless exactly when
+          // the source lacks the key column).
+          notMatchedActions.zip(insertGuards).foreach {
+            case (action, (_, assigns)) if !assigns.exists(_._1 == key) =>
+              val what = action match {
+                case _: InsertStarAction =>
+                  s"INSERT * (the source has no `$key` column)"
+                case _ => "INSERT"
+              }
+              fail(s"NOT MATCHED action `$what` must supply the key column $key")
+            case _ => ()
+          }
           Some(Project(
             Alias(opExpr, "op")() +:
               Alias(caseOf(insertGuards.collect {

@@ -123,9 +123,14 @@ object SnapshotStreams {
     */
   def readVersionFeed(spark: SparkSession, tableDir: String): DataFrame =
     spark.readStream.text(new Path(tableDir, "_log").toString)
+      // nullif BEFORE the cast: a non-manifest file in _log (README, a
+      // foreign tool's marker) extracts to '' — under ANSI semantics a
+      // bare cast('') throws, and the predicate is pushed into file-
+      // metadata pruning where it would kill the whole stream; '' -> null
+      // -> filtered is the correct quiet path for foreign files
       .select(col("value"),
-        regexp_extract(col("_metadata").getField("file_name"),
-          "^(\\d+)\\.manifest$", 1).cast("long").as("version"))
+        nullif(regexp_extract(col("_metadata").getField("file_name"),
+          "^(\\d+)\\.manifest$", 1), lit("")).cast("long").as("version"))
       .where(col("version").isNotNull)
 
   /** Streaming CDC source: each micro-batch hands `process` the SIGNED
@@ -151,22 +156,38 @@ object SnapshotStreams {
           .collect().map(_.getLong(0)).sorted
         if (vs.nonEmpty) {
           val session = batch.sparkSession
+          // the composed delta (vs.head-1, vs.last) assumes this batch's
+          // versions are CONTIGUOUS — file-source ordering (mod-time with
+          // path tiebreak) is not a contractual version order, so an
+          // interior gap (a manifest deferred to a later batch) would
+          // silently double-count that gap's changes when it arrives.
+          // Assert and fail loudly, mirroring the vacuumed-gap check.
+          if (!vs.sameElements(vs.head to vs.last))
+            throw new IllegalStateException(
+              s"non-contiguous version batch ${vs.mkString(",")} from the " +
+                s"commit feed of $tableDir — a manifest between " +
+                s"${vs.head} and ${vs.last} was deferred to a later " +
+                "micro-batch; refusing to compose a delta across the gap")
           // versions commit contiguously and the file source delivers
           // each manifest once, in order: everything below the batch's
           // first version was either processed by an earlier batch
           // (batchId > 0) or — when the stream STARTS on a table whose
           // older versions were vacuumed — never existed to deliver.
-          // Only the stream's FIRST batch may bootstrap from its first
-          // visible version's full content; a mid-stream gap (a version
-          // this stream still needed, vacuumed away) is a retention-
-          // contract violation and must fail loudly, never silently
-          // re-bootstrap and double-count.
+          // A batch may bootstrap from its first visible version's full
+          // content when it is the stream's FIRST batch, or when that
+          // version is 0 (version 0 can only ever be a first delivery —
+          // the file source delivers each manifest once — so a batch-0
+          // that fired empty before table init must not poison the real
+          // first delivery); a mid-stream gap (a version this stream
+          // still needed, vacuumed away) is a retention-contract
+          // violation and must fail loudly, never silently re-bootstrap
+          // and double-count.
           val to = vs.last
           val from = vs.head - 1
           val fromCommitted =
             from >= 0 && SnapshotLog.versions(session, tableDir).contains(from)
           val signed =
-            if (!fromCommitted && batchId == 0L) {
+            if (!fromCommitted && (batchId == 0L || from < 0)) {
               val bootstrap = SnapshotLog.read(session, tableDir, vs.head)
                 .withColumn("__sign", lit(1))
               if (to == vs.head) bootstrap

@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkTestBase {
     assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
   }
 
+  test("TIFF payloads pass the container sniff and decode pixel-true (both byte orders' magics)") {
+    // ImageIO bundles a TIFF writer since Java 9 — a payload decodeGray
+    // must accept, so the sniff carries the II*\0 / MM\0* magics
+    val pxs = Array.tabulate(64)(i => (i * 4) % 256)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    pxs.zipWithIndex.foreach { case (v, i) =>
+      img.getRaster.setSample(i % 8, i / 8, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "TIFF", out), "JVM lacks a TIFF writer")
+    val tiff = out.toByteArray
+    assert((tiff(0) == 'I' && tiff(1) == 'I') || (tiff(0) == 'M' && tiff(1) == 'M'))
+    assert(Multimodal.decodeGray(tiff).get.sameElements(pxs),
+      "TIFF must decode through the sniff, not fall to None")
+  }
+
   test("image rows with real PNG payloads decode to pixel-true brightness") {
     import spark.implicits._
     val pxs = Array.tabulate(64)(i => 40 + i) // mean = 71.5

@@ -189,4 +189,40 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(viewRows(folded) == viewRows(recompute(baseDir)),
       "signed change feed did not reproduce the live aggregate")
   }
+
+  test("readChanges: a stream started BEFORE table init bootstraps when v0 arrives in a later batch") {
+    val root = freshRoot("snapsrc4")
+    val baseDir = s"$root/base"
+    val ckpt = s"$root/ckpt"
+    // the stream tails _log before any commit exists; a stray non-manifest
+    // file makes batch 0 fire (and commit) with zero VERSION rows — the
+    // exact shape that used to burn the batchId==0 bootstrap window
+    val log = new java.io.File(s"$baseDir/_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$baseDir/_log/README"), "not a manifest\n")
+
+    var deltas = Vector.empty[DataFrame]
+    def drain(): Unit = {
+      val q = SnapshotStreams.readChanges(spark, baseDir, "id") { (signed, _, _) =>
+          deltas :+= signed
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // batch 0: no versions yet
+    assert(deltas.isEmpty)
+
+    SnapshotLog.init(spark, baseDir, baseRows, "id", numFiles = 2)
+    SnapshotLog.merge(spark, baseDir, cs(0), "id")
+    drain() // v0+v1 arrive at batchId >= 1: must bootstrap, not throw
+
+    val empty = IncrementalView.build(
+      SnapshotLog.read(spark, baseDir, 0L).limit(0), "grp", measures)
+    val folded = IncrementalView.applyCdc(
+      empty, deltas.reduce(_ unionByName _), "grp", measures)
+    assert(viewRows(folded) == viewRows(recompute(baseDir)),
+      "late-v0 bootstrap did not reproduce the live aggregate")
+  }
 }

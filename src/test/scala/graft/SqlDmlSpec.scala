@@ -231,6 +231,13 @@ class SqlDmlSpec extends SparkTestBase {
       spark.sql("UPDATE dml_guard SET path = NULL WHERE id = 1")
     }
     assert(e1.getMessage.contains("NULL"))
+    // ...including a TYPED null: the guard folds constants, so
+    // CAST(NULL AS STRING) is rejected the same way, never silently
+    // becoming "keep base value"
+    val e1b = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE dml_guard SET path = CAST(NULL AS STRING) WHERE id = 1")
+    }
+    assert(e1b.getMessage.contains("NULL"))
     // assigning the key column
     val e2 = intercept[IllegalArgumentException] {
       spark.sql("UPDATE dml_guard SET id = 99 WHERE id = 1")
@@ -245,6 +252,25 @@ class SqlDmlSpec extends SparkTestBase {
           |WHEN MATCHED THEN UPDATE SET x = t.x + c.x""".stripMargin)
     }
     assert(e3.getMessage.contains("target column"))
+    // EVERY NOT MATCHED action must assign the key — a second insert
+    // action omitting it would produce null-keyed rows no later merge
+    // could address, so it fails per-action, loudly
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO dml_guard t USING dml_guard_cs c ON t.id = c.id
+          |WHEN NOT MATCHED AND c.x > 0 THEN INSERT (id, x) VALUES (c.id, c.x)
+          |WHEN NOT MATCHED THEN INSERT (x) VALUES (c.x)""".stripMargin)
+    }
+    assert(e4.getMessage.contains("key column id"))
+    // INSERT * when the source lacks the key column is the same hazard
+    Seq((5L, "/s")).toDF("x", "path").createOrReplaceTempView("dml_guard_nokey")
+    val e5 = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO dml_guard t USING dml_guard_nokey c ON t.id = c.x
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e5.getMessage.contains("key column id") &&
+      e5.getMessage.contains("INSERT *"))
     // DML over an UNREGISTERED table parses to Spark's own plan (and
     // fails Spark's analysis, not our rewrite)
     intercept[Exception] {
