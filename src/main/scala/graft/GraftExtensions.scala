@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftNative.registrations.foreach(ext.injectFunction)
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(session, delegate))
+    // plan reads of graft-catalog snapshot tables as their version's
+    // parquet scan (exprId-aligned) — see GraftCatalogRelations
+    ext.injectResolutionRule(session =>
+      graft.sql.GraftCatalogRelations(session))
   }
 }
 

@@ -25,6 +25,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    // the snapshot-table catalog: CREATE TABLE graft.t / INSERT INTO /
+    // SELECT / time travel by identifier. Base location comes from the
+    // session conf spark.graft.catalog.location (re-pointable per run).
+    .config("spark.sql.catalog.graft", classOf[graft.sql.GraftTableCatalog].getName)
 
   /** A pre-configured builder: `GraftSession.builder().master(...).getOrCreate()`. */
   def builder(): SparkSession.Builder = configure(SparkSession.builder())

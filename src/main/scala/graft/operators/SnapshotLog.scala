@@ -315,10 +315,70 @@ object SnapshotLog {
         // from a genuine I/O failure, which must propagate unchanged
         case e: java.io.IOException if hfs.exists(p) => throw race(e)
       }
-    val lines = meta.map("# " + _) ++ delNames.sorted.map("-" + _) ++ names.sorted
+    // every commit stamps its wall-clock time — what TIMESTAMP AS OF and
+    // DESCRIBE HISTORY resolve against (Delta's commit-timestamp analogue,
+    // riding the same atomic create as the commit itself)
+    val stamped = s"$TsPrefix${System.currentTimeMillis()}" +: meta
+    val lines = stamped.map("# " + _) ++ delNames.sorted.map("-" + _) ++ names.sorted
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  private val TsPrefix = "ts="
+  private val OpPrefix = "op="
+
+  /** Wall-clock commit time of version `v` (millis), as stamped by
+    * [[commit]]; None for manifests committed by pre-stamp code.
+    */
+  def commitTimeMs(spark: SparkSession, tableDir: String, v: Long): Option[Long] =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith(TsPrefix) => m.stripPrefix(TsPrefix).toLong
+    }
+
+  /** The operation label stamped with version `v` (init/merge/delete/
+    * overwrite/optimize/optimize-zorder), None for raw commits.
+    */
+  def operationOf(spark: SparkSession, tableDir: String, v: Long): Option[String] =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith(OpPrefix) => m.stripPrefix(OpPrefix)
+    }
+
+  /** TIMESTAMP AS OF resolution: the LATEST version whose commit stamp is
+    * <= `tsMillis` — Delta's rule, robust to the (bounded) wall-clock skew
+    * of racing writers because version order, not stamp order, decides
+    * what a version contains. A timestamp before the first commit is an
+    * error (there was no table to read), as is a table whose retained
+    * manifests carry no stamps. Cost: one manifest-metadata read per
+    * retained version — metadata, never data.
+    */
+  def versionAt(spark: SparkSession, tableDir: String, tsMillis: Long): Long = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    val stamped = vs.flatMap(v => commitTimeMs(spark, tableDir, v).map(v -> _))
+    require(stamped.nonEmpty, s"no commit-time stamps under $tableDir — " +
+      "TIMESTAMP AS OF needs manifests committed by stamp-aware code")
+    val hit = stamped.filter(_._2 <= tsMillis)
+    require(hit.nonEmpty, s"timestamp $tsMillis predates the first " +
+      s"retained commit (${stamped.head._2}) of $tableDir")
+    hit.map(_._1).max
+  }
+
+  /** One row per retained version — the DESCRIBE HISTORY surface:
+    * (version, ts millis, operation, data files, delete-vector files,
+    * range stamps, txn stamp). All from the manifest chain; no data file
+    * is touched.
+    */
+  def history(spark: SparkSession, tableDir: String)
+      : Seq[(Long, Option[Long], Option[String], Int, Int, Int, Option[String])] =
+    versions(spark, tableDir).sorted(Ordering[Long].reverse).map { v =>
+      val meta = manifestMeta(spark, tableDir, v)
+      val txn = meta.collectFirst {
+        case m if m.startsWith("txn=") => m.stripPrefix("txn=")
+      }
+      (v, commitTimeMs(spark, tableDir, v), operationOf(spark, tableDir, v),
+        manifest(spark, tableDir, v).size, deletes(spark, tableDir, v).size,
+        meta.count(_.startsWith(RangePrefix)), txn)
+    }
 
   /** Stage immutable data files under `data/` via `write(scratchDir)` and
     * return their names. Spark part-file names carry the write job's
@@ -364,7 +424,7 @@ object SnapshotLog {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
     val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, 0L, names, meta ++ metaOf(key, df.schema) ++
+    commit(spark, table, 0L, names, ("op=init" +: meta) ++ metaOf(key, df.schema) ++
       rangeMeta(statsOfNew(spark, table, names, key)))
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
@@ -467,7 +527,7 @@ object SnapshotLog {
     val untouchedSet = untouchedNames.toSet
     val carried = ranges.filter(st => untouchedSet(nameOf(st)))
     commit(spark, table, v + 1, untouchedNames ++ newNames,
-      meta ++ metaOf(key, evolved) ++
+      ("op=merge" +: meta) ++ metaOf(key, evolved) ++
         rangeMeta(carried ++ statsOfNew(spark, table, newNames, key)),
       newDelNames)
     SnapshotCommit(v + 1,
@@ -487,7 +547,7 @@ object SnapshotLog {
     val v = latestVersion(spark, tableDir)
     val before = manifest(spark, tableDir, v)
     val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, v + 1, names, meta ++ metaOf(key, df.schema) ++
+    commit(spark, table, v + 1, names, ("op=overwrite" +: meta) ++ metaOf(key, df.schema) ++
       rangeMeta(statsOfNew(spark, table, names, key)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, names.size))
@@ -518,7 +578,7 @@ object SnapshotLog {
       .getOrElse(read(spark, tableDir, v).schema)
     // every data file is carried by reference — its range stamp too
     commit(spark, table, v + 1, names,
-      metaOf(key, schema) ++ rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)),
+      "op=delete" +: (metaOf(key, schema) ++ rangeMeta(keyRangesOfVersion(spark, tableDir, v, key))),
       newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -536,8 +596,8 @@ object SnapshotLog {
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val newNames = stageFiles(spark, table, data, key, numFiles)
-    commit(spark, table, v + 1, newNames, metaOf(key, data.schema) ++
-      rangeMeta(statsOfNew(spark, table, newNames, key)))
+    commit(spark, table, v + 1, newNames, "op=optimize" +: (metaOf(key, data.schema) ++
+      rangeMeta(statsOfNew(spark, table, newNames, key))))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -638,8 +698,8 @@ object SnapshotLog {
       ZOrder.writeClustered(data, a, b, numFiles, out))
     // key ranges of z-ordered files are curve-segmented (wider but
     // bounded) — stamped from the same one-time footer read
-    commit(spark, table, v + 1, newNames, metaOf(key, data.schema) ++
-      rangeMeta(statsOfNew(spark, table, newNames, key)))
+    commit(spark, table, v + 1, newNames, "op=optimize-zorder" +: (metaOf(key, data.schema) ++
+      rangeMeta(statsOfNew(spark, table, newNames, key))))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }

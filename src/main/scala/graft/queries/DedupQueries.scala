@@ -589,25 +589,45 @@ object DedupQueries {
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     Stage.sharedTable(s, "ngram_pairs", d)(ngramPairsUnstaged(s, d))
 
-  /** The inverted-index self-join + Jaccard-verify pipeline BEFORE the
-    * outer staging (the df-capped index inside stays a shared stage) —
-    * the plan PlanShapeSpec's join-shape assertions run against.
+  /** The inverted-index pipeline BEFORE the outer staging — the plan
+    * PlanShapeSpec's join-shape assertions run against.
+    *
+    * ONE aggregation replaces the classic three-shuffle index shape
+    * (df-count groupBy + index join + index self-join). The exploded
+    * stream aggregates straight to per-shingle doc LISTS under a hard
+    * [[graft.functions.BoundedCollectLongAgg]] cap (NgramMaxDf + 1 longs
+    * per group, no matter how hot the shingle — a stopword shingle at
+    * corpus scale cannot blow a buffer), and candidate pairs are emitted
+    * MAP-SIDE from each surviving list (df in [2, MaxDf] -> at most
+    * MaxDf^2/2 pairs per shingle, the same quadratic guard as before).
+    * Shuffled volume drops from three passes over the exploded index to
+    * one pass of (hash, doc_id) rows plus the pair distinct.
+    *
+    * The aggregation keys on `xxhash64(shingle)`, not the string: the key
+    * never reaches the output (pairs are re-verified by EXACT Jaccard on
+    * the full shingle arrays), so a 64-bit collision can only (a) emit a
+    * false candidate — killed by the verify — or (b) nudge two shingles'
+    * combined df over the cap; at 2^32 distinct shingles (far beyond any
+    * single corpus's 3-gram vocabulary) the chance of even ONE collision
+    * is ~50%, and of one that crosses the cap boundary, vanishing.
     */
   private[graft] def ngramPairsUnstaged(s: SparkSession, d: String): DataFrame = {
+      import graft.functions.BoundedCollectLongAgg.boundedCollect
       GraftNative.ensure(s)
       val sh = shingleStage(s, d)
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val rare = inv.groupBy("shingle")
-        .agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, NgramMaxDf))
-        .select("shingle")
-      // the df-capped inverted index is itself shared: the pairs thunk
-      // runs once, but a re-pointed consumer (or a future partial rebuild)
-      // scans the written index instead of re-exploding the shingles
-      val idx = Stage.sharedTable(s, "d06_idx", d)(inv.join(rare, Seq("shingle")))
-      val cand = idx.as("a").join(idx.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val byShingle = sh
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .groupBy(xxhash64(col("shingle")).as("shingle_h"))
+        .agg(boundedCollect(col("doc_id"), NgramMaxDf).as("docs"))
+        .where(size(col("docs")).between(2, NgramMaxDf))
+      // all ordered pairs of each bounded doc list, generated map-side
+      val cand = byShingle
+        .select(explode(flatten(transform(col("docs"), (x, i) =>
+          transform(
+            slice(col("docs"), i + lit(2), greatest(size(col("docs")) - i - 1, lit(0))),
+            y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .where(col("doc_a") < col("doc_b"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

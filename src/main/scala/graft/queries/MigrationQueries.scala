@@ -521,6 +521,86 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // The DSv2 TableCatalog surface (m18): the SAME post-merge table as
+    // m09/m11/m17, built ENTIRELY through catalog identifiers — CTAS
+    // creates `graft.m18t` from half the shares, `INSERT INTO` appends
+    // the other half (the V1-fallback write path committing through the
+    // log), `MERGE INTO graft.m18t` applies the m09 changeset by
+    // identifier, and the result is read back with a plain
+    // `SELECT ... FROM graft.m18t` (the injected resolution rule plans it
+    // as the version's parquet scan + mask). No registered temp view
+    // anywhere; same oracle as m09, so the whole catalog lifecycle is
+    // hash-certified against the functional merge. DDL (DROP/SHOW/
+    // rename), time travel by identifier, and plan-shape facts are
+    // GraftCatalogSqlSpec's.
+    Q("m18_catalog_table", Merge0.keyedMergeSql) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m18_cat", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m18_shares")
+        s.sql("CREATE TABLE graft.m18t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m18_shares WHERE id % 2 = 0")
+        s.sql("INSERT INTO graft.m18t SELECT * FROM m18_shares WHERE id % 2 = 1")
+        Merge0.changeset(shares).createOrReplaceTempView("m18_cs")
+        s.sql(
+          """MERGE INTO graft.m18t t USING m18_cs c ON t.id = c.id
+            |WHEN MATCHED AND c.op = 'delete' THEN DELETE
+            |WHEN MATCHED AND c.op = 'update' THEN
+            |  UPDATE SET item_target = c.item_target, file_target = c.file_target
+            |WHEN NOT MATCHED AND c.op = 'insert' THEN INSERT *
+            |""".stripMargin).collect()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target
+              |FROM graft.m18t ORDER BY id""".stripMargin)
+    },
+
+    // Streaming CDC source under the hash gate (m19): tail the m12
+    // snapshot table's commit feed with the REAL streaming source
+    // ([[graft.streaming.SnapshotStreams.readChanges]], AvailableNow) and
+    // fold every delivered signed delta into an EMPTY per-owner aggregate
+    // — the bootstrap batch delivers v0's +1 images, the composed delta
+    // covers the merge, and the fold must land exactly on the oracle's
+    // from-scratch recompute over the merged table (m14's oracle). This
+    // is the end-to-end loop a continuously-maintained 100 TB view runs:
+    // per batch it reads manifest TEXT plus the file diff, never the
+    // table; a checkpoint is created fresh per run so the stream always
+    // replays the full feed. Restart/replay/vacuum-gap semantics are
+    // SnapshotStreamSourceSpec's.
+    Q("m19_stream_cdc_fold", Merge0.incViewSql) { (s, d) =>
+      import graft.operators.{IncrementalView, SnapshotLog, Stage}
+      import graft.streaming.SnapshotStreams
+      val dir = Stage.sharedDir(s, "m12_snap", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("m19_ckpt").toString
+      var deltas = Vector.empty[DataFrame]
+      val q = SnapshotStreams.readChanges(s, dir, "id") { (signed, _, _) =>
+          deltas :+= signed
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val measures = Seq(
+        "sum_fs" -> col("file_source"),
+        "sum_ftl" -> length(col("file_target")).cast("long"))
+      val empty = IncrementalView.build(
+        SnapshotLog.read(s, dir, 0L).limit(0), "uid_owner", measures)
+      IncrementalView.applyCdc(empty, deltas.reduce(_ unionByName _),
+          "uid_owner", measures)
+        .orderBy("uid_owner")
     }
   )
 

@@ -1,0 +1,322 @@
+package graft.sql
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.operators.SnapshotLog
+
+/** [[SnapshotLog]] tables as a first-class Spark catalog — the DSv2
+  * `TableCatalog` surface, so snapshot tables are addressed by IDENTIFIER
+  * (`graft.db.t`) instead of per-commit re-pointed temp views:
+  *
+  * {{{
+  *   spark.sql.catalog.graft=graft.sql.GraftTableCatalog
+  *   spark.graft.catalog.location=/warehouse            // session conf
+  *
+  *   CREATE TABLE graft.t (id BIGINT, x BIGINT) TBLPROPERTIES ('key'='id')
+  *   CREATE TABLE graft.agg TBLPROPERTIES ('key'='k') AS SELECT ...
+  *   INSERT INTO graft.t SELECT ...        -- keyed insert-if-absent
+  *   INSERT OVERWRITE graft.t SELECT ...   -- full-replacement commit
+  *   SELECT * FROM graft.t                 -- always the LATEST version
+  *   SELECT * FROM graft.t VERSION AS OF 3 -- loadTable(ident, version)
+  *   SELECT * FROM graft.t TIMESTAMP AS OF '...' -- commit-stamp resolution
+  *   MERGE INTO graft.t ... / UPDATE graft.t ... / DELETE FROM graft.t ...
+  *   OPTIMIZE graft.t / VACUUM graft.t RETAIN 3 VERSIONS
+  *   DESCRIBE HISTORY graft.t
+  * }}}
+  *
+  * Identifier -> directory mapping is namespace-as-path under the base
+  * location (`graft.db.t` -> `<base>/db/t`), so the catalog itself holds
+  * NO state: existence is "has a committed manifest", listing is a
+  * directory walk, and two sessions pointed at the same base location see
+  * the same tables — the object-store-native layout, with all consistency
+  * carried by the log's exclusive-create commits, never by this class.
+  *
+  * Integration is the standard lakehouse-extension split (the pattern
+  * Delta Lake ships): the catalog resolves identifiers to [[
+  * GraftSnapshotTable]]s, WRITES run through the DSv2 V1-fallback write
+  * path ([[TableCapability.V1_BATCH_WRITE]] — `INSERT INTO` / CTAS /
+  * `INSERT OVERWRITE` arrive as one driver-side DataFrame and commit
+  * through [[SnapshotLog]]), and READS are planned by [[
+  * GraftCatalogRelations]], an injected resolution rule that swaps the
+  * relation for the version's parquet scan + delete-vector mask — so a
+  * SELECT pays exactly the plan the DataFrame API pays (pushdown, pruning,
+  * masks), not a row-at-a-time connector.
+  *
+  * The base location is read PER CALL from the active session
+  * (`spark.graft.catalog.location`), falling back to the catalog's own
+  * `spark.sql.catalog.graft.location` option: Spark caches catalog plugin
+  * instances per name for the session's lifetime, and a boot-time-frozen
+  * location would make the catalog untestable and un-repointable.
+  */
+class GraftTableCatalog extends TableCatalog {
+
+  /** Session conf key for the warehouse root this catalog maps
+    * identifiers under. Read per call — see class doc.
+    */
+  final val LocationKey = "spark.graft.catalog.location"
+
+  private var catalogName: String = _
+  private var bootLocation: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    bootLocation = Option(options.get("location"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def base: String =
+    spark.conf.getOption(LocationKey).orElse(bootLocation).getOrElse(
+      throw new IllegalStateException(
+        s"catalog $catalogName needs a base location: set $LocationKey " +
+          s"(session conf) or spark.sql.catalog.$catalogName.location"))
+
+  /** `graft.db.t` -> `<base>/db/t`. Parts must be path-safe: an
+    * identifier that walks the filesystem (`..`, separators) is rejected
+    * loudly — identifiers are names, not paths.
+    */
+  def tableDir(ident: Identifier): String = {
+    val parts = ident.namespace.toSeq :+ ident.name
+    parts.foreach { p =>
+      require(p.nonEmpty && !p.contains("/") && !p.contains("\\") && p != "." &&
+        p != "..", s"identifier part not path-safe: '$p'")
+    }
+    (base +: parts).mkString("/")
+  }
+
+  private def exists(dir: String): Boolean =
+    SnapshotLog.versions(spark, dir).nonEmpty
+
+  override def tableExists(ident: Identifier): Boolean = exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    GraftSnapshotTable(catalogName, ident, dir, pinned = None)
+  }
+
+  /** `VERSION AS OF <v>` — the analyzer routes the time-travel suffix of a
+    * catalog identifier here; the returned table is pinned and read-only.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLong
+    require(SnapshotLog.versions(spark, dir).contains(v),
+      s"version $v of ${ident.name} is not committed (or was vacuumed)")
+    GraftSnapshotTable(catalogName, ident, dir, pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — micros in, resolved to the latest version
+    * whose commit stamp is at or before it ([[SnapshotLog.versionAt]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    val v = SnapshotLog.versionAt(spark, dir, timestampMicros / 1000L)
+    GraftSnapshotTable(catalogName, ident, dir, pinned = Some(v))
+  }
+
+  /** `CREATE TABLE` — inits the log at version 0 with an EMPTY file set of
+    * the declared schema. The table key comes from `TBLPROPERTIES
+    * ('key'='<col>')`, defaulting to the first column; partitioning
+    * transforms are rejected (the log's layout unit is the key-clustered
+    * file, committed per write, not a static partition tree).
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables cluster by key per commit; PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (exists(dir)) throw new TableAlreadyExistsException(ident)
+    val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
+    require(schema.fieldNames.contains(key),
+      s"table property key='$key' is not a column of ${schema.fieldNames.mkString(",")}")
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    SnapshotLog.init(spark, dir, empty, key, numFiles = 1)
+    GraftSnapshotTable(catalogName, ident, dir, pinned = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on snapshot tables: schema evolves through MERGE WITH " +
+        "SCHEMA EVOLUTION (stamped per commit), not through catalog DDL")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) return false
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!exists(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (exists(to)) throw new TableAlreadyExistsException(newIdent)
+    val hfs = new Path(from).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new Path(to).getParent)
+    require(hfs.rename(new Path(from), new Path(to)),
+      s"rename $from -> $to failed")
+  }
+
+  /** Listing = one directory walk under the namespace: a table is any
+    * child directory with a committed manifest. Metadata-only, no state.
+    */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((base +: namespace.toSeq).mkString("/"))
+    val hfs = nsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(nsDir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    }
+    hfs.listStatus(nsDir).toSeq
+      .filter(st => st.isDirectory && exists(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+}
+
+/** A [[SnapshotLog]] table resolved through [[GraftTableCatalog]] —
+  * optionally PINNED at a time-travel version. Schema is the version's
+  * manifest-stamped logical schema (one metadata read at loadTable time,
+  * never a footer sweep). Capabilities:
+  *
+  *  - [[TableCapability.V1_BATCH_WRITE]]: `INSERT INTO` appends through
+  *    [[SnapshotLog.merge]] as an all-`insert` changeset — on a KEYED
+  *    table that is INSERT-IF-ABSENT (an existing key is a no-op, exactly
+  *    MERGE's NOT MATCHED contract); use MERGE/UPDATE to change existing
+  *    rows. The write arrives as one driver-side DataFrame (the V1
+  *    fallback seam) and commits atomically; the data write itself is
+  *    fully distributed.
+  *  - [[TableCapability.TRUNCATE]]: `INSERT OVERWRITE` becomes a
+  *    full-replacement commit ([[SnapshotLog.overwrite]]) — prior
+  *    versions stay time-travel-readable until vacuumed.
+  *
+  * Reads carry NO capability on purpose: [[GraftCatalogRelations]]
+  * replaces the relation with the version's parquet scan during
+  * resolution, so the scan path is Spark's own (pushdown, pruning,
+  * delete-vector mask as an anti-join) rather than a connector loop.
+  */
+final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
+    dir: String, pinned: Option[Long]) extends Table with SupportsWrite {
+
+  override def name(): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  /** The version this table object reads: the pin, or latest AT LOAD TIME
+    * (resolved once per loadTable so one query's plan is one version —
+    * the snapshot-isolation read every lakehouse layer gives).
+    */
+  val snapshotVersion: Long = {
+    val spark = SparkSession.active
+    pinned.getOrElse(SnapshotLog.latestVersion(spark, dir))
+  }
+
+  // Table.version(): String is DSv2's table-version handle — ours IS the
+  // log version
+  override def version(): String = snapshotVersion.toString
+
+  val key: String = SnapshotLog.tableKey(SparkSession.active, dir, snapshotVersion)
+
+  override lazy val schema: StructType = {
+    val spark = SparkSession.active
+    SnapshotLog.tableSchema(spark, dir, snapshotVersion)
+      .getOrElse(SnapshotLog.read(spark, dir, snapshotVersion).schema)
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("key", key)
+    m.put("location", dir)
+    m.put("version", snapshotVersion.toString)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to ${name()} pinned at VERSION AS OF ${pinned.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            val s = data.sparkSession
+            if (replace || overwrite) {
+              // size the replacement like OPTIMIZE sizes compaction:
+              // keep the current version's file count as the floor
+              val files = math.max(1,
+                SnapshotLog.manifest(s, dir,
+                  SnapshotLog.latestVersion(s, dir)).size)
+              SnapshotLog.overwrite(s, dir, data, key, files)
+            } else {
+              val cs = data.selectExpr(("'insert' AS op" +:
+                data.columns.map(c => s"`$c`")): _*)
+              SnapshotLog.merge(s, dir, cs, key)
+            }
+            ()
+          }
+      }
+    }
+  }
+}
+
+/** Injected resolution rule ([[graft.GraftExtensions]]): plan READS of
+  * [[GraftSnapshotTable]] relations as the version's snapshot read — the
+  * same [[SnapshotLog.read]] plan the DataFrame API builds (stamped
+  * schema, delete-vector anti-join), alias-projected onto the relation's
+  * output attributes so every reference already resolved against the
+  * relation keeps its expression id. Write positions are left alone: an
+  * `INSERT INTO` target must stay a relation for the V1-fallback write
+  * path to claim ([[InsertIntoStatement]]'s table child is collected and
+  * skipped by reference; `AppendData`/`OverwriteByExpression` hold their
+  * target outside `children`, unreachable by this transform anyway).
+  */
+case class GraftCatalogRelations(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    lazy val writeTargets = plan.collect {
+      case i: InsertIntoStatement => i.table
+    }
+    plan.resolveOperatorsDown {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftSnapshotTable] &&
+            !writeTargets.exists(_ eq r) =>
+        val t = r.table.asInstanceOf[GraftSnapshotTable]
+        val read = SnapshotLog.read(session, t.dir, t.snapshotVersion)
+          .queryExecution.analyzed
+        val byName = read.output.map(a => a.name -> a).toMap
+        // exprId-preserving projection: parents referencing r.output
+        // resolve against the replacement unchanged
+        val projections = r.output.map { tgt =>
+          Alias(byName(tgt.name), tgt.name)(
+            exprId = tgt.exprId, qualifier = tgt.qualifier)
+        }
+        Project(projections, read)
+    }
+  }
+}

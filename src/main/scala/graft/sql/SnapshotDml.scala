@@ -71,24 +71,60 @@ object SnapshotDml {
     SnapshotLog.readLatest(spark, registry.get(name))
       .createOrReplaceTempView(name)
 
+  /** A resolved DML target: the display name the statement used, the
+    * table directory, and whether it is a [[register]]ed name (whose
+    * SELECT temp view must be re-pointed after a commit) or a
+    * [[GraftTableCatalog]] identifier (whose reads resolve per query —
+    * nothing to refresh). Plain strings only: commands hold one of these
+    * as a case-class member, and QueryPlan's reflection must see no
+    * expressions in it.
+    */
+  final case class Target(display: String, dir: String, registered: Boolean)
+
+  private def catalogOf(session: SparkSession, name: String)
+      : Option[GraftTableCatalog] =
+    try session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name) match {
+        case g: GraftTableCatalog => Some(g)
+        case _                    => None
+      }
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resolve a (possibly multipart) statement name to a snapshot-table
+    * target: a single registered name, or `<catalog>.<ns...>.<table>`
+    * through a configured [[GraftTableCatalog]] (the identifier must
+    * resolve to a table with at least one committed version).
+    */
+  private[sql] def resolveTarget(session: SparkSession,
+      parts: Seq[String]): Option[Target] = parts match {
+    case Seq(n) if registry.containsKey(n.toLowerCase) =>
+      Some(Target(n.toLowerCase, registry.get(n.toLowerCase), registered = true))
+    case cat +: rest if rest.nonEmpty =>
+      catalogOf(session, cat).flatMap { c =>
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          rest.init.toArray, rest.last)
+        val dir = c.tableDir(ident)
+        if (SnapshotLog.versions(session, dir).nonEmpty)
+          Some(Target(parts.mkString("."), dir, registered = false))
+        else None
+      }
+    case _ => None
+  }
+
   // ------------------------------------------------------------------
   // Parse-tree rewrite
   // ------------------------------------------------------------------
 
-  /** (registered name, optional alias) of a DML target plan, when it is a
-    * registered snapshot table.
+  /** (resolved target, optional alias) of a DML target plan, when it is a
+    * registered snapshot table or a graft-catalog identifier.
     */
-  private def target(plan: LogicalPlan): Option[(String, Option[String])] =
+  private def target(session: SparkSession,
+      plan: LogicalPlan): Option[(Target, Option[String])] =
     plan match {
       case SubqueryAlias(ident, u: UnresolvedRelation) =>
-        nameOf(u).map(n => (n, Some(ident.name)))
-      case u: UnresolvedRelation => nameOf(u).map(n => (n, None))
-      case _ => None
-    }
-
-  private def nameOf(u: UnresolvedRelation): Option[String] =
-    u.multipartIdentifier match {
-      case Seq(n) if registry.containsKey(n.toLowerCase) => Some(n.toLowerCase)
+        resolveTarget(session, u.multipartIdentifier).map(t => (t, Some(ident.name)))
+      case u: UnresolvedRelation =>
+        resolveTarget(session, u.multipartIdentifier).map(t => (t, None))
       case _ => None
     }
 
@@ -123,23 +159,49 @@ object SnapshotDml {
       case _ => ()
     }
 
-  /** SQL time travel: `SELECT ... FROM name VERSION AS OF n` — Spark's
-    * grammar already parses the suffix into [[RelationTimeTravel]]; for
-    * registered snapshot tables the node is replaced (anywhere in the
-    * tree — it's a relation, not a statement) by the analyzed snapshot
-    * read of that version, masks and stamped schema applied exactly as
-    * the DataFrame read. Resolution cost is the version's manifest read
-    * (metadata). TIMESTAMP AS OF is rejected: manifests version by
-    * number, not wall clock.
+  /** SQL time travel over REGISTERED names: `SELECT ... FROM name
+    * VERSION AS OF n` / `TIMESTAMP AS OF ts` — Spark's grammar already
+    * parses the suffix into [[RelationTimeTravel]]; for registered
+    * snapshot tables the node is replaced (anywhere in the tree — it's a
+    * relation, not a statement) by the analyzed snapshot read of that
+    * version, masks and stamped schema applied exactly as the DataFrame
+    * read. A timestamp resolves through the manifests' commit stamps
+    * ([[SnapshotLog.versionAt]] — latest version at-or-before, Delta's
+    * rule); it must be a constant-foldable expression (a literal, or
+    * literal arithmetic). Resolution cost is manifest metadata.
+    *
+    * Catalog identifiers (`graft.t VERSION AS OF n`) are intentionally
+    * NOT matched here: the analyzer routes those through
+    * [[GraftTableCatalog.loadTable]]'s version/timestamp overloads — the
+    * native DSv2 path.
     */
   private def timeTravel(session: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan transform {
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
-        target(tt.relation) match {
-          case Some((name, alias)) =>
-            val dir = dirOf(name).get
-            val v = tt.version.map(_.toLong).getOrElse(
-              fail(s"snapshot table $name supports VERSION AS OF <n>, not TIMESTAMP AS OF"))
+        val reg = tt.relation match {
+          case SubqueryAlias(id, u: UnresolvedRelation)
+              if u.multipartIdentifier.length == 1 =>
+            dirOf(u.multipartIdentifier.head).map((_, Some(id.name)))
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+            dirOf(u.multipartIdentifier.head).map((_, None))
+          case _ => None
+        }
+        reg match {
+          case Some((dir, alias)) =>
+            val v = tt.version.map(_.toLong).getOrElse {
+              val ts = tt.timestamp.getOrElse(
+                fail("time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+              val cast = Cast(ts, org.apache.spark.sql.types.TimestampType,
+                Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+              if (!cast.resolved || !cast.foldable)
+                fail("TIMESTAMP AS OF over a snapshot table must be a " +
+                  s"constant timestamp, got $ts")
+              val micros = cast.eval(
+                org.apache.spark.sql.catalyst.InternalRow.empty)
+              if (micros == null) fail("TIMESTAMP AS OF evaluated to NULL")
+              SnapshotLog.versionAt(session, dir,
+                micros.asInstanceOf[Long] / 1000L)
+            }
             val read = SnapshotLog.read(session, dir, v).queryExecution.analyzed
             alias.fold(read)(a => SubqueryAlias(a, read))
           case None => tt
@@ -154,17 +216,17 @@ object SnapshotDml {
     val plan = timeTravel(session, plan0)
     plan match {
     case d: DeleteFromTable =>
-      target(d.table).map { case (name, alias) =>
-        SnapshotDeleteCommand(name, alias, raw(d.condition))
+      target(session, d.table).map { case (t, alias) =>
+        SnapshotDeleteCommand(t, alias, raw(d.condition))
       }.getOrElse(d)
     case u: UpdateTable =>
-      target(u.table).map { case (name, alias) =>
+      target(session, u.table).map { case (t, alias) =>
         val assigns = u.assignments.map(assignmentOf(_, "UPDATE SET"))
-        SnapshotUpdateCommand(name, alias, raw((assigns, u.condition)))
+        SnapshotUpdateCommand(t, alias, raw((assigns, u.condition)))
       }.getOrElse(u)
     case m: MergeIntoTable =>
-      target(m.targetTable).map { case (name, alias) =>
-        SnapshotMergeCommand(name, alias,
+      target(session, m.targetTable).map { case (t, alias) =>
+        SnapshotMergeCommand(t, alias,
           raw((m.sourceTable, m.mergeCondition, m.matchedActions,
             m.notMatchedActions, m.notMatchedBySourceActions,
             m.withSchemaEvolution)))
@@ -189,9 +251,9 @@ object SnapshotDml {
   /** The latest version's table state + key + schema, with the DML
     * statement's alias applied so qualified references resolve.
     */
-  private def tableState(s: SparkSession, name: String,
+  private def tableState(s: SparkSession, t: Target,
       alias: Option[String]): (String, Long, String, StructType, LogicalPlan) = {
-    val dir = dirOf(name).getOrElse(fail(s"$name is not registered"))
+    val dir = t.dir
     val v = SnapshotLog.latestVersion(s, dir)
     val key = SnapshotLog.tableKey(s, dir, v)
     val snap = SnapshotLog.read(s, dir, v)
@@ -227,8 +289,10 @@ object SnapshotDml {
   private[sql] val VersionOutput: Seq[AttributeReference] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
-  private def finish(s: SparkSession, name: String, c: SnapshotCommit): Seq[Row] = {
-    refreshView(s, name) // SQL reads of `name` now see the new version
+  private def finish(s: SparkSession, t: Target, c: SnapshotCommit): Seq[Row] = {
+    // registered names publish a SELECT temp view that must track the
+    // commit; catalog identifiers resolve per query — nothing to refresh
+    if (t.registered) refreshView(s, t.display)
     Seq(Row(c.version))
   }
 
@@ -239,22 +303,31 @@ object SnapshotDml {
   // surface, accepted only for registered snapshot tables)
   // ------------------------------------------------------------------
 
+  private val Name = """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"""
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Name)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*;?\\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    s"""(?is)\\s*VACUUM\\s+($Name)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Name)\\s*;?\\s*""".r
 
   /** Pre-delegation text match: Some(command) for a maintenance
-    * statement over a REGISTERED snapshot table, None otherwise (the
-    * text goes to the delegate parser untouched).
+    * statement over a registered snapshot table or a graft-catalog
+    * identifier, None otherwise (the text goes to the delegate parser
+    * untouched).
     */
-  def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(name, a, b) if dirOf(name).isDefined =>
-      Some(SnapshotOptimizeCommand(name.toLowerCase,
-        Option(a).map(x => (x, b))))
-    case VacuumRe(name, k) if dirOf(name).isDefined =>
-      Some(SnapshotVacuumCommand(name.toLowerCase, k.toInt))
-    case _ => None
+  def maintenance(session: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    def t(name: String): Option[Target] =
+      resolveTarget(session, name.split('.').toSeq)
+    sqlText match {
+      case OptimizeRe(name, a, b) =>
+        t(name).map(SnapshotOptimizeCommand(_, Option(a).map(x => (x, b))))
+      case VacuumRe(name, k) =>
+        t(name).map(SnapshotVacuumCommand(_, k.toInt))
+      case HistoryRe(name) =>
+        t(name).map(DescribeHistoryCommand(_))
+      case _ => None
+    }
   }
 
   /** Session conf key for [[SnapshotOptimizeCommand]]'s target file
@@ -269,14 +342,14 @@ object SnapshotDml {
     * table's bytes (totalBytes / target, floored at 1), committed as the
     * next version. Returns (version, files_before, files_after).
     */
-  final case class SnapshotOptimizeCommand(name: String,
+  final case class SnapshotOptimizeCommand(target: Target,
       zorder: Option[(String, String)]) extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = Seq(
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("files_before", LongType, nullable = false)(),
       AttributeReference("files_after", LongType, nullable = false)())
     override def run(s: SparkSession): Seq[Row] = {
-      val dir = dirOf(name).getOrElse(fail(s"$name is not registered"))
+      val dir = target.dir
       val v = SnapshotLog.latestVersion(s, dir)
       val table = new org.apache.hadoop.fs.Path(dir)
       val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -284,14 +357,14 @@ object SnapshotDml {
         hfs.getFileStatus(new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(table, "data"), n)).getLen
       }.sum
-      val target = s.conf.getOption(CompactTargetKey).map(_.toLong)
+      val targetBytes = s.conf.getOption(CompactTargetKey).map(_.toLong)
         .getOrElse(DefaultCompactTargetBytes)
-      val numFiles = math.max(1L, (bytes + target - 1) / target).toInt
+      val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val c = zorder match {
         case Some((a, b)) => SnapshotLog.compactZ(s, dir, a, b, numFiles)
         case None         => SnapshotLog.compact(s, dir, numFiles)
       }
-      refreshView(s, name)
+      if (target.registered) refreshView(s, target.display)
       Seq(Row(c.version, c.report.nFilesBefore.toLong, c.report.nNewFiles.toLong))
     }
   }
@@ -300,18 +373,41 @@ object SnapshotDml {
     * the newest k versions (the grace window applies as always). Returns
     * (manifests_deleted, files_deleted).
     */
-  final case class SnapshotVacuumCommand(name: String, retainVersions: Int)
+  final case class SnapshotVacuumCommand(target: Target, retainVersions: Int)
       extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = Seq(
       AttributeReference("manifests_deleted", LongType, nullable = false)(),
       AttributeReference("files_deleted", LongType, nullable = false)())
     override def run(s: SparkSession): Seq[Row] = {
       if (retainVersions < 1) fail("VACUUM must retain at least 1 version")
-      val dir = dirOf(name).getOrElse(fail(s"$name is not registered"))
-      val latest = SnapshotLog.latestVersion(s, dir)
-      val (nM, nF) = SnapshotLog.vacuum(s, dir,
+      val latest = SnapshotLog.latestVersion(s, target.dir)
+      val (nM, nF) = SnapshotLog.vacuum(s, target.dir,
         retainFrom = math.max(0L, latest - retainVersions + 1))
       Seq(Row(nM.toLong, nF.toLong))
+    }
+  }
+
+  /** `DESCRIBE HISTORY name` — the manifest chain as rows, newest first:
+    * version, commit wall-time, operation label, data-file /
+    * delete-vector / range-stamp counts, streaming txn stamp. Pure
+    * manifest metadata ([[SnapshotLog.history]]); no data file is read.
+    */
+  final case class DescribeHistoryCommand(target: Target)
+      extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("ts", org.apache.spark.sql.types.TimestampType)(),
+      AttributeReference("operation", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("delete_vectors", LongType, nullable = false)(),
+      AttributeReference("range_stamps", LongType, nullable = false)(),
+      AttributeReference("txn", org.apache.spark.sql.types.StringType)())
+    override def run(s: SparkSession): Seq[Row] = {
+      SnapshotLog.history(s, target.dir).map {
+        case (v, ts, op, files, dels, ranges, txn) =>
+          Row(v, ts.map(ms => new java.sql.Timestamp(ms)).orNull,
+            op.orNull, files.toLong, dels.toLong, ranges.toLong, txn.orNull)
+      }
     }
   }
 
@@ -322,28 +418,28 @@ object SnapshotDml {
   /** `DELETE FROM name [alias] WHERE cond` — merge-on-read: commits the
     * matching keys as a delete vector, rewriting nothing.
     */
-  final case class SnapshotDeleteCommand(name: String, alias: Option[String],
+  final case class SnapshotDeleteCommand(target: Target, alias: Option[String],
       dml: Raw[Expression]) extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = VersionOutput
     override def run(s: SparkSession): Seq[Row] = {
       val condition = dml.value
-      val (dir, _, key, _, aliased) = tableState(s, name, alias)
+      val (dir, _, key, _, aliased) = tableState(s, target, alias)
       val keys = ofRows(s,
         Project(Seq(UnresolvedAttribute.quoted(key)), Filter(condition, aliased)))
-      finish(s, name, SnapshotLog.deleteKeys(s, dir, keys, key))
+      finish(s, target, SnapshotLog.deleteKeys(s, dir, keys, key))
     }
   }
 
   /** `UPDATE name [alias] SET c = e, ... [WHERE cond]` — a partial-update
     * changeset (unassigned columns null = keep base) merged copy-on-write.
     */
-  final case class SnapshotUpdateCommand(name: String, alias: Option[String],
+  final case class SnapshotUpdateCommand(target: Target, alias: Option[String],
       dml: Raw[(Seq[(String, Expression)], Option[Expression])])
       extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = VersionOutput
     override def run(s: SparkSession): Seq[Row] = {
       val (assigns, condition) = dml.value
-      val (dir, _, key, schema, aliased) = tableState(s, name, alias)
+      val (dir, _, key, schema, aliased) = tableState(s, target, alias)
       val assigned = assigns.toMap
       if (assigned.contains(key)) fail(s"UPDATE must not assign the key column $key")
       assigned.foreach { case (c, v) =>
@@ -369,7 +465,7 @@ object SnapshotDml {
           }
       val filtered = condition.fold(aliased)(c => Filter(c, aliased))
       val cs = ofRows(s, Project(projections, filtered))
-      finish(s, name, SnapshotLog.merge(s, dir, cs, key))
+      finish(s, target, SnapshotLog.merge(s, dir, cs, key))
     }
   }
 
@@ -380,7 +476,7 @@ object SnapshotDml {
     * key joins select which applies (an update/delete of an absent key
     * and an insert of a present key are both no-ops, exactly SQL MERGE).
     */
-  final case class SnapshotMergeCommand(name: String, alias: Option[String],
+  final case class SnapshotMergeCommand(target: Target, alias: Option[String],
       dml: Raw[(LogicalPlan, Expression, Seq[MergeAction], Seq[MergeAction],
         Seq[MergeAction], Boolean)])
       extends LeafRunnableCommand {
@@ -389,8 +485,11 @@ object SnapshotDml {
     override def run(s: SparkSession): Seq[Row] = {
       val (source, mergeCondition, matchedActions, notMatchedActions,
         notMatchedBySourceActions, withSchemaEvolution) = dml.value
-      val (dir, _, key, targetSchema, aliasedTarget) = tableState(s, name, alias)
-      val targetNames = Set(name.toLowerCase) ++ alias.map(_.toLowerCase)
+      val (dir, _, key, targetSchema, aliasedTarget) = tableState(s, target, alias)
+      // qualified target references may use the alias, the full dotted
+      // name, or its last part (`t.x` for `graft.ns.t`)
+      val targetNames = Set(target.display.toLowerCase,
+        target.display.split('.').last.toLowerCase) ++ alias.map(_.toLowerCase)
       val srcDf = ofRows(s, source)
       val srcCols = srcDf.columns.toSet
       // MERGE WITH SCHEMA EVOLUTION: source columns the target lacks
@@ -581,7 +680,7 @@ object SnapshotDml {
         .map(ofRows(s, _))
       if (parts.isEmpty) fail("MERGE needs at least one WHEN clause")
       val cs = parts.reduce(_ unionByName _).where(col("op").isNotNull)
-      finish(s, name, SnapshotLog.merge(s, dir, cs, key))
+      finish(s, target, SnapshotLog.merge(s, dir, cs, key))
     }
 
     /** Extract the SOURCE side of `ON target.key = <source expr>`. */
@@ -615,7 +714,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    SnapshotDml.maintenance(sqlText)
+    SnapshotDml.maintenance(session, sqlText)
       .getOrElse(SnapshotDml.rewrite(session, delegate.parsePlan(sqlText)))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =

@@ -172,10 +172,12 @@ class SqlDmlSpec extends SparkTestBase {
     assert(byId.size == 61)
   }
 
-  test("VERSION AS OF reads a past version from SQL text; TIMESTAMP AS OF is rejected") {
+  test("VERSION AS OF and TIMESTAMP AS OF read past versions from SQL text") {
     val dir = freshTable("dml_tt")
     SnapshotDml.register(spark, "dml_tt", dir)
     val v0Rows = rows(snap(dir))
+    val tsAfterV0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20) // commit stamps are millis; order the commit after ts
     spark.sql("UPDATE dml_tt SET x = 0 WHERE id <= 5")
     val v1Rows = rows(snap(dir))
     assert(v1Rows != v0Rows)
@@ -189,10 +191,16 @@ class SqlDmlSpec extends SparkTestBase {
       "SELECT count(*) AS n FROM dml_tt VERSION AS OF 0 t WHERE t.x > 0")
       .head().getLong(0)
     assert(n == 60L)
-    val e = intercept[IllegalArgumentException] {
-      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '2026-01-01'").collect()
+    // TIMESTAMP AS OF: a stamp between commit 0 and commit 1 resolves to
+    // version 0 (latest at-or-before); the head resolves to version 1
+    assert(q(s"dml_tt TIMESTAMP AS OF '$tsAfterV0'") == v0Rows)
+    val tsHead = new java.sql.Timestamp(System.currentTimeMillis())
+    assert(q(s"dml_tt TIMESTAMP AS OF '$tsHead'") == v1Rows)
+    // ... and a timestamp before the first commit is a loud error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '1999-01-01'").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(e.getMessage.contains("predates"))
   }
 
   test("OPTIMIZE and VACUUM statements run the log maintenance ops") {
