@@ -592,42 +592,38 @@ object DedupQueries {
   /** The inverted-index pipeline BEFORE the outer staging — the plan
     * PlanShapeSpec's join-shape assertions run against.
     *
-    * ONE aggregation replaces the classic three-shuffle index shape
-    * (df-count groupBy + index join + index self-join). The exploded
-    * stream aggregates straight to per-shingle doc LISTS under a hard
-    * [[graft.functions.BoundedCollectLongAgg]] cap (NgramMaxDf + 1 longs
-    * per group, no matter how hot the shingle — a stopword shingle at
-    * corpus scale cannot blow a buffer), and candidate pairs are emitted
-    * MAP-SIDE from each surviving list (df in [2, MaxDf] -> at most
-    * MaxDf^2/2 pairs per shingle, the same quadratic guard as before).
-    * Shuffled volume drops from three passes over the exploded index to
-    * one pass of (hash, doc_id) rows plus the pair distinct.
+    * The index keys on `xxhash64(shingle)` LONGS, not shingle strings —
+    * the round-13 scale fix for the suite's worst 10x ratio (8.35x ->
+    * 4.6x, 36.3 s -> 19.3 s at sf1). Every shuffle/sort of the exploded
+    * working set (the df aggregation, the index join, the self-join)
+    * then moves 8-byte radix-sortable keys instead of ~24-char UTF8
+    * strings: the in-partition sorts the r12 audit flagged are Tungsten
+    * radix sorts, and shuffle volume drops ~2.5x. (A measured
+    * alternative — one typed collect-to-bounded-list aggregation
+    * replacing all three shuffles — LOST: the ScalaAggregator per-row
+    * boundary costs more than the two extra long-keyed shuffles it
+    * saves; 62.7 s vs 19.3 s at sf1.)
     *
-    * The aggregation keys on `xxhash64(shingle)`, not the string: the key
-    * never reaches the output (pairs are re-verified by EXACT Jaccard on
-    * the full shingle arrays), so a 64-bit collision can only (a) emit a
-    * false candidate — killed by the verify — or (b) nudge two shingles'
-    * combined df over the cap; at 2^32 distinct shingles (far beyond any
-    * single corpus's 3-gram vocabulary) the chance of even ONE collision
-    * is ~50%, and of one that crosses the cap boundary, vanishing.
+    * Hashing is safe here because the key never reaches the output:
+    * candidates are re-verified by EXACT Jaccard on the full shingle
+    * arrays, so a 64-bit collision can only (a) emit a false candidate —
+    * killed by the verify — or (b) merge two shingles' df counts across
+    * the [2, MaxDf] predicate; at 2^32 distinct shingles (beyond any
+    * corpus's 3-gram vocabulary) even ONE collision anywhere is a coin
+    * flip, and one that also crosses a df boundary vanishing.
     */
   private[graft] def ngramPairsUnstaged(s: SparkSession, d: String): DataFrame = {
-      import graft.functions.BoundedCollectLongAgg.boundedCollect
       GraftNative.ensure(s)
       val sh = shingleStage(s, d)
-      val byShingle = sh
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .groupBy(xxhash64(col("shingle")).as("shingle_h"))
-        .agg(boundedCollect(col("doc_id"), NgramMaxDf).as("docs"))
-        .where(size(col("docs")).between(2, NgramMaxDf))
-      // all ordered pairs of each bounded doc list, generated map-side
-      val cand = byShingle
-        .select(explode(flatten(transform(col("docs"), (x, i) =>
-          transform(
-            slice(col("docs"), i + lit(2), greatest(size(col("docs")) - i - 1, lit(0))),
-            y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .where(col("doc_a") < col("doc_b"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, NgramMaxDf))
+        .select("h")
+      val idx = inv.join(rare, Seq("h"))
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -297,11 +297,34 @@ object TextQueries {
   val ShuffleSeed = "graft42"
   val ShardSize = 128
 
-  /** Hash-prefix chars of the t22 range bucketing: 2 = 256 buckets
-    * (~n/256 rows per in-bucket sort). The scale knob: each extra char
-    * is 16x more buckets — at 100 TB pick ceil(log16(n / targetRows)).
+  /** Target rows per t22 sort bucket: each in-bucket sort handles ~this
+    * many rows, and the bucket count (16^chars) is derived from the
+    * corpus size to hit it — the same footer-metadata sizing discipline
+    * as [[SimilarityQueries.beamPlaneCount]]. 64k rows sort in
+    * milliseconds and fit any executor; the ceiling of 8 prefix chars
+    * (16^8 ≈ 4.3e9 buckets) is beyond any corpus that names documents
+    * with 64-bit ids.
     */
-  val ShuffleBucketChars = 2
+  val ShuffleBucketTarget = 65536L
+
+  /** Hash-prefix chars of the t22 range bucketing for a corpus of `n`
+    * docs: the least k (floor 1) with n / 16^k <= target. Derived from
+    * parquet FOOTER counts (metadata), never a count() action, and
+    * overridable per session via [[ShuffleCharsKey]] (how the scale spec
+    * forces finer bucketing on small fixtures). The oracle is bucket-
+    * blind — buckets only decide WHERE each row is sorted, the global
+    * rank they compose is identical at every k — so the knob moves cost,
+    * never the hash.
+    */
+  def shuffleBucketChars(spark: org.apache.spark.sql.SparkSession, n: Long): Int =
+    spark.conf.getOption(ShuffleCharsKey).map(_.toInt).getOrElse {
+      var k = 1
+      while (k < 8 && (n >> (4 * k)) > ShuffleBucketTarget) k += 1
+      k
+    }
+
+  /** Session conf overriding the derived t22 prefix-char count. */
+  val ShuffleCharsKey = "spark.graft.shuffle.bucketChars"
 
   val entries: Seq[Q] = Seq(
 
@@ -1349,10 +1372,14 @@ object TextQueries {
          |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
          |       MIN(h) AS min_h, MAX(h) AS max_h
          |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      // bucket count from footer metadata (rows/16^k <= target), never a
+      // count() action; ShuffleCharsKey forces finer bucketing in specs
+      val chars = shuffleBucketChars(s,
+        graft.operators.Stage.rowCount(s, s"$d/documents.parquet"))
       val hashed = Tables.documents(s, d)
         .select(col("doc_id"),
           md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("h"))
-        .withColumn("part", substring(col("h"), 1, ShuffleBucketChars))
+        .withColumn("part", substring(col("h"), 1, chars))
       val wOff = Window.orderBy("part")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = hashed.groupBy("part").agg(count(lit(1)).as("n"))

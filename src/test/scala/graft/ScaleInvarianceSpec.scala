@@ -244,4 +244,25 @@ class ScaleInvarianceSpec extends SparkTestBase {
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(actual == expected, "d01 keeper/copy structure drifted under replication")
   }
+
+  test("t22 global shuffle is bucket-count invariant: forced finer bucketing leaves every shard identical") {
+    // the bucket prefix only decides WHERE each row is sorted — the
+    // composed global rank must be identical at any prefix width, so the
+    // data-driven sizing knob can never move the answer
+    import graft.queries.TextQueries.ShuffleCharsKey
+    def shards(chars: Int, dir: String): Seq[Seq[Any]] = {
+      spark.conf.set(ShuffleCharsKey, chars.toString)
+      try run("t22_shuffle_shards", dir).collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(ShuffleCharsKey)
+    }
+    val coarse = shards(1, src)   // 16 buckets
+    val fine = shards(3, src)     // 4096 buckets (most hold 0-1 rows)
+    assert(coarse.nonEmpty && coarse == fine,
+      "t22 shards drifted under a different bucket count")
+    // ... and the derived width actually responds to corpus size
+    import graft.queries.TextQueries.{shuffleBucketChars, ShuffleBucketTarget}
+    assert(shuffleBucketChars(spark, 1000L) == 1)
+    assert(shuffleBucketChars(spark, ShuffleBucketTarget * 16 + 16) == 2)
+    assert(shuffleBucketChars(spark, Long.MaxValue) == 8)
+  }
 }
