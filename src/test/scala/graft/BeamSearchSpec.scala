@@ -27,8 +27,8 @@ class BeamSearchSpec extends SparkTestBase {
     assert(beam.values.sum > single.values.sum,
       s"beam aggregate ${beam.values.sum} not strictly above single-probe ${single.values.sum}")
     beam.foreach { case (p, r) =>
-      assert(r >= SimilarityQueries.RecallFloor,
-        s"probe $p: beam recall $r below floor ${SimilarityQueries.RecallFloor}")
+      assert(r >= SimilarityQueries.BeamRecallFloor,
+        s"probe $p: beam recall $r below floor ${SimilarityQueries.BeamRecallFloor}")
     }
   }
 
@@ -44,6 +44,8 @@ class BeamSearchSpec extends SparkTestBase {
       .select("probe_id", "recall").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(beam.nonEmpty)
+    // the scale walk certifies the PQ-level floor (0.6; measured 0.7 at
+    // sf1) — the raised 0.8 beam floor is the CERTIFICATION-path bar
     beam.foreach { case (pr, r) =>
       assert(r >= SimilarityQueries.RecallFloor,
         s"probe $pr: scaled-path recall $r below floor with capped walk")
