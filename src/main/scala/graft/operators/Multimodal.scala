@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * from the SOURCE values while the engine decodes real stored bytes).
   * [[MediaDecoder]] runs the real decode per kind, falling back to
   * [[FakeDecoder]]'s deterministic byte-derived pseudo-features for
-  * payloads no installed reader accepts. Only VIDEO stays stubbed: the
-  * JVM ships no video codec — that slot is where a JNI/ffmpeg decoder
-  * plugs into the same per-partition contract. Everything around the
+  * payloads no installed reader accepts. VIDEO gets a real CONTAINER
+  * codec too: [[encodeAviGray]] / [[decodeAviGray]] are lossless
+  * uncompressed-DIB grayscale AVI (a standard RIFF layout any player
+  * accepts) implemented directly — the JVM ships no video codec, and
+  * the raw-DIB form needs none; a compressed-codec decode (JNI/ffmpeg)
+  * would plug into the same seam. Everything around the
   * decoder — the schema, the `Dataset[MediaRow]` encoder, the
   * per-partition batched iteration (the Scala analogue of `mapInPandas`:
   * one decoder instance per partition, streamed batches, never a
@@ -168,6 +171,142 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- Video: uncompressed 8-bit grayscale DIB frames in a RIFF AVI ----
+  //
+  // The one media kind the JVM ships no codec for. Rather than leave the
+  // slot stubbed, the container is implemented directly: AVI is a RIFF
+  // file — LIST hdrl (avih + one strl with strh/strf) + LIST movi holding
+  // one '00db' chunk per frame — and with biCompression=0 (raw DIB) the
+  // frame payload is the pixel bytes themselves (bottom-up rows, 4-byte-
+  // aligned stride), so encode/decode round-trips BIT-EXACTLY: the same
+  // losslessness property the PNG and WAV codecs give images and audio,
+  // which is what keeps the DuckDB oracle exact (it recomputes features
+  // from source values; the engine decodes real stored containers).
+  // Any player accepts the output (it is a standard uncompressed AVI);
+  // a compressed-codec decode (H.264 etc.) would plug into the same
+  // [[MediaDecoder]] seam via JNI/ffmpeg.
+
+  private def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  private def aviRowSize(w: Int): Int = ((w + 3) / 4) * 4 // DIB 4-byte stride
+
+  /** Lossless grayscale AVI encode: `frames` are row-major pixel arrays
+    * (values 0-255), all `w` x `h`. Standard chunk layout — avih, one
+    * 'vids'/'DIB ' stream with an 8-bit BITMAPINFOHEADER + gray palette,
+    * one '00db' raw-DIB chunk per frame (bottom-up rows, padded stride).
+    */
+  def encodeAviGray(frames: Array[Array[Int]], w: Int, h: Int,
+      fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty && w > 0 && h > 0 && fps > 0, "empty video")
+    frames.foreach(f => require(f.length == w * h, s"frame size ${f.length} != ${w * h}"))
+    val stride = aviRowSize(w)
+    val frameBytes = stride * h
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      fcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+    // flags 0: no idx1 index is written (legal for AVIs this small; a
+    // streaming writer would append one)
+    val avih = le32(1000000 / fps) ++ le32(frameBytes * fps) ++ le32(0) ++
+      le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val palette = Array.tabulate(256 * 4) { i =>
+      if (i % 4 == 3) 0.toByte else (i / 4).toByte // gray BGRA entries
+    }
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(8) ++
+      le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(256) ++ le32(256) ++
+      palette
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap { f =>
+      val dib = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = f(y * w + x)
+          require(v >= 0 && v <= 255, s"pixel out of range: $v")
+          dib((h - 1 - y) * stride + x) = v.toByte // bottom-up rows
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", dib)
+    }.toArray)
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi
+    out.write(fcc("RIFF")); out.write(le32(riffBody.length)); out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Real video decode: walk the RIFF tree, read the stream format from
+    * strf (must be 8-bit uncompressed DIB), collect every '00db'/'00dc'
+    * movi chunk as one frame (rows un-flipped, stride stripped). Returns
+    * (frames, w, h), or None for anything that is not an 8-bit raw-DIB
+    * AVI ([[looksLikeAvi]] pre-filters at memcmp cost — same mixed-corpus
+    * discipline as the image/audio sniffs).
+    */
+  def decodeAviGray(bytes: Array[Byte]): Option[(Array[Array[Int]], Int, Int)] =
+    try {
+      if (!looksLikeAvi(bytes)) return None
+      def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def fccAt(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      // walk [from, until) as a chunk sequence; LIST bodies recurse
+      def walk(from: Int, until: Int): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val id = fccAt(o); val n = le32(o + 4); val body = o + 8
+          if (body + n > bytes.length) return
+          id match {
+            case "LIST" => walk(body + 4, body + n) // skip the list kind fcc
+            case "strf" =>
+              val bits = (bytes(body + 14) & 0xff) | ((bytes(body + 15) & 0xff) << 8)
+              val comp = le32(body + 16)
+              if (bits != 8 || comp != 0) return // not raw 8-bit DIB
+              w = le32(body + 4); h = le32(body + 8)
+            case "00db" | "00dc" if w > 0 && h > 0 =>
+              val stride = aviRowSize(w)
+              if (n >= stride * h) {
+                val f = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    f(y * w + x) = bytes(body + (h - 1 - y) * stride + x) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += f
+              }
+            case _ => ()
+          }
+          o = body + n + (n & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + le32(4)))
+      if (w <= 0 || h <= 0 || frames.isEmpty) None
+      else Some((frames.toArray, w, h))
+    } catch { case _: Exception => None }
+
   /** Real audio decode via `javax.sound.sampled`: signed 16-bit mono PCM
     * samples plus the sample rate, or None when no installed reader
     * accepts the bytes (or the format is not the 16-bit mono PCM this
@@ -216,6 +355,15 @@ object Multimodal {
           fake.copy(brightness =
             if (samples.isEmpty) 0.0
             else samples.map(s => math.abs(s.toLong)).sum.toDouble / samples.length / 32768.0)
+        case None => FakeDecoder.features(row)
+      }
+      case "video" => decodeAviGray(row.content) match {
+        case Some((frames, w, h)) =>
+          val fake = FakeDecoder.features(row)
+          val n = frames.length.toLong * w * h
+          fake.copy(brightness =
+            if (n == 0) 0.0
+            else frames.map(_.map(_.toLong).sum).sum.toDouble / n / 255.0)
         case None => FakeDecoder.features(row)
       }
       case _ => FakeDecoder.features(row)

@@ -24,6 +24,16 @@ object MultimodalQueries {
   val AudioSamples = 256
   val AudioRate = 16000
 
+  /** mm07 video clip shape: [[VideoFrames]] frames of [[VideoW]] x
+    * [[VideoH]] grayscale pixels per clip (leading sanitized chars as
+    * pixels — ascii value = pixel value, so frame bytes == source bytes
+    * and both engines can md5 them). 8 x 8 x 4 = 256 chars keeps the
+    * same corpus coverage as mm06's audio clips.
+    */
+  val VideoW = 8
+  val VideoH = 8
+  val VideoFrames = 4
+
   /** mm04 duplicate-injection id offset — ≡ 0 mod 3 so an injected copy
     * keeps the image kind routing, and far above any real doc_id (the
     * loud-failure guard below enforces that, same convention as the
@@ -417,6 +427,97 @@ object MultimodalQueries {
           imgs.join(broadcast(probes), col("bucket") === col("p_bucket")))
         .select(col("probe_id").as("doc_id"), col("neighbor_id").as("media_id"),
           col("rnk"), col("cosine"))
+    },
+
+    // Real video decode (mm07): per video-kind doc, the sanitized chars
+    // become NFrames frames of FrameW x FrameH grayscale pixels (pixel =
+    // the char's ascii value — so a frame's pixel bytes ARE the source
+    // substring's bytes), encoded into a REAL uncompressed-DIB AVI
+    // container ([[graft.operators.Multimodal.encodeAviGray]] — standard
+    // RIFF any player accepts), written as a stage, then DECODED back
+    // ([[decodeAviGray]]) for the features: total pixel sum, motion
+    // energy (sum of |frame_i - frame_{i-1}| over pixels — the real
+    // inter-frame feature a sampler keys on), and the min per-frame md5
+    // (computable on both sides because raw DIB is lossless and pixel
+    // bytes == source bytes). The oracle recomputes every number from
+    // the SOURCE characters — it never sees the container — so the hash
+    // certifies the full encode -> container -> decode loop, exactly
+    // mm06's WAV discipline. Same mapPartitions batch contract as every
+    // media decode (one decoder per partition, streamed rows).
+    Q("mm07_video_features", {
+      val (w, h, nf) = (VideoW, VideoH, VideoFrames)
+      val fpx = w * h
+      val need = fpx * nf
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ct
+         |  FROM documents WHERE doc_id % 3 = 2
+         |),
+         |v AS (SELECT doc_id, ct FROM cleaned WHERE len(ct) >= $need),
+         |px AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, $need),
+         |                        i -> ascii(substring(ct, CAST(i AS INTEGER), 1))) AS p,
+         |         ct
+         |  FROM v
+         |)
+         |SELECT doc_id,
+         |       CAST($nf AS BIGINT) AS n_frames,
+         |       CAST($w AS BIGINT) AS width, CAST($h AS BIGINT) AS height,
+         |       CAST(list_sum(p) AS BIGINT) AS px_sum,
+         |       CAST(list_sum(list_transform(generate_series($fpx + 1, $need),
+         |                                    i -> abs(p[i] - p[i - $fpx]))) AS BIGINT) AS motion_sum,
+         |       (SELECT MIN(md5(substring(ct, (f - 1) * $fpx + 1, $fpx)))
+         |        FROM generate_series(1, $nf) AS g(f)) AS min_frame_md5
+         |FROM px ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val (w, h, nf) = (VideoW, VideoH, VideoFrames)
+      val fpx = w * h
+      val need = fpx * nf
+      val avis = graft.operators.Stage.table(
+        Tables.documents(s, d)
+          .where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("ct"))
+          .where(length(col("ct")) >= need)
+          .withColumn("px",
+            expr(s"transform(sequence(1, $need), i -> ascii(substring(ct, i, 1)))"))
+          .select(col("doc_id"), col("px"))
+          .as[(Long, Array[Int])]
+          .mapPartitions(_.map { case (id, px) =>
+            (id, Multimodal.encodeAviGray(px.grouped(fpx).toArray, w, h))
+          })
+          .toDF("doc_id", "avi"),
+        "mm07_avi")
+      avis.as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, avi) =>
+            val (frames, fw, fh) = Multimodal.decodeAviGray(avi).getOrElse(
+              throw new IllegalStateException(s"undecodable stored AVI for doc $id"))
+            var px = 0L; var motion = 0L
+            var minMd5 = "￿"
+            var f = 0
+            while (f < frames.length) {
+              val cur = frames(f)
+              var j = 0
+              while (j < cur.length) {
+                px += cur(j)
+                if (f > 0) motion += math.abs(cur(j) - frames(f - 1)(j))
+                j += 1
+              }
+              md.reset()
+              val hex = md.digest(cur.map(_.toByte)).map("%02x".format(_)).mkString
+              if (hex < minMd5) minMd5 = hex
+              f += 1
+            }
+            (id, frames.length.toLong, fw.toLong, fh.toLong, px, motion, minMd5)
+          }
+        }
+        .toDF("doc_id", "n_frames", "width", "height", "px_sum", "motion_sum",
+          "min_frame_md5")
+        .orderBy("doc_id")
     }
   )
 }

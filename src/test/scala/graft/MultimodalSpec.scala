@@ -59,6 +59,43 @@ class MultimodalSpec extends SparkTestBase {
       "TIFF must decode through the sniff, not fall to None")
   }
 
+  test("grayscale AVI codec round-trips frame-exactly, including non-word-aligned widths") {
+    // 8x8 (stride == width) and 6x5 (DIB rows pad to 8 bytes): both must
+    // round-trip bit-exactly through the RIFF container
+    for ((w, h) <- Seq((8, 8), (6, 5))) {
+      val frames = Array.tabulate(3)(f => Array.tabulate(w * h)(i => (f * 40 + i * 3) % 256))
+      val avi = Multimodal.encodeAviGray(frames, w, h)
+      assert(avi(0) == 'R' && avi(1) == 'I' && avi(2) == 'F' && avi(3) == 'F' &&
+        avi(8) == 'A' && avi(9) == 'V' && avi(10) == 'I')
+      val (got, gw, gh) = Multimodal.decodeAviGray(avi).getOrElse(
+        fail(s"own AVI did not decode (${w}x$h)"))
+      assert((gw, gh) == ((w, h)))
+      assert(got.length == 3)
+      got.zip(frames).foreach { case (g, e) =>
+        assert(g.sameElements(e), s"frame drifted at ${w}x$h")
+      }
+    }
+    // non-AVI payloads fail the sniff, never the parser
+    assert(Multimodal.decodeAviGray("not a riff at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("video rows with real AVI payloads decode to pixel-true brightness") {
+    import spark.implicits._
+    val frames = Array(Array.fill(64)(100), Array.fill(64)(200))
+    val avi = Multimodal.encodeAviGray(frames, 8, 8)
+    val media = Seq(
+      Multimodal.MediaRow(3L, "video", avi, 8, 8),
+      Multimodal.MediaRow(6L, "video", "not a video".getBytes("UTF-8"), 0, 0))
+      .toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(math.abs(feats(3L).brightness - 150.0 / 255.0) < 1e-12,
+      s"real AVI decode must average DECODED pixels: ${feats(3L).brightness}")
+    val fake = Multimodal.FakeDecoder.features(
+      Multimodal.MediaRow(6L, "video", "not a video".getBytes("UTF-8"), 0, 0))
+    assert(feats(6L) == fake, "non-AVI video payload must fall back to FakeDecoder")
+  }
+
   test("image rows with real PNG payloads decode to pixel-true brightness") {
     import spark.implicits._
     val pxs = Array.tabulate(64)(i => 40 + i) // mean = 71.5
