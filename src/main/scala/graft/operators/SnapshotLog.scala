@@ -305,8 +305,27 @@ object SnapshotLog {
     def race(e: Exception) = new ConcurrentCommitException(
       s"version $v already committed under $table (${e.getMessage}); " +
         "re-read the latest manifest and re-plan the merge")
-    val out =
-      try hfs.create(p, false)
+    val isLocal = hfs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      hfs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val out: java.io.OutputStream =
+      if (isLocal) {
+        // Hadoop's RawLocalFileSystem.create(overwrite = false) is
+        // exists-then-truncate — a TOCTOU window ACROSS PROCESSES in
+        // which two committers can both "win" the same version and the
+        // second truncates the first (SnapshotRaceSpec's two-JVM race
+        // hits it). On a local filesystem the exclusive create must be
+        // the kernel's O_EXCL, which nio CREATE_NEW maps to — atomic
+        // against every process on the host. (HDFS creates are atomic
+        // server-side and S3-class stores run a conditional PUT, so the
+        // Hadoop path below is already sound off-host.)
+        try java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException => throw race(e)
+        }
+      } else try hfs.create(p, false)
       catch {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw race(e)
         case e: java.nio.file.FileAlreadyExistsException        => throw race(e)
