@@ -18,21 +18,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Shuffle partitions sized with the data: one partition per ~3 MB of
-    * compressed parquet under `sfDir`, floored at `cpus`, rounded down to
-    * a power of two — 32 at sf0.1 (17 MB), 64 at sf1 (198 MB), 128 at
-    * sf3 (597 MB). The slab is calibrated on the recorded sf3 stress:
-    * 128 partitions keeps the heaviest sort (d06's exploded shingle
-    * working set) out of spill, while 32 there cost 36x. On a real
-    * cluster this is the number AQE's initialPartitionNum would start
-    * from; in the single-JVM harness we set it directly.
+    * compressed parquet under `sfDir`, floored at `cpus` and rounded up
+    * to the next multiple of `cpus` so waves stay full — 32 at sf0.1
+    * (17 MB), 64 at sf1 (191 MiB), 224 at sf3 (597 MB). The slab is
+    * calibrated on the recorded sf3 stress: ~128+ partitions keeps the
+    * heaviest sort (d06's exploded shingle working set) out of spill,
+    * while 32 there cost 36x. The earlier power-of-two ROUNDING DOWN was
+    * a measured cliff, not a nicety: two sf1 replications that compress
+    * to 191 vs 198 MiB landed on 32 vs 64 partitions (63 vs 66 slabs
+    * around the 64 boundary), and d06 ran 32.3 s vs 17.4 s on identical
+    * row counts — the slab count itself must scale smoothly with bytes.
+    * On a real cluster this is the number AQE's initialPartitionNum
+    * would start from; in the single-JVM harness we set it directly.
     */
   def autoShufflePartitions(sfDir: String, cpus: Int): Int = {
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
       else f.length()
     val bytes = sizeOf(new java.io.File(sfDir))
-    val want = math.min(math.max(cpus.toLong, bytes / (3L << 20)), 1L << 14)
-    math.max(Integer.highestOneBit(want.toInt), cpus)
+    val slabs = math.min(math.max(cpus.toLong, bytes / (3L << 20)), 1L << 14).toInt
+    ((slabs + cpus - 1) / cpus) * cpus // round UP to whole waves
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,8 +45,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Partition sizing is DATA-DRIVEN, no hand-knob: shuffle partitions
     // scale with the input bytes actually under sfDir (one compressed-
-    // parquet ~4 MB slab per partition, floored at the thread count,
-    // rounded to a power of two) — 32 at sf0.1, 64 at sf1, 128 at sf3.
+    // parquet ~3 MB slab per partition, floored at the thread count,
+    // rounded up to whole waves) — 32 at sf0.1, 64 at sf1, 192+ at sf3.
     // This removes the old SPARK_GRAFT_SHUFFLE env override: a fixed
     // count that fits sf0.1 made individual sort/agg partitions spill at
     // 30x rows, and a knob an operator must remember to turn IS the bug.
