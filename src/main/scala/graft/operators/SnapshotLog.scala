@@ -201,6 +201,49 @@ object SnapshotLog {
       else s"$RangePrefix$name:-"
     }
 
+  // Second-dimension stamps (`# colrange=<col>:<file>:<lo>:<hi>`):
+  // written by [[compactZ]] for the Morton dimensions, so reads can skip
+  // files on EITHER Z-order column ([[graft.sources.SnapshotFileIndex]]).
+  // Only stamped when stats exist; carried forward by reference-only
+  // commits ([[deleteKeys]]) and for untouched files ([[merge]]); dropped
+  // when a rewrite destroys the clustering ([[compact]], [[overwrite]]).
+  private val ColRangePrefix = "colrange="
+
+  private def colRangeMeta(column: String, stats: Seq[CowFileStats]): Seq[String] =
+    stats.collect {
+      case st if st.hasStats =>
+        val name = st.file.substring(st.file.lastIndexOf('/') + 1)
+        s"$ColRangePrefix$column:$name:${st.lo}:${st.hi}"
+    }
+
+  /** Per-file SECOND-dimension intervals of version `v`:
+    * file name -> (column -> [lo, hi]).
+    */
+  private def stampedColRanges(spark: SparkSession, tableDir: String,
+      v: Long): Map[String, Map[String, (Long, Long)]] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(ColRangePrefix) =>
+        val body = m.stripPrefix(ColRangePrefix)
+        val Array(col, name, lo, hi) = body.split(":", 4)
+        (name, col, (lo.toLong, hi.toLong))
+    }.groupBy(_._1).map { case (name, entries) =>
+      name -> entries.map(e => e._2 -> e._3).toMap
+    }
+
+  /** The raw `colrange=` meta lines of version `v` whose file survives
+    * into the next commit — how reference-carrying commits keep Z-order
+    * skipping alive without re-reading a footer.
+    */
+  private def carriedColRangeLines(spark: SparkSession, tableDir: String,
+      v: Long, keep: String => Boolean): Seq[String] =
+    manifestMeta(spark, tableDir, v).filter { m =>
+      m.startsWith(ColRangePrefix) && {
+        val body = m.stripPrefix(ColRangePrefix)
+        val parts = body.split(":", 4)
+        parts.length == 4 && keep(parts(1))
+      }
+    }
+
   private def stampedRanges(spark: SparkSession, tableDir: String,
       v: Long): Map[String, CowFileStats] =
     manifestMeta(spark, tableDir, v).collect {
@@ -250,12 +293,53 @@ object SnapshotLog {
     * path: the masked rows' data files were never rewritten). Files older
     * than the version's stamped schema read THROUGH it: columns the table
     * gained since a file was written come back null, unrewritten.
+    *
+    * The scan is backed by [[graft.sources.SnapshotFileIndex]] over the
+    * manifest's commit-time range stamps, so a key predicate on the
+    * returned frame SKIPS whole data files at planning time (`WHERE key
+    * = k` on a key-clustered 100 TB table opens ~1 file) — same physical
+    * parquet scan otherwise, pushdown/pruning/codegen unchanged. Files
+    * without a stamp are always scanned; no footer is ever fetched for
+    * pruning (stamps or nothing — read() stays metadata-cost).
     */
   def read(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val table = new Path(tableDir)
-    val reader = tableSchema(spark, tableDir, v)
-      .fold(spark.read)(s => spark.read.schema(s))
-    val data = reader.parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
+    val names = manifest(spark, tableDir, v)
+    val data =
+      if (names.isEmpty) {
+        // empty version (freshly created table): schema-only frame
+        tableSchema(spark, tableDir, v)
+          .fold(spark.read)(s => spark.read.schema(s))
+          .parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
+      } else {
+        val nameSet = names.toSet
+        val byName = fs(spark, table).listStatus(dataDir(table)).toSeq
+          .filter(st => nameSet(st.getPath.getName))
+          .map(st => st.getPath.getName -> st).toMap
+        val missing = names.filterNot(byName.contains)
+        require(missing.isEmpty,
+          s"version $v of $tableDir references data files that do not " +
+            s"exist (vacuumed or corrupt): ${missing.take(3).mkString(",")}")
+        val schema = tableSchema(spark, tableDir, v).getOrElse(
+          spark.read.parquet(names.map(n =>
+            new Path(dataDir(table), n).toString): _*).schema)
+        val key = manifestMeta(spark, tableDir, v).collectFirst {
+          case m if m.startsWith("key=") => m.stripPrefix("key=")
+        }
+        val keyRanges: Map[String, Map[String, (Long, Long)]] = key match {
+          case Some(k) => stampedRanges(spark, tableDir, v).collect {
+            case (n, st) if st.hasStats => n -> Map(k -> (st.lo, st.hi))
+          }
+          case None => Map.empty
+        }
+        // Z-order second-dimension stamps merge in per file
+        val ranges = stampedColRanges(spark, tableDir, v)
+          .foldLeft(keyRanges) { case (acc, (n, cols)) =>
+            acc.updated(n, acc.getOrElse(n, Map.empty) ++ cols)
+          }
+        graft.sources.SnapshotFileIndex.scan(spark, table,
+          names.map(byName), ranges, schema)
+      }
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
     else {
@@ -547,7 +631,8 @@ object SnapshotLog {
     val carried = ranges.filter(st => untouchedSet(nameOf(st)))
     commit(spark, table, v + 1, untouchedNames ++ newNames,
       ("op=merge" +: meta) ++ metaOf(key, evolved) ++
-        rangeMeta(carried ++ statsOfNew(spark, table, newNames, key)),
+        rangeMeta(carried ++ statsOfNew(spark, table, newNames, key)) ++
+        carriedColRangeLines(spark, tableDir, v, untouchedSet),
       newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
@@ -595,9 +680,11 @@ object SnapshotLog {
     val newDel = stageFiles(spark, table, all, key, 1)
     val schema = tableSchema(spark, tableDir, v)
       .getOrElse(read(spark, tableDir, v).schema)
-    // every data file is carried by reference — its range stamp too
+    // every data file is carried by reference — its range stamps too
     commit(spark, table, v + 1, names,
-      "op=delete" +: (metaOf(key, schema) ++ rangeMeta(keyRangesOfVersion(spark, tableDir, v, key))),
+      "op=delete" +: (metaOf(key, schema) ++
+        rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedColRangeLines(spark, tableDir, v, _ => true)),
       newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -716,9 +803,14 @@ object SnapshotLog {
     val newNames = stageWith(spark, table)(out =>
       ZOrder.writeClustered(data, a, b, numFiles, out))
     // key ranges of z-ordered files are curve-segmented (wider but
-    // bounded) — stamped from the same one-time footer read
+    // bounded) — stamped from the same one-time footer read. BOTH Morton
+    // dimensions get interval stamps, so SnapshotFileIndex-backed reads
+    // skip files on either one (a filter on `b` alone prunes — the
+    // payoff a key-sorted layout can never give).
+    val dims = (Seq(a, b).distinct.filterNot(_ == key))
+      .flatMap(c => colRangeMeta(c, statsOfNew(spark, table, newNames, c)))
     commit(spark, table, v + 1, newNames, "op=optimize-zorder" +: (metaOf(key, data.schema) ++
-      rangeMeta(statsOfNew(spark, table, newNames, key))))
+      rangeMeta(statsOfNew(spark, table, newNames, key)) ++ dims))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }

@@ -601,6 +601,39 @@ object MigrationQueries {
       IncrementalView.applyCdc(empty, deltas.reduce(_ unionByName _),
           "uid_owner", measures)
         .orderBy("uid_owner")
+    },
+
+    // Manifest-stat FILE SKIPPING on a plain snapshot read (m20): the
+    // same post-merge table as m16, but accessed as a declarative
+    // range scan — `read(v).where(id <= cut)` — with the pruning done by
+    // [[graft.sources.SnapshotFileIndex]] at PLANNING time from the
+    // manifest's commit-time range stamps (no lookupKeys call, no footer
+    // fetch: Spark's FileSourceStrategy hands the pushed key predicate
+    // to the index, which answers from metadata). On the key-clustered
+    // 8-file fixture the bottom-5% range opens 1 file; at 100 TB the
+    // same plan opens ~0.5% of 10^5 files before a single byte of data
+    // is read. SnapshotSkipSpec pins the numFiles-metric facts (1-of-8
+    // point reads, 0-file empty ranges, non-key predicates keep all
+    // files) and equality with the unpruned answer; this entry certifies
+    // the pruned scan's CONTENT against the merged-table oracle.
+    Q("m20_skipping_scan",
+      s"""WITH ${Merge0.keyedMergeCtes}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM merged WHERE id <= (SELECT MAX(id) FROM shares) // 20
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      val dir = Stage.sharedDir(s, "m12_snap", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+      }
+      val cut = SyntheticShares.shares(Tables.orders(s, d))
+        .agg(max(col("id"))).head().getLong(0) / 20L
+      SnapshotLog.read(s, dir, 1L).where(col("id") <= cut)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 
