@@ -362,12 +362,18 @@ object RelationalQueries {
         |       quantile_cont(l_quantity, 0.5) AS med_qty,
         |       quantile_cont(l_quantity, 0.95) AS p95_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n"),
-          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
-          percentile(col("l_quantity"), lit(0.95)).as("p95_qty"))
+      // histogram-based exact percentile ([[ExactQuantiles]]): l_quantity
+      // is a bounded integral domain (1..50, never null), so the exact
+      // interpolated percentile needs only the (flag, quantity) count
+      // histogram — one map-side-combined shuffle bounded by the domain,
+      // not a per-group value buffer on one reducer (what the builtin
+      // `percentile` holds; q21's r12 recording showed that buffer as the
+      // 7.1x scale ratio). Bit-identical to the builtin and to DuckDB's
+      // quantile_cont — same (n-1)*q interpolation (ExactQuantilesSpec).
+      graft.operators.ExactQuantiles.contByHistogram(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity",
+          Seq(0.5 -> "med_qty", 0.95 -> "p95_qty"))
+        .select(col("l_returnflag"), col("n"), col("med_qty"), col("p95_qty"))
         .orderBy("l_returnflag")
     },
 
@@ -393,14 +399,19 @@ object RelationalQueries {
         |       TRUE AS med_within_bound,
         |       TRUE AS p95_within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      // exact side from the domain-bounded histogram (see q16) so the
+      // certification never gathers per-group value buffers; the GK
+      // sketch side keeps its own mergeable map-side partials. Both
+      // aggregations are scalable alone; the 3-row join is broadcast.
+      val exact = graft.operators.ExactQuantiles.contByHistogram(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity",
+        Seq(0.5 -> "med_qty", 0.95 -> "p95_qty"))
+      val approx = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          count(lit(1)).as("n"),
-          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
-          percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
           approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("med_approx"),
           approx_percentile(col("l_quantity"), lit(0.95), lit(10000)).as("p95_approx"))
+      exact.join(broadcast(approx), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"), col("med_qty"), col("p95_qty"),
           (abs(col("med_approx") - col("med_qty")) <= 1.0).as("med_within_bound"),
           (abs(col("p95_approx") - col("p95_qty")) <= 1.0).as("p95_within_bound"))
