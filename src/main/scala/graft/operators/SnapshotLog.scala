@@ -892,6 +892,48 @@ object SnapshotLog {
     */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
 
+  /** ALTER TABLE's metadata-only schema commit: the next version carries
+    * the SAME file set (and delete vectors, range stamps, colrange
+    * stamps — all by reference) under a WIDER stamped schema. No data
+    * moves: files older than the new schema read THROUGH it, the added
+    * columns null — the same read-through contract schema-evolving
+    * merges already rely on ([[tableSchema]]). On a 100 TB table this is
+    * one manifest write; prior versions keep their own narrower stamp
+    * (time travel shows the schema of its era).
+    *
+    * Only ADDITIVE evolution is offered. New fields must be nullable
+    * (every existing row has no value). Drops are rejected because
+    * read-through resolves parquet columns BY NAME: re-adding a
+    * previously-dropped name would resurrect the old physical values in
+    * old files — the failure Delta prevents with column-mapping ids;
+    * without ids, refusing the drop is the honest contract. Renames and
+    * type changes are rejected for the same physical reason.
+    */
+  def addColumns(spark: SparkSession, tableDir: String,
+      added: Seq[org.apache.spark.sql.types.StructField]): SnapshotCommit = {
+    require(added.nonEmpty, "ALTER TABLE ADD COLUMNS: no columns given")
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val cur = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    val resolver = spark.sessionState.conf.resolver
+    added.foreach { f =>
+      require(f.nullable,
+        s"new column ${f.name} must be nullable: existing rows have no value for it")
+      require(!cur.fieldNames.exists(resolver(_, f.name)),
+        s"column ${f.name} already exists")
+    }
+    val next = StructType(cur.fields ++ added)
+    val names = manifest(spark, tableDir, v)
+    commit(spark, table, v + 1, names,
+      "op=altertable" +: (metaOf(key, next) ++
+        rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedColRangeLines(spark, tableDir, v, _ => true)),
+      deletes(spark, tableDir, v))
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
   /** Delete manifests below `retainFrom` and every data file no retained
     * manifest references (expired versions' exclusive files + crash
     * orphans never committed), plus crashed `.stage-*` scratch dirs.

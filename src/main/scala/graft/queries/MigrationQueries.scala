@@ -634,6 +634,44 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // DDL-side schema evolution (m21): m15's logical table produced
+    // through the CATALOG instead of the merge API — CTAS, then `ALTER
+    // TABLE ADD COLUMNS (quota)` (a metadata-only commit: same file set,
+    // wider stamp, [[SnapshotLog.addColumns]]), then SQL UPDATE fills the
+    // %13 quotas and SQL INSERT delivers the %17 inserts carrying the
+    // new column. Same oracle as m15, so DDL evolution is hash-certified
+    // EQUAL to merge-driven evolution: two entry surfaces, one semantic.
+    // Rejection shapes (drop/rename/non-null adds/duplicate adds) are
+    // GraftCatalogSqlSpec's.
+    Q("m21_alter_table", Merge0.evolveSql) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m21_alter", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m21_shares")
+        s.sql("CREATE TABLE graft.m21t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m21_shares")
+        s.sql("ALTER TABLE graft.m21t ADD COLUMNS (quota BIGINT)")
+        s.sql("UPDATE graft.m21t SET quota = id * 3 WHERE id % 13 = 0").collect()
+        s.sql(
+          s"""INSERT INTO graft.m21t
+             |SELECT id + ${Merge0.InsertIdOffset}, CAST(4 AS INT), 'evo_user',
+             |       'file', CAST(id AS STRING),
+             |       concat('/evo/', CAST(id AS STRING)), id,
+             |       concat('/e', CAST(id AS STRING), '.dat'), id * 7
+             |FROM m21_shares WHERE id % 17 = 0""".stripMargin).collect()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target, quota
+              |FROM graft.m21t ORDER BY id""".stripMargin)
     }
   )
 

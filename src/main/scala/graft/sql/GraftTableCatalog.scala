@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.operators.SnapshotLog
 
@@ -152,10 +152,36 @@ class GraftTableCatalog extends TableCatalog {
     GraftSnapshotTable(catalogName, ident, dir, pinned = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on snapshot tables: schema evolves through MERGE WITH " +
-        "SCHEMA EVOLUTION (stamped per commit), not through catalog DDL")
+  /** `ALTER TABLE graft.t ADD COLUMNS (...)` — a metadata-only commit
+    * ([[SnapshotLog.addColumns]]): same file set under a wider stamped
+    * schema, old files reading the new columns as null. Everything else
+    * (drop / rename / type change / property change) is rejected loudly:
+    * read-through resolves parquet columns by name, so a drop-then-readd
+    * would resurrect dropped physical values (the hazard Delta's
+    * column-mapping ids exist for); renames and type changes would need
+    * the same ids. MERGE WITH SCHEMA EVOLUTION remains the DML-side way
+    * a table widens.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested column adds are not supported: ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          s"ADD COLUMNS ${add.fieldNames.head}: new columns must be nullable " +
+            "(existing rows have no value for them)")
+        StructField(add.fieldNames.head, add.dataType, nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE on snapshot tables supports ADD COLUMNS only, got " +
+            s"${other.getClass.getSimpleName}: drops/renames/retypes would " +
+            "resurrect or misread old physical columns (no column-mapping ids)")
+    }
+    SnapshotLog.addColumns(spark, dir, added)
+    GraftSnapshotTable(catalogName, ident, dir, pinned = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

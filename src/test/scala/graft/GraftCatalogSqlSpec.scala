@@ -176,4 +176,35 @@ class GraftCatalogSqlSpec extends SparkTestBase {
     // masked row really is gone through SQL
     assert(spark.sql("SELECT count(*) AS n FROM graft.p").head().getLong(0) == 990L)
   }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only widen, old rows null, era-scoped time travel") {
+    freshBase("alter")
+    spark.sql("CREATE TABLE graft.a (id BIGINT, x STRING) TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graft.a SELECT id, concat('v', id) FROM range(0, 40) AS r(id)")
+    val dir = spark.conf.get("spark.graft.catalog.location") + "/a"
+    val filesBefore = SnapshotLog.manifest(spark, dir, 1L)
+
+    spark.sql("ALTER TABLE graft.a ADD COLUMNS (quota BIGINT, note STRING)")
+
+    // metadata-only: the new version carries the SAME data files
+    assert(SnapshotLog.manifest(spark, dir, 2L) == filesBefore,
+      "ALTER must not move data")
+    // old rows read the new columns as null; inserts can now carry them
+    assert(spark.sql("SELECT count(*) AS n FROM graft.a WHERE quota IS NULL")
+      .head().getLong(0) == 40L)
+    spark.sql("INSERT INTO graft.a VALUES (100, 'wide', 9, 'hello')")
+    assert(spark.sql("SELECT quota, note FROM graft.a WHERE id = 100")
+      .head().toSeq == Seq(9L, "hello"))
+    // UPDATE can target the new column
+    spark.sql("UPDATE graft.a SET quota = 5 WHERE id = 3")
+    assert(spark.sql("SELECT quota FROM graft.a WHERE id = 3").head().getLong(0) == 5L)
+    // time travel to the pre-alter version shows the schema of its era
+    assert(spark.sql("SELECT * FROM graft.a VERSION AS OF 1").columns.toSeq ==
+      Seq("id", "x"))
+
+    // rejected shapes fail loudly, not silently
+    intercept[Exception](spark.sql("ALTER TABLE graft.a DROP COLUMN x"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.a RENAME COLUMN x TO y"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.a ADD COLUMNS (quota BIGINT)"))
+  }
 }
