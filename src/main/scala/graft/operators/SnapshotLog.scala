@@ -892,6 +892,33 @@ object SnapshotLog {
     */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
 
+  /** RESTORE: commit `toVersion`'s exact state as the NEW latest version
+    * — one manifest write referencing that version's data files, delete
+    * vectors, schema/key stamps and range/colrange stamps, all by name
+    * (nothing moves; the restored-over versions stay time-travel
+    * readable until vacuumed, so a restore is itself undoable by another
+    * restore). This is the recovery path time travel exists for: a bad
+    * merge on a 100 TB table is undone at metadata cost. Requires
+    * `toVersion` to still be retained (vacuumed versions cannot come
+    * back — their files are gone).
+    */
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val latest = latestVersion(spark, tableDir)
+    require(versions(spark, tableDir).contains(toVersion),
+      s"version $toVersion of $tableDir is not committed (or was vacuumed)")
+    val key = tableKey(spark, tableDir, toVersion)
+    val schema = tableSchema(spark, tableDir, toVersion)
+      .getOrElse(read(spark, tableDir, toVersion).schema)
+    val names = manifest(spark, tableDir, toVersion)
+    commit(spark, table, latest + 1, names,
+      s"op=restore from=$toVersion" +: (metaOf(key, schema) ++
+        rangeMeta(keyRangesOfVersion(spark, tableDir, toVersion, key)) ++
+        carriedColRangeLines(spark, tableDir, toVersion, _ => true)),
+      deletes(spark, tableDir, toVersion))
+    SnapshotCommit(latest + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
   /** ALTER TABLE's metadata-only schema commit: the next version carries
     * the SAME file set (and delete vectors, range stamps, colrange
     * stamps — all by reference) under a WIDER stamped schema. No data

@@ -672,6 +672,38 @@ object MigrationQueries {
       s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
               |       item_target, file_source, file_target, quota
               |FROM graft.m21t ORDER BY id""".stripMargin)
+    },
+
+    // RESTORE (m22): the recovery path time travel exists FOR — commit a
+    // bad merge (m09's changeset, standing in for the incident), then
+    // `RESTORE TABLE t TO VERSION AS OF 0` via SQL text. The restore is
+    // one manifest write referencing v0's files/stamps by name
+    // ([[SnapshotLog.restore]] — metadata cost on a 100 TB table; the
+    // merge's files stay time-travel readable, so the restore is itself
+    // undoable). The read-back must be byte-equal to the ORIGINAL shares
+    // — the oracle recomputes them from orders directly, so a single row
+    // the restore failed to put back (or resurrect wrongly) breaks the
+    // hash. History/undo-the-undo/vacuumed-version rejection are
+    // SqlDmlSpec's.
+    Q("m22_restore",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      import graft.sql.SnapshotDml
+      val dir = Stage.sharedDir(s, "m22_restore", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotLog.merge(s, out, Merge0.changeset(shares), "id")
+        SnapshotDml.register(s, "m22_snap", out)
+        s.sql("RESTORE TABLE m22_snap TO VERSION AS OF 0").collect()
+        ()
+      }
+      SnapshotLog.readLatest(s, dir)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
     }
   )
 

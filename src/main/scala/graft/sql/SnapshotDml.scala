@@ -310,6 +310,8 @@ object SnapshotDml {
     s"""(?is)\\s*VACUUM\\s+($Name)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Name)\\s*;?\\s*""".r
+  private val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Name)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
 
   /** Pre-delegation text match: Some(command) for a maintenance
     * statement over a registered snapshot table or a graft-catalog
@@ -326,6 +328,8 @@ object SnapshotDml {
         t(name).map(SnapshotVacuumCommand(_, k.toInt))
       case HistoryRe(name) =>
         t(name).map(DescribeHistoryCommand(_))
+      case RestoreRe(name, v) =>
+        t(name).map(SnapshotRestoreCommand(_, v.toLong))
       case _ => None
     }
   }
@@ -384,6 +388,24 @@ object SnapshotDml {
       val (nM, nF) = SnapshotLog.vacuum(s, target.dir,
         retainFrom = math.max(0L, latest - retainVersions + 1))
       Seq(Row(nM.toLong, nF.toLong))
+    }
+  }
+
+  /** `RESTORE [TABLE] name TO VERSION AS OF <v>` — commits the old
+    * version's exact state as the new latest ([[SnapshotLog.restore]]):
+    * metadata-only (files referenced by name), the restored-over
+    * versions still time-travel readable, so a restore is undoable by
+    * another restore. Returns (version, restored_from).
+    */
+  final case class SnapshotRestoreCommand(target: Target, toVersion: Long)
+      extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("restored_from", LongType, nullable = false)())
+    override def run(s: SparkSession): Seq[Row] = {
+      val c = SnapshotLog.restore(s, target.dir, toVersion)
+      if (target.registered) refreshView(s, target.display)
+      Seq(Row(c.version, toVersion))
     }
   }
 

@@ -63,7 +63,9 @@ object SkipProbe {
     noop(SnapshotLog.read(spark, dir, v).where(col("id") === 1L))
 
     def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-      noop(df)
+      // execute THIS frame's own QueryExecution (a sink write plans a
+      // separate one and would leave these metrics untouched)
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
         p.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)

@@ -231,6 +231,38 @@ class SqlDmlSpec extends SparkTestBase {
     intercept[Exception] { spark.sql("OPTIMIZE not_registered") }
   }
 
+  test("RESTORE TO VERSION AS OF: state comes back exactly, undo is undoable, vacuumed versions refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_restore").toString + "/t"
+    val base = (0L until 100L).map(i => (i, i * 2)).toDF("id", "x")
+    SnapshotLog.init(spark, dir, base, "id", numFiles = 4)
+    SnapshotDml.register(spark, "dml_rst", dir)
+    spark.sql("UPDATE dml_rst SET x = 0 WHERE id % 10 = 0")
+    spark.sql("DELETE FROM dml_rst WHERE id = 7")
+    val v2 = SnapshotLog.latestVersion(spark, dir)
+    assert(v2 == 2L)
+
+    val r = spark.sql("RESTORE TABLE dml_rst TO VERSION AS OF 0").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L)
+    // exact original state, through the re-pointed SELECT view
+    assert(spark.sql("SELECT sum(x) AS s FROM dml_rst").head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_rst").head().getLong(0) == 100L)
+    // the restored-over state is still time-travel readable -> undo the undo
+    spark.sql("RESTORE dml_rst TO VERSION AS OF 2")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_rst").head().getLong(0) == 99L)
+    assert(spark.sql("SELECT x FROM dml_rst WHERE id = 20").head().getLong(0) == 0L)
+    // history labels the restores with their source version
+    val ops = spark.sql("DESCRIBE HISTORY dml_rst")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.take(2) == Seq("restore from=2", "restore from=0"))
+    // a vacuumed version cannot come back
+    spark.sql("VACUUM dml_rst RETAIN 2 VERSIONS")
+    val e = intercept[Exception](
+      spark.sql("RESTORE dml_rst TO VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+  }
+
   test("guard rails reject what the changeset semantics cannot honor") {
     val dir = freshTable("dml_guard")
     SnapshotDml.register(spark, "dml_guard", dir)
