@@ -244,6 +244,29 @@ object SnapshotLog {
       }
     }
 
+  /** ALL stamped per-file column intervals of version `v` — the key's
+    * `range=` stamps plus any Z-order `colrange=` stamps, merged per
+    * file: file name -> (column -> [lo, hi]). What the skipping seams
+    * ([[read]]'s FileIndex, [[compactWhere]]'s footprint selection)
+    * evaluate predicates against. Unstamped files are simply absent.
+    */
+  private[graft] def stampedIntervals(spark: SparkSession, tableDir: String,
+      v: Long): Map[String, Map[String, (Long, Long)]] = {
+    val key = manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith("key=") => m.stripPrefix("key=")
+    }
+    val keyRanges: Map[String, Map[String, (Long, Long)]] = key match {
+      case Some(k) => stampedRanges(spark, tableDir, v).collect {
+        case (n, st) if st.hasStats => n -> Map(k -> (st.lo, st.hi))
+      }
+      case None => Map.empty
+    }
+    stampedColRanges(spark, tableDir, v).foldLeft(keyRanges) {
+      case (acc, (n, cols)) =>
+        acc.updated(n, acc.getOrElse(n, Map.empty) ++ cols)
+    }
+  }
+
   private def stampedRanges(spark: SparkSession, tableDir: String,
       v: Long): Map[String, CowFileStats] =
     manifestMeta(spark, tableDir, v).collect {
@@ -323,22 +346,8 @@ object SnapshotLog {
         val schema = tableSchema(spark, tableDir, v).getOrElse(
           spark.read.parquet(names.map(n =>
             new Path(dataDir(table), n).toString): _*).schema)
-        val key = manifestMeta(spark, tableDir, v).collectFirst {
-          case m if m.startsWith("key=") => m.stripPrefix("key=")
-        }
-        val keyRanges: Map[String, Map[String, (Long, Long)]] = key match {
-          case Some(k) => stampedRanges(spark, tableDir, v).collect {
-            case (n, st) if st.hasStats => n -> Map(k -> (st.lo, st.hi))
-          }
-          case None => Map.empty
-        }
-        // Z-order second-dimension stamps merge in per file
-        val ranges = stampedColRanges(spark, tableDir, v)
-          .foldLeft(keyRanges) { case (acc, (n, cols)) =>
-            acc.updated(n, acc.getOrElse(n, Map.empty) ++ cols)
-          }
         graft.sources.SnapshotFileIndex.scan(spark, table,
-          names.map(byName), ranges, schema)
+          names.map(byName), stampedIntervals(spark, tableDir, v), schema)
       }
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
@@ -706,6 +715,67 @@ object SnapshotLog {
       rangeMeta(statsOfNew(spark, table, newNames, key))))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
+  }
+
+  /** OPTIMIZE ... WHERE: FOOTPRINT-BOUNDED compaction — rewrite only the
+    * files whose stamped intervals might hold rows matching `pred` (the
+    * same tri-state evaluation [[read]]'s FileIndex prunes with, run at
+    * the write side); everything else is carried by reference. On a
+    * 100 TB table whose hot key range is 0.5% of the files, the
+    * maintenance job costs 0.5% of a full OPTIMIZE — the operational
+    * difference between "compaction runs nightly" and "compaction can't
+    * run at all". Unstamped files are conservatively REWRITTEN (they
+    * might match; rewriting also gives them stamps).
+    *
+    * Delete vectors: masked rows inside the rewritten footprint are
+    * materialized away, but the VECTOR IS KEPT — carried files may still
+    * hold masked physical rows. A stale vector entry for a physically
+    * absent key is read-correct (the anti-join misses nothing) and
+    * re-insert-correct ([[merge]]'s scoped-CoW purge re-checks
+    * physically); the vector drops at the next full [[compact]].
+    * Returns a no-op (current version) when no file matches.
+    */
+  def compactWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      targetBytes: Long): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val names = manifest(spark, tableDir, v)
+    val intervals = stampedIntervals(spark, tableDir, v)
+    val resolver = spark.sessionState.conf.resolver
+    val (hit, carried) = names.partition { n =>
+      intervals.get(n) match {
+        case Some(cr) if cr.nonEmpty =>
+          !graft.sources.SnapshotFileIndex.evalOnRanges(pred, cr, resolver)
+            .contains(false)
+        case _ => true // unstamped: might match — rewrite (and gain stamps)
+      }
+    }
+    if (hit.isEmpty)
+      return SnapshotCommit(v, CowMergeReport(names.size, 0, names.size, 0))
+    val hfs = fs(spark, table)
+    val hitPaths = hit.map(n => new Path(dataDir(table), n))
+    val bytes = hitPaths.map(p => hfs.getFileStatus(p).getLen).sum
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val schema = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    val dels = deletes(spark, tableDir, v)
+    val data0 = spark.read.schema(schema).parquet(hitPaths.map(_.toString): _*)
+    val data =
+      if (dels.isEmpty) data0
+      else data0.join(readDeleteKeys(spark, table, dels, key), Seq(key), "left_anti")
+    val newNames = stageFiles(spark, table, data, key, numFiles)
+    val carriedSet = carried.toSet
+    val carriedStats = keyRangesOfVersion(spark, tableDir, v, key)
+      .filter(st => carriedSet(st.file.substring(st.file.lastIndexOf('/') + 1)))
+    commit(spark, table, v + 1, carried ++ newNames,
+      "op=optimize-where" +: (metaOf(key, schema) ++
+        rangeMeta(carriedStats ++ statsOfNew(spark, table, newNames, key)) ++
+        carriedColRangeLines(spark, tableDir, v, carriedSet)),
+      dels)
+    SnapshotCommit(v + 1,
+      CowMergeReport(names.size, hit.size, carried.size, newNames.size))
   }
 
   /** The shared CDC machinery: the A-part full-outer join over the two

@@ -305,7 +305,7 @@ object SnapshotDml {
 
   private val Name = """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"""
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+($Name)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Name)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*(?:WHERE\\s+(.*?))?\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+($Name)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
@@ -322,8 +322,13 @@ object SnapshotDml {
     def t(name: String): Option[Target] =
       resolveTarget(session, name.split('.').toSeq)
     sqlText match {
-      case OptimizeRe(name, a, b) =>
-        t(name).map(SnapshotOptimizeCommand(_, Option(a).map(x => (x, b))))
+      case OptimizeRe(name, a, b, where) =>
+        if (a != null && where != null)
+          fail("OPTIMIZE: ZORDER BY and WHERE cannot combine — a partial " +
+            "rewrite of a Morton layout would leave mixed clustering; " +
+            "z-order the footprint's table fully, or drop the predicate")
+        t(name).map(SnapshotOptimizeCommand(_, Option(a).map(x => (x, b)),
+          Option(where).filter(_.nonEmpty)))
       case VacuumRe(name, k) =>
         t(name).map(SnapshotVacuumCommand(_, k.toInt))
       case HistoryRe(name) =>
@@ -341,32 +346,45 @@ object SnapshotDml {
   val CompactTargetKey = "spark.graft.compactTargetBytes"
   val DefaultCompactTargetBytes: Long = 128L * 1024 * 1024
 
-  /** `OPTIMIZE name [ZORDER BY (a, b)]` — [[SnapshotLog.compact]] /
-    * [[SnapshotLog.compactZ]] with the file count sized from the live
-    * table's bytes (totalBytes / target, floored at 1), committed as the
-    * next version. Returns (version, files_before, files_after).
+  /** `OPTIMIZE name [ZORDER BY (a, b)] [WHERE pred]` —
+    * [[SnapshotLog.compact]] / [[SnapshotLog.compactZ]] with the file
+    * count sized from the live table's bytes (totalBytes / target,
+    * floored at 1), committed as the next version; with WHERE, the
+    * FOOTPRINT-BOUNDED [[SnapshotLog.compactWhere]] (only files whose
+    * stamped intervals might match are rewritten — the predicate is
+    * parsed by Spark's own expression grammar and evaluated against the
+    * manifest stamps, so a key-range maintenance job on a 100 TB table
+    * costs its footprint, not the table). Returns (version,
+    * files_before, files_after).
     */
   final case class SnapshotOptimizeCommand(target: Target,
-      zorder: Option[(String, String)]) extends LeafRunnableCommand {
+      zorder: Option[(String, String)],
+      where: Option[String] = None) extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = Seq(
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("files_before", LongType, nullable = false)(),
       AttributeReference("files_after", LongType, nullable = false)())
     override def run(s: SparkSession): Seq[Row] = {
       val dir = target.dir
-      val v = SnapshotLog.latestVersion(s, dir)
-      val table = new org.apache.hadoop.fs.Path(dir)
-      val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val bytes = SnapshotLog.manifest(s, dir, v).map { n =>
-        hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(table, "data"), n)).getLen
-      }.sum
       val targetBytes = s.conf.getOption(CompactTargetKey).map(_.toLong)
         .getOrElse(DefaultCompactTargetBytes)
-      val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val c = zorder match {
-        case Some((a, b)) => SnapshotLog.compactZ(s, dir, a, b, numFiles)
-        case None         => SnapshotLog.compact(s, dir, numFiles)
+      val c = where match {
+        case Some(predText) =>
+          val pred = s.sessionState.sqlParser.parseExpression(predText)
+          SnapshotLog.compactWhere(s, dir, pred, targetBytes)
+        case None =>
+          val v = SnapshotLog.latestVersion(s, dir)
+          val table = new org.apache.hadoop.fs.Path(dir)
+          val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val bytes = SnapshotLog.manifest(s, dir, v).map { n =>
+            hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(table, "data"), n)).getLen
+          }.sum
+          val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          zorder match {
+            case Some((a, b)) => SnapshotLog.compactZ(s, dir, a, b, numFiles)
+            case None         => SnapshotLog.compact(s, dir, numFiles)
+          }
       }
       if (target.registered) refreshView(s, target.display)
       Seq(Row(c.version, c.report.nFilesBefore.toLong, c.report.nNewFiles.toLong))

@@ -231,6 +231,44 @@ class SqlDmlSpec extends SparkTestBase {
     intercept[Exception] { spark.sql("OPTIMIZE not_registered") }
   }
 
+  test("OPTIMIZE ... WHERE rewrites only the predicate's file footprint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ow").toString + "/t"
+    val base = (0L until 800L).map(i => (i, i * 3)).toDF("id", "x")
+    SnapshotLog.init(spark, dir, base, "id", numFiles = 8)
+    SnapshotDml.register(spark, "dml_ow", dir)
+    // MoR-delete one key inside the footprint, one outside
+    spark.sql("DELETE FROM dml_ow WHERE id = 5 OR id = 500")
+    val v1 = SnapshotLog.latestVersion(spark, dir)
+    val files1 = SnapshotLog.manifest(spark, dir, v1)
+    assert(files1.size == 8 && SnapshotLog.deletes(spark, dir, v1).size == 1)
+
+    val r = spark.sql("OPTIMIZE dml_ow WHERE id < 100").head()
+    val v2 = r.getLong(0)
+    val files2 = SnapshotLog.manifest(spark, dir, v2)
+    // exactly one 100-key file was in the footprint; the other 7 carried
+    assert(files1.toSet.intersect(files2.toSet).size == 7,
+      s"expected 7 carried files, got ${files1.toSet.intersect(files2.toSet).size}")
+    // content identical; masked keys still absent (the vector is kept —
+    // the carried files may hold masked physical rows)
+    assert(SnapshotLog.deletes(spark, dir, v2).nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ow").head().getLong(0) == 798L)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ow WHERE id IN (5, 500)")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT sum(x) AS s FROM dml_ow").head().getLong(0) ==
+      (0L until 800L).filterNot(i => i == 5 || i == 500).map(_ * 3).sum)
+    // the partial rewrite is CDC-invisible (rewritten-unchanged rows
+    // cancel; masked rows are masked on both sides)
+    assert(SnapshotLog.cdc(spark, dir, v1, v2, "id").isEmpty)
+    // no-op footprint: nothing matches, no commit
+    val r2 = spark.sql("OPTIMIZE dml_ow WHERE id > 100000").head()
+    assert(r2.getLong(0) == v2)
+    // guard: ZORDER BY + WHERE cannot combine
+    val e = intercept[Exception](
+      spark.sql("OPTIMIZE dml_ow ZORDER BY (id, x) WHERE id < 10").collect())
+    assert(e.getMessage.contains("cannot combine"), e.getMessage)
+  }
+
   test("RESTORE TO VERSION AS OF: state comes back exactly, undo is undoable, vacuumed versions refuse") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_restore").toString + "/t"
