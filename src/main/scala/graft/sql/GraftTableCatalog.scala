@@ -60,7 +60,7 @@ import graft.operators.SnapshotLog
   * instances per name for the session's lifetime, and a boot-time-frozen
   * location would make the catalog untestable and un-repointable.
   */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Session conf key for the warehouse root this catalog maps
     * identifiers under. Read per call — see class doc.
@@ -199,6 +199,75 @@ class GraftTableCatalog extends TableCatalog {
     hfs.mkdirs(new Path(to).getParent)
     require(hfs.rename(new Path(from), new Path(to)),
       s"rename $from -> $to failed")
+  }
+
+  // ---- SupportsNamespaces: namespaces ARE directories ----------------
+  //
+  // `CREATE NAMESPACE graft.db` = mkdir, `SHOW NAMESPACES` = directory
+  // walk (a namespace is any directory that is not itself a table),
+  // `DROP NAMESPACE` = delete-if-empty. Stateless like everything else
+  // here: two sessions pointed at one base location see one truth, and
+  // namespace metadata/properties are intentionally unsupported (a
+  // directory carries none).
+
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((base +: namespace.toSeq).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val p = nsDir(namespace)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.exists(p) && hfs.getFileStatus(p).isDirectory && !exists(p.toString)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsDir(namespace)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    }
+    hfs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !exists(st.getPath.toString) &&
+        st.getPath.getName != "data" && st.getPath.getName != "_log")
+      .map(st => namespace :+ st.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    val m = new util.HashMap[String, String]()
+    m.put("location", nsDir(namespace).toString)
+    m
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    namespace.foreach { p =>
+      require(p.nonEmpty && !p.contains("/") && !p.contains("\\") && p != "." &&
+        p != "..", s"namespace part not path-safe: '$p'")
+    }
+    val p = nsDir(namespace)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
+      .NamespaceAlreadyExistsException(namespace)
+    require(hfs.mkdirs(p), s"mkdir $p failed")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces are plain directories; they carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    val p = nsDir(namespace)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Listing = one directory walk under the namespace: a table is any

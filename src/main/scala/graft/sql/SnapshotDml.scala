@@ -312,6 +312,8 @@ object SnapshotDml {
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Name)\\s*;?\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Name)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTsRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Name)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
 
   /** Pre-delegation text match: Some(command) for a maintenance
     * statement over a registered snapshot table or a graft-catalog
@@ -335,6 +337,19 @@ object SnapshotDml {
         t(name).map(DescribeHistoryCommand(_))
       case RestoreRe(name, v) =>
         t(name).map(SnapshotRestoreCommand(_, v.toLong))
+      case RestoreTsRe(name, ts) =>
+        t(name).map { tgt =>
+          // the same session-timezone cast + at-or-before stamp
+          // resolution TIMESTAMP AS OF reads use
+          val cast = Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(ts), org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.TimestampType,
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          val micros = cast.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          if (micros == null) fail(s"RESTORE: cannot parse timestamp '$ts'")
+          SnapshotRestoreCommand(tgt, SnapshotLog.versionAt(session, tgt.dir,
+            micros.asInstanceOf[Long] / 1000L))
+        }
       case _ => None
     }
   }

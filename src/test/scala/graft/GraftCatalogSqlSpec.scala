@@ -177,6 +177,29 @@ class GraftCatalogSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graft.p").head().getLong(0) == 990L)
   }
 
+  test("namespaces are directories: CREATE / SHOW / USE-in-identifier / DROP") {
+    freshBase("ns")
+    spark.sql("CREATE NAMESPACE graft.db2")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("db2"))
+    spark.sql("CREATE TABLE graft.db2.t (id BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graft.db2.t VALUES (1, 10)")
+    assert(spark.sql("SELECT x FROM graft.db2.t WHERE id = 1").head().getLong(0) == 10L)
+    assert(spark.sql("SHOW TABLES IN graft.db2").collect()
+      .map(_.getString(1)).contains("t"))
+    // non-empty namespace refuses a bare drop; CASCADE removes it
+    intercept[Exception](spark.sql("DROP NAMESPACE graft.db2"))
+    spark.sql("DROP NAMESPACE graft.db2 CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("db2"))
+    // a TABLE directory is not a namespace
+    spark.sql("CREATE TABLE graft.plain (id BIGINT) TBLPROPERTIES ('key'='id')")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("plain"))
+    spark.sql("DROP TABLE graft.plain")
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only widen, old rows null, era-scoped time travel") {
     freshBase("alter")
     spark.sql("CREATE TABLE graft.a (id BIGINT, x STRING) TBLPROPERTIES ('key'='id')")

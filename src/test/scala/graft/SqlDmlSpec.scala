@@ -294,6 +294,10 @@ class SqlDmlSpec extends SparkTestBase {
     val ops = spark.sql("DESCRIBE HISTORY dml_rst")
       .select("operation").collect().map(_.getString(0)).toSeq
     assert(ops.take(2) == Seq("restore from=2", "restore from=0"))
+    // RESTORE TO TIMESTAMP AS OF resolves through the same commit stamps
+    val tsNow = new java.sql.Timestamp(System.currentTimeMillis())
+    val rt = spark.sql(s"RESTORE dml_rst TO TIMESTAMP AS OF '$tsNow'").head()
+    assert(rt.getLong(1) == 4L, s"head stamp must resolve to the latest, got $rt")
     // a vacuumed version cannot come back
     spark.sql("VACUUM dml_rst RETAIN 2 VERSIONS")
     val e = intercept[Exception](
