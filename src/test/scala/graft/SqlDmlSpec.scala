@@ -267,6 +267,22 @@ class SqlDmlSpec extends SparkTestBase {
     val e = intercept[Exception](
       spark.sql("OPTIMIZE dml_ow ZORDER BY (id, x) WHERE id < 10").collect())
     assert(e.getMessage.contains("cannot combine"), e.getMessage)
+
+    // the re-insert trap across a partial compact: id=5's masked row was
+    // materialized away by the footprint rewrite while its vector entry
+    // survived; re-inserting it must land the new row AND purge the key
+    // from the vector (merge purges on the inserted masked KEYS, so a
+    // physically-absent masked key is handled)
+    Seq(("insert", 5L, 555L)).toDF("op", "id", "x")
+      .createOrReplaceTempView("ow_reins")
+    spark.sql("""MERGE INTO dml_ow t USING ow_reins c ON t.id = c.id
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql("SELECT x FROM dml_ow WHERE id = 5").head().getLong(0) == 555L)
+    val vLast = SnapshotLog.latestVersion(spark, dir)
+    // 500's entry must survive (its physical row lives in a carried file)
+    assert(SnapshotLog.deletes(spark, dir, vLast).nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ow WHERE id = 500")
+      .head().getLong(0) == 0L)
   }
 
   test("RESTORE TO VERSION AS OF: state comes back exactly, undo is undoable, vacuumed versions refuse") {
