@@ -310,6 +310,8 @@ object SnapshotDml {
     s"""(?is)\\s*VACUUM\\s+($Name)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Name)\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+($Name)\\s*;?\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Name)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTsRe =
@@ -335,6 +337,8 @@ object SnapshotDml {
         t(name).map(SnapshotVacuumCommand(_, k.toInt))
       case HistoryRe(name) =>
         t(name).map(DescribeHistoryCommand(_))
+      case DetailRe(name) =>
+        t(name).map(DescribeDetailCommand(_))
       case RestoreRe(name, v) =>
         t(name).map(SnapshotRestoreCommand(_, v.toLong))
       case RestoreTsRe(name, ts) =>
@@ -439,6 +443,40 @@ object SnapshotDml {
       val c = SnapshotLog.restore(s, target.dir, toVersion)
       if (target.registered) refreshView(s, target.display)
       Seq(Row(c.version, toVersion))
+    }
+  }
+
+  /** `DESCRIBE DETAIL name` — one row summarizing the LIVE version:
+    * location, key, version, commit time, file/delete-vector counts,
+    * total data bytes, schema json. Manifest metadata plus one directory
+    * listing for the sizes; no data file is read.
+    */
+  final case class DescribeDetailCommand(target: Target)
+      extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = Seq(
+      AttributeReference("location", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("key", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("ts", org.apache.spark.sql.types.TimestampType)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("num_delete_vectors", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("schema_json", org.apache.spark.sql.types.StringType)())
+    override def run(s: SparkSession): Seq[Row] = {
+      val dir = target.dir
+      val v = SnapshotLog.latestVersion(s, dir)
+      val names = SnapshotLog.manifest(s, dir, v).toSet
+      val table = new org.apache.hadoop.fs.Path(dir)
+      val data = new org.apache.hadoop.fs.Path(table, "data")
+      val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = hfs.listStatus(data).toSeq
+        .filter(st => names(st.getPath.getName)).map(_.getLen).sum
+      val schema = SnapshotLog.tableSchema(s, dir, v)
+      Seq(Row(dir, SnapshotLog.tableKey(s, dir, v), v,
+        SnapshotLog.commitTimeMs(s, dir, v)
+          .map(ms => new java.sql.Timestamp(ms)).orNull,
+        names.size.toLong, SnapshotLog.deletes(s, dir, v).size.toLong,
+        bytes, schema.map(_.json).orNull))
     }
   }
 

@@ -321,6 +321,21 @@ class SqlDmlSpec extends SparkTestBase {
     assert(e.getMessage.contains("not committed"), e.getMessage)
   }
 
+  test("DESCRIBE DETAIL summarizes the live version from metadata") {
+    val dir = freshTable("dml_detail")
+    SnapshotDml.register(spark, "dml_detail", dir)
+    spark.sql("DELETE FROM dml_detail WHERE id = 1")
+    val r = spark.sql("DESCRIBE DETAIL dml_detail").head()
+    assert(r.getString(0) == dir)
+    assert(r.getString(1) == "id")
+    assert(r.getLong(2) == 1L) // the delete's version
+    assert(r.getTimestamp(3) != null)
+    assert(r.getLong(4) == 3L) // init numFiles = 3
+    assert(r.getLong(5) == 1L) // one delete vector
+    assert(r.getLong(6) > 0L)
+    assert(r.getString(7).contains("\"id\""))
+  }
+
   test("guard rails reject what the changeset semantics cannot honor") {
     val dir = freshTable("dml_guard")
     SnapshotDml.register(spark, "dml_guard", dir)
