@@ -41,9 +41,21 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantiles {
 
-  /** One row per group: the group columns, `n` (count), and one exact
+  /** One row per group: the group columns, `n`, and one exact
     * interpolated percentile column per `(q, alias)` pair. `valueCol`
     * must be numeric and SHOULD be low-cardinality (see class doc).
+    *
+    * NULL contract, stated precisely: `n` is the NON-NULL value count
+    * (the population the percentile is computed over — what
+    * `percentile` itself counts), and a group whose values are ALL null
+    * is absent from the output entirely (nulls are filtered before the
+    * groupBy, so such a group never forms). This differs from pairing
+    * the builtin with `count(1)` — which would emit the group with the
+    * raw row count and a null percentile; callers wanting that shape
+    * must outer-join against `df.groupBy(groupCols).count()`. The
+    * bit-identical-to-`percentile` claim is about the percentile VALUES
+    * over groups with at least one non-null value (q16's domain,
+    * `l_quantity`, is non-null, where the two shapes coincide).
     */
   def contByHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(Double, String)]): DataFrame = {

@@ -877,7 +877,12 @@ object SnapshotLog {
     // dimensions get interval stamps, so SnapshotFileIndex-backed reads
     // skip files on either one (a filter on `b` alone prunes — the
     // payoff a key-sorted layout can never give).
-    val dims = (Seq(a, b).distinct.filterNot(_ == key))
+    // resolver-based key exclusion (not string equality): a case-variant
+    // dim (ZORDER BY (ID, b) on key `id`) must not be stamped under BOTH
+    // names, or stampedIntervals would carry two entries for one physical
+    // column and rangeOf's collectFirst would pick nondeterministically
+    val resolver = spark.sessionState.conf.resolver
+    val dims = (Seq(a, b).distinct.filterNot(resolver(_, key)))
       .flatMap(c => colRangeMeta(c, statsOfNew(spark, table, newNames, c)))
     commit(spark, table, v + 1, newNames, "op=optimize-zorder" +: (metaOf(key, data.schema) ++
       rangeMeta(statsOfNew(spark, table, newNames, key)) ++ dims))

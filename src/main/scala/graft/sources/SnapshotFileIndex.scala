@@ -160,7 +160,16 @@ object SnapshotFileIndex {
       }
       case Not(c)              => ev(c).map(!_)
       case EqualTo(a, b)       => cmp(a, b, eq, eq)
-      case EqualNullSafe(a, b) => cmp(a, b, eq, eq)
+      // NOT EqualTo here: `col <=> v` is FALSE (not NULL) on a null row,
+      // so on a file stamped [v, v] that also holds nulls the eq verdict
+      // Some(true) would be a lie — `NOT (col <=> v)` would flip it to
+      // Some(false) and skip the file, silently dropping the null rows
+      // that DO satisfy the negation (stamps are parquet min/max: nulls
+      // are invisible to them). Some(false) (v outside the range) stays
+      // sound — a null row fails `<=>` against a non-null literal — but
+      // tri-state Not cannot tell which side the verdict came from, so
+      // the only sound answer without a null count is None.
+      case EqualNullSafe(_, _) => None
       case LessThan(a, b)      => cmp(a, b, lt, gt)
       case LessThanOrEqual(a, b)    => cmp(a, b, le, ge)
       case GreaterThan(a, b)        => cmp(a, b, gt, lt)

@@ -331,8 +331,13 @@ object SnapshotDml {
           fail("OPTIMIZE: ZORDER BY and WHERE cannot combine — a partial " +
             "rewrite of a Morton layout would leave mixed clustering; " +
             "z-order the footprint's table fully, or drop the predicate")
+        // a present-but-empty WHERE is a malformed statement, not a
+        // request for a FULL compaction — silently degrading it would
+        // turn a typo into a table-sized rewrite
+        if (where != null && where.trim.isEmpty)
+          fail("OPTIMIZE ... WHERE needs a predicate (empty WHERE clause)")
         t(name).map(SnapshotOptimizeCommand(_, Option(a).map(x => (x, b)),
-          Option(where).filter(_.nonEmpty)))
+          Option(where)))
       case VacuumRe(name, k) =>
         t(name).map(SnapshotVacuumCommand(_, k.toInt))
       case HistoryRe(name) =>

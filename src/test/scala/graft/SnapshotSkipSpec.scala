@@ -68,6 +68,20 @@ class SnapshotSkipSpec extends SparkTestBase {
     assert(ev(IsNull(id), 10, 20).isEmpty)
   }
 
+  test("EqualNullSafe never skips on min/max alone: stamps are blind to nulls") {
+    // a file stamped [5, 5] may ALSO hold nulls (parquet min/max exclude
+    // them): `NOT (col <=> 5)` / `col IS DISTINCT FROM 5` is TRUE on
+    // those null rows, so an eq-style Some(true) verdict would flip to
+    // Some(false) under Not and silently drop them. Without a null count
+    // the only sound verdict is unknown — in BOTH directions and on both
+    // operand orders.
+    assert(ev(EqualNullSafe(id, Literal(5L)), 5, 5).isEmpty)
+    assert(ev(EqualNullSafe(Literal(5L), id), 5, 5).isEmpty)
+    assert(ev(EqualNullSafe(id, Literal(99L)), 5, 5).isEmpty)
+    assert(ev(Not(EqualNullSafe(id, Literal(5L))), 5, 5).isEmpty)
+    assert(ev(Not(EqualNullSafe(id, Literal(99L))), 5, 5).isEmpty)
+  }
+
   test("multi-column verdicts: each atom prunes on its own column's range") {
     val grp = AttributeReference("grp", LongType)()
     val ranges = Map("id" -> (10L, 20L), "grp" -> (3L, 3L))

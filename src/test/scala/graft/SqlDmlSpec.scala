@@ -267,6 +267,10 @@ class SqlDmlSpec extends SparkTestBase {
     val e = intercept[Exception](
       spark.sql("OPTIMIZE dml_ow ZORDER BY (id, x) WHERE id < 10").collect())
     assert(e.getMessage.contains("cannot combine"), e.getMessage)
+    // guard: a present-but-empty WHERE is a parse error, never a silent
+    // full-table compaction
+    val eEmpty = intercept[Exception](spark.sql("OPTIMIZE dml_ow WHERE "))
+    assert(eEmpty.getMessage.contains("empty WHERE"), eEmpty.getMessage)
 
     // the re-insert trap across a partial compact: id=5's masked row was
     // materialized away by the footprint rewrite while its vector entry
