@@ -657,3 +657,41 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomMightContainExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** The MIRROR of [[BloomMightContainExpr]] for per-FILE Bloom stamps:
+  * here the BLOOM is the column (one serialized filter per data-file row
+  * of a commit's bloom sidecar) and the PROBED VALUES are the foldable
+  * literal (an array of xxhash64 key hashes, point-lookup-sized). Row
+  * verdict: may the file contain ANY of the keys? — the planning join
+  * that turns "scan every file of a hash-keyed table" into "open the ≤
+  * fpp·N files whose filter fires". Hashing matches Spark's own
+  * runtime-filter convention (BloomFilterAggregate over `xxhash64(key)`,
+  * probed with `mightContainLong`), so build and probe can both ride
+  * stock machinery. No false negatives by the filter's contract; the
+  * deserialization cost is per candidate FILE (metadata-sized), never
+  * per data row.
+  */
+case class BloomAnyMightContainExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_any"
+
+  @transient private lazy val hashes: Array[Long] =
+    right.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+
+  override protected def nullSafeEval(bf: Any, @annotation.unused hs: Any): Any = {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bf.asInstanceOf[Array[Byte]]))
+    var i = 0
+    while (i < hashes.length) {
+      if (bloom.mightContainLong(hashes(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomAnyMightContainExpr =
+    copy(left = newLeft, right = newRight)
+}

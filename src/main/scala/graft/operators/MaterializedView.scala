@@ -32,6 +32,7 @@ object MaterializedView {
 
   private val AsofPrefix = "asof="
   private val MeasuresPrefix = "measures="
+  private val BasePrefix = "basedir="
 
   /** The base version a view table's version `v` reflects. */
   def asof(spark: SparkSession, viewDir: String, v: Long): Long =
@@ -39,14 +40,39 @@ object MaterializedView {
       case m if m.startsWith(AsofPrefix) => m.stripPrefix(AsofPrefix).toLong
     }.getOrElse(sys.error(s"version $v of $viewDir has no $AsofPrefix stamp"))
 
+  /** The view's STALENESS surface — what a user monitoring a maintained
+    * aggregate actually watches: (asof watermark, base's latest version,
+    * lag in versions). None when `viewDir` is not a materialized view
+    * (no asof/basedir stamps — e.g. a plain snapshot table). Lag 0 =
+    * current; lag N = the base committed N versions the view has not
+    * absorbed. Manifest metadata only, no data read.
+    */
+  def staleness(spark: SparkSession, viewDir: String): Option[(Long, Long, Long)] = {
+    val v = SnapshotLog.latestVersion(spark, viewDir)
+    val meta = SnapshotLog.manifestMeta(spark, viewDir, v)
+    for {
+      from <- meta.collectFirst {
+        case m if m.startsWith(AsofPrefix) => m.stripPrefix(AsofPrefix).toLong
+      }
+      base <- meta.collectFirst {
+        case m if m.startsWith(BasePrefix) => m.stripPrefix(BasePrefix)
+      }
+    } yield {
+      val latest = SnapshotLog.latestVersion(spark, base)
+      (from, latest, latest - from)
+    }
+  }
+
   private def measureNames(spark: SparkSession, viewDir: String, v: Long): Seq[String] =
     SnapshotLog.manifestMeta(spark, viewDir, v).collectFirst {
       case m if m.startsWith(MeasuresPrefix) =>
         m.stripPrefix(MeasuresPrefix).split(",").toSeq.filter(_.nonEmpty)
     }.getOrElse(sys.error(s"version $v of $viewDir has no $MeasuresPrefix stamp"))
 
-  private def stamps(baseV: Long, measures: Seq[(String, Column)]): Seq[String] =
-    Seq(s"$AsofPrefix$baseV", s"$MeasuresPrefix${measures.map(_._1).mkString(",")}")
+  private def stamps(baseV: Long, measures: Seq[(String, Column)],
+      baseDir: String): Seq[String] =
+    Seq(s"$AsofPrefix$baseV", s"$MeasuresPrefix${measures.map(_._1).mkString(",")}",
+      s"$BasePrefix$baseDir")
 
   /** Build the view from the base's CURRENT version (the one full scan a
     * standing aggregate ever pays) and commit it as view version 0.
@@ -58,7 +84,7 @@ object MaterializedView {
     val view = IncrementalView.build(
       SnapshotLog.read(spark, baseDir, baseV), group, measures)
     SnapshotLog.init(spark, viewDir, view, group, numFiles,
-      meta = stamps(baseV, measures))
+      meta = stamps(baseV, measures, baseDir))
   }
 
   /** Absorb every base version committed since the view's watermark, in
@@ -84,7 +110,7 @@ object MaterializedView {
       val next = IncrementalView.applyCdc(
         SnapshotLog.read(spark, viewDir, viewV), signed, group, measures)
       Some(SnapshotLog.overwrite(spark, viewDir, next, group, numFiles,
-        meta = stamps(latest, measures)))
+        meta = stamps(latest, measures, baseDir)))
     }
   }
 }

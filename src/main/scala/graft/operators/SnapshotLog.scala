@@ -194,27 +194,28 @@ object SnapshotLog {
 
   private val RangePrefix = "range="
 
-  private def rangeMeta(stats: Seq[CowFileStats]): Seq[String] =
+  /** Manifest name of a full data-file path: relative to `data/` — the
+    * base name on flat layouts, `pt_c=v/part-...` on partitioned ones.
+    */
+  private def relName(table: Path, full: String): String = {
+    val prefix = dataDir(table).toString + "/"
+    if (full.startsWith(prefix)) full.substring(prefix.length)
+    else full.substring(full.lastIndexOf('/') + 1)
+  }
+
+  private def rangeMeta(table: Path, stats: Seq[CowFileStats]): Seq[String] =
     stats.map { st =>
-      val name = st.file.substring(st.file.lastIndexOf('/') + 1)
+      val name = relName(table, st.file)
       if (st.hasStats) s"$RangePrefix$name:${st.lo}:${st.hi}"
       else s"$RangePrefix$name:-"
     }
 
   // Second-dimension stamps (`# colrange=<col>:<file>:<lo>:<hi>`):
-  // written by [[compactZ]] for the Morton dimensions, so reads can skip
-  // files on EITHER Z-order column ([[graft.sources.SnapshotFileIndex]]).
-  // Only stamped when stats exist; carried forward by reference-only
-  // commits ([[deleteKeys]]) and for untouched files ([[merge]]); dropped
-  // when a rewrite destroys the clustering ([[compact]], [[overwrite]]).
+  // the LEGACY Z-order dimension form, superseded by the typed
+  // `cstats=` stamps ([[graft.sources.Stamps]]) that cover every
+  // supported column. PARSE-ONLY now: still read from older manifests
+  // (and carried forward by reference-only commits), never written.
   private val ColRangePrefix = "colrange="
-
-  private def colRangeMeta(column: String, stats: Seq[CowFileStats]): Seq[String] =
-    stats.collect {
-      case st if st.hasStats =>
-        val name = st.file.substring(st.file.lastIndexOf('/') + 1)
-        s"$ColRangePrefix$column:$name:${st.lo}:${st.hi}"
-    }
 
   /** Per-file SECOND-dimension intervals of version `v`:
     * file name -> (column -> [lo, hi]).
@@ -230,41 +231,65 @@ object SnapshotLog {
       name -> entries.map(e => e._2 -> e._3).toMap
     }
 
-  /** The raw `colrange=` meta lines of version `v` whose file survives
-    * into the next commit — how reference-carrying commits keep Z-order
-    * skipping alive without re-reading a footer.
+  /** The raw per-file stat lines of version `v` (`colrange=` legacy
+    * Z-order stamps, typed `cstats=` column stats, `rows=` counts) whose
+    * file survives into the next commit — how reference-carrying commits
+    * keep data skipping alive without re-reading a footer.
     */
-  private def carriedColRangeLines(spark: SparkSession, tableDir: String,
+  private def carriedStampLines(spark: SparkSession, tableDir: String,
       v: Long, keep: String => Boolean): Seq[String] =
     manifestMeta(spark, tableDir, v).filter { m =>
-      m.startsWith(ColRangePrefix) && {
-        val body = m.stripPrefix(ColRangePrefix)
-        val parts = body.split(":", 4)
+      if (m.startsWith(ColRangePrefix)) {
+        val parts = m.stripPrefix(ColRangePrefix).split(":", 4)
         parts.length == 4 && keep(parts(1))
-      }
+      } else if (m.startsWith(graft.sources.Stamps.CStatsPrefix)) {
+        keep(m.stripPrefix(graft.sources.Stamps.CStatsPrefix).split(":", 6)(0))
+      } else if (m.startsWith(graft.sources.Stamps.RowsPrefix)) {
+        val body = m.stripPrefix(graft.sources.Stamps.RowsPrefix)
+        val i = body.lastIndexOf(':')
+        i > 0 && keep(body.substring(0, i))
+      } else if (m.startsWith(BloomIdxPrefix)) {
+        // sidecars cover their commit's files; carried unconditionally —
+        // verdict rows for since-rewritten files are filtered by the
+        // candidate set at probe time, never consulted for dead files
+        true
+      } else false
     }
 
-  /** ALL stamped per-file column intervals of version `v` — the key's
-    * `range=` stamps plus any Z-order `colrange=` stamps, merged per
-    * file: file name -> (column -> [lo, hi]). What the skipping seams
-    * ([[read]]'s FileIndex, [[compactWhere]]'s footprint selection)
-    * evaluate predicates against. Unstamped files are simply absent.
+  /** ALL stamped per-file column statistics of version `v` — the typed
+    * `cstats=`/`rows=` stamps merged over the legacy long `range=` (key)
+    * and `colrange=` (Z-order) forms, typed winning per column (it
+    * carries null counts): file name -> [[graft.sources.Stamps.FileStamp]].
+    * What the skipping seams ([[read]]'s FileIndex, [[compactWhere]]'s
+    * footprint selection) evaluate predicates against. Unstamped files
+    * are simply absent.
     */
   private[graft] def stampedIntervals(spark: SparkSession, tableDir: String,
-      v: Long): Map[String, Map[String, (Long, Long)]] = {
-    val key = manifestMeta(spark, tableDir, v).collectFirst {
+      v: Long): Map[String, graft.sources.Stamps.FileStamp] = {
+    import graft.sources.Stamps
+    val meta = manifestMeta(spark, tableDir, v)
+    val typed = Stamps.parse(meta)
+    val key = meta.collectFirst {
       case m if m.startsWith("key=") => m.stripPrefix("key=")
     }
-    val keyRanges: Map[String, Map[String, (Long, Long)]] = key match {
+    val keyRanges: Map[String, Map[String, Stamps.ColStamp]] = key match {
       case Some(k) => stampedRanges(spark, tableDir, v).collect {
-        case (n, st) if st.hasStats => n -> Map(k -> (st.lo, st.hi))
+        case (n, st) if st.hasStats =>
+          n -> Map(k -> Stamps.ColStamp(Some(Stamps.LongIv(st.lo, st.hi)), None))
       }
       case None => Map.empty
     }
-    stampedColRanges(spark, tableDir, v).foldLeft(keyRanges) {
+    val legacy = stampedColRanges(spark, tableDir, v).foldLeft(keyRanges) {
       case (acc, (n, cols)) =>
-        acc.updated(n, acc.getOrElse(n, Map.empty) ++ cols)
+        val asStamps = cols.map { case (c, (lo, hi)) =>
+          c -> Stamps.ColStamp(Some(Stamps.LongIv(lo, hi)), None)
+        }
+        acc.updated(n, acc.getOrElse(n, Map.empty) ++ asStamps)
     }
+    (typed.keySet ++ legacy.keySet).map { n =>
+      val t = typed.getOrElse(n, Stamps.EmptyFileStamp)
+      n -> Stamps.FileStamp(t.rows, legacy.getOrElse(n, Map.empty) ++ t.cols)
+    }.toMap
   }
 
   private def stampedRanges(spark: SparkSession, tableDir: String,
@@ -336,9 +361,19 @@ object SnapshotLog {
           .parquet(filesOf(spark, tableDir, v).map(_.toString): _*)
       } else {
         val nameSet = names.toSet
-        val byName = fs(spark, table).listStatus(dataDir(table)).toSeq
-          .filter(st => nameSet(st.getPath.getName))
-          .map(st => st.getPath.getName -> st).toMap
+        val hfs = fs(spark, table)
+        val dataUri = java.net.URI.create(
+          hfs.makeQualified(dataDir(table)).toUri.toString + "/")
+        val byName = {
+          val it = hfs.listFiles(dataDir(table), true)
+          val b = Map.newBuilder[String, org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            val rel = dataUri.relativize(st.getPath.toUri).getPath
+            if (nameSet(rel)) b += rel -> st
+          }
+          b.result()
+        }
         val missing = names.filterNot(byName.contains)
         require(missing.isEmpty,
           s"version $v of $tableDir references data files that do not " +
@@ -346,8 +381,26 @@ object SnapshotLog {
         val schema = tableSchema(spark, tableDir, v).getOrElse(
           spark.read.parquet(names.map(n =>
             new Path(dataDir(table), n).toString): _*).schema)
+        val pcols = partitionCols(spark, tableDir, v)
+        val pvals =
+          if (pcols.isEmpty) Map.empty[String, org.apache.spark.sql.catalyst.InternalRow]
+          else names.map(n => n -> partValuesOf(n, pcols, schema)).toMap
+        val bloomProbe = {
+          val sidecars = bloomSidecars(spark, tableDir, v)
+          if (sidecars.isEmpty) None
+          else {
+            val key = tableKey(spark, tableDir, v)
+            Some(graft.sources.SnapshotFileIndex.BloomProbe(key,
+              schema(key).dataType,
+              () => spark.read.parquet(sidecars.map(n =>
+                  new Path(dataDir(table), n).toString): _*)
+                .collect()
+                .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap))
+          }
+        }
         graft.sources.SnapshotFileIndex.scan(spark, table,
-          names.map(byName), stampedIntervals(spark, tableDir, v), schema)
+          names.map(n => n -> byName(n)), stampedIntervals(spark, tableDir, v),
+          schema, pcols, pvals, bloomProbe)
       }
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
@@ -371,8 +424,14 @@ object SnapshotLog {
       keys: DataFrame): DataFrame = {
     val table = new Path(tableDir)
     val key = tableKey(spark, tableDir, v)
-    val hit = CowMerge.matchFiles(spark,
+    val rangeHit = CowMerge.matchFiles(spark,
       keyRangesOfVersion(spark, tableDir, v, key), keys)
+    // per-file Bloom stamps close the hash-key gap: when ranges cannot
+    // prune (uniform keys — every file's range spans the domain), the
+    // sidecar verdicts cut the candidates to ~fpp of the files
+    val keyType = tableSchema(spark, tableDir, v).map(_(key).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val hit = bloomPruneFiles(spark, tableDir, v, rangeHit, keys, key, keyType)
     if (hit.isEmpty) return read(spark, tableDir, v).where(lit(false))
     val data = tableSchema(spark, tableDir, v)
       .fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
@@ -493,51 +552,290 @@ object SnapshotLog {
     }
 
   /** Stage immutable data files under `data/` via `write(scratchDir)` and
-    * return their names. Spark part-file names carry the write job's
-    * UUID — globally unique, so staged files from different commits never
-    * collide.
+    * return their MANIFEST NAMES — paths relative to `data/`: plain part
+    * names for flat layouts, `pt_<col>=<value>/part-...` for partitioned
+    * ones (subdirectories are preserved by the move). Spark part-file
+    * names carry the write job's UUID — globally unique, so staged files
+    * from different commits never collide, even inside a shared partition
+    * directory.
     */
   private def stageWith(spark: SparkSession, table: Path)
       (write: String => Unit): Seq[String] = {
     val hfs = fs(spark, table)
     val scratch = new Path(table, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-    write(scratch.toString)
+    // Spark's legacy INT96 parquet timestamps carry NO footer min/max, so
+    // a timestamp column staged under the default encoding could never be
+    // range-stamped. Stage writes always use the modern int64-micros
+    // physical form (readable by every reader, stats defined; INT96 is
+    // deprecated upstream) — scoped to this write, conf restored after.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try write(scratch.toString)
+    finally spark.conf.set(tsKey, oldTs)
     hfs.mkdirs(dataDir(table))
-    val names = hfs.listStatus(scratch).toSeq.map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    // URI.relativize needs the directory form (trailing slash) AND the
+    // same scheme as the listed statuses (which come back qualified), or
+    // it returns the input absolute path unchanged
+    val base = java.net.URI.create(
+      hfs.makeQualified(scratch).toUri.toString + "/")
+    def collect(dir: Path): Seq[String] =
+      hfs.listStatus(dir).toSeq
+        .filter(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) collect(st.getPath)
+          else Seq(base.relativize(st.getPath.toUri).getPath)
+        }
+    val names = collect(scratch)
     names.foreach { n =>
-      require(hfs.rename(new Path(scratch, n), new Path(dataDir(table), n)),
-        s"stage move failed: $n")
+      val dst = new Path(dataDir(table), n)
+      hfs.mkdirs(dst.getParent)
+      require(hfs.rename(new Path(scratch, n), dst), s"stage move failed: $n")
     }
     hfs.delete(scratch, true)
     names
   }
 
+  /** Directory-column prefix of partitioned staging: partition columns
+    * stay PHYSICALLY present in every data file (so CoW rewrites, CDC
+    * diffs and point lookups read files self-contained, no path
+    * re-inference) — the layout directories are written from duplicated
+    * `pt_<col>` copies that `partitionBy` then strips. Readers map the
+    * prefixed directory names back to the real columns.
+    */
+  private[graft] val PartDirPrefix = "pt_"
+
   /** [[stageWith]] in the default key-clustered layout (narrow footer
-    * min/max on the key — what CoW planning and [[lookupKeys]] prune on).
+    * min/max on the key — what CoW planning and [[lookupKeys]] prune on);
+    * with `pcols`, the same clustering INSIDE a Hive-style partition tree
+    * (range partitioning over (pcols, key) gives one file per partition
+    * value per range, keys clustered within each).
     */
   private def stageFiles(spark: SparkSession, table: Path, df: DataFrame,
-      key: String, numFiles: Int): Seq[String] =
-    stageWith(spark, table)(out => CowMerge.writeKeyed(df, key, numFiles, out))
+      key: String, numFiles: Int, pcols: Seq[String] = Nil): Seq[String] =
+    if (pcols.isEmpty)
+      stageWith(spark, table)(out => CowMerge.writeKeyed(df, key, numFiles, out))
+    else stageWith(spark, table) { out =>
+      val dirCols = pcols.map(c => PartDirPrefix + c)
+      val withDirs = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
+        d.withColumn(dc, col(c))
+      }
+      val order = pcols.map(col) :+ col(key)
+      withDirs.repartitionByRange(numFiles, order: _*)
+        .sortWithinPartitions(order: _*)
+        .write.partitionBy(dirCols: _*).mode("overwrite").parquet(out)
+    }
 
-  private def metaOf(key: String, schema: StructType): Seq[String] =
-    Seq(s"key=$key", s"schema=${schema.json}")
+  private def metaOf(key: String, schema: StructType,
+      pcols: Seq[String] = Nil): Seq[String] =
+    Seq(s"key=$key", s"schema=${schema.json}") ++
+      (if (pcols.isEmpty) Nil else Seq(s"partcols=${pcols.mkString(",")}"))
 
-  /** Footer key ranges of JUST-WRITTEN files — the one footer read each
-    * file ever needs, paid at commit time by the writer that produced it.
+  /** The table's partition columns, as stamped at [[init]] and carried by
+    * every commit; Nil for unpartitioned tables.
     */
-  private def statsOfNew(spark: SparkSession, table: Path, names: Seq[String],
-      key: String): Seq[CowFileStats] =
-    CowMerge.keyRangesOf(spark, names.map(n => new Path(dataDir(table), n)), key)
+  def partitionCols(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith("partcols=") =>
+        m.stripPrefix("partcols=").split(",").toSeq
+    }.getOrElse(Nil)
 
-  /** Create the table at version 0 from `df`, clustered by `key`. */
+  /** Partition values of a manifest name, parsed from its `pt_c=v` path
+    * segments in `pcols` order, cast to the stamped schema's types by
+    * Spark's own literal-cast rules (the values were escaped by Spark's
+    * partition writer; `__HIVE_DEFAULT_PARTITION__` is the null marker).
+    */
+  private def partValuesOf(name: String, pcols: Seq[String],
+      schema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val segs = name.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0 || !seg.startsWith(PartDirPrefix)) None
+      else Some(seg.substring(PartDirPrefix.length, i) ->
+        ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
+    }.toMap
+    val values = pcols.map { c =>
+      segs.get(c) match {
+        case None => null
+        case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(raw) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              org.apache.spark.sql.types.StringType),
+            schema(c).dataType,
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+            .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.toArray)
+  }
+
+  /** ONE footer pass over just-written files — the only footer read each
+    * file ever needs, paid at commit time by the writer that produced
+    * it: the key's [[CowFileStats]] (the legacy `range=` stamps write
+    * planning runs on) plus typed `rows=`/`cstats=` lines for every
+    * supported column ([[graft.sources.Stamps]] — what plain reads and
+    * predicate-scoped maintenance skip on, null counts included). With
+    * [[BloomIndexKey]] set, additionally builds the commit's per-file
+    * Bloom sidecar (one extra narrow pass over the NEW files' key
+    * column).
+    */
+  private def newFileStamps(spark: SparkSession, table: Path,
+      names: Seq[String], key: String,
+      schema: StructType): (Seq[CowFileStats], Seq[String]) = {
+    import graft.sources.Stamps
+    val stats = Stamps.read(spark,
+      names.map(n => n -> new Path(dataDir(table), n)), schema, key)
+    val cow = names.map { n =>
+      val full = new Path(dataDir(table), n).toString
+      stats.get(n).flatMap(_.cols.get(key)) match {
+        case Some(Stamps.ColStamp(Some(Stamps.LongIv(lo, hi)), _)) =>
+          CowFileStats(full, lo, hi, hasStats = true)
+        case _ => CowFileStats(full, Long.MinValue, Long.MaxValue, hasStats = false)
+      }
+    }
+    val maxRows = stats.values.flatMap(_.rows).foldLeft(1L)(math.max)
+    (cow, Stamps.metaLines(stats) ++
+      bloomSidecarLines(spark, table, names, key, maxRows))
+  }
+
+  // ---- Per-file Bloom key stamps -------------------------------------
+  //
+  // Min/max range stamps are structurally USELESS for uniform hash keys
+  // (every file's range spans the domain — d29's documented gap): the
+  // fix every lakehouse format ships is a per-file BLOOM FILTER on the
+  // key, consulted for point/IN predicates. Blooms are ~1 bit-something
+  // per row (fpp 3%), far too big for manifest text lines, so each
+  // commit writes ONE parquet SIDECAR under `data/` holding
+  // (file name, serialized bloom) rows for its new files and references
+  // it with a `# bloomidx=<sidecar>` line. Reference-carrying commits
+  // carry the lines; full rewrites drop them and stamp fresh ones;
+  // vacuum keeps sidecars of retained versions alive. Probing
+  // ([[lookupKeys]], [[read]]'s FileIndex) matches Spark's own
+  // runtime-filter convention — BloomFilterAggregate over
+  // `xxhash64(key)`, probed with `mightContainLong` — and a file not
+  // covered by any sidecar is simply always a candidate, so a table
+  // with mixed bloom/bloomless history degrades, never breaks.
+
+  /** Session conf gate: when true, every commit stamps per-file key
+    * Blooms (opt-in — it costs one extra key-column pass per commit; the
+    * win is point lookups on HASH-distributed keys, where range stamps
+    * cannot prune).
+    */
+  val BloomIndexKey = "spark.graft.bloomIndex"
+
+  private val BloomIdxPrefix = "bloomidx="
+
+  /** Target false-positive rate of the per-file blooms. */
+  private val BloomFpp = 0.03
+
+  /** Point-lookup shape cap: probing is for key lists, not joins. */
+  private val BloomProbeMaxKeys = 4096
+
+  /** Bloom sidecar file names referenced by version `v`'s manifest. */
+  def bloomSidecars(spark: SparkSession, tableDir: String, v: Long): Seq[String] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(BloomIdxPrefix) => m.stripPrefix(BloomIdxPrefix)
+    }
+
+  private def bloomSidecarLines(spark: SparkSession, table: Path,
+      names: Seq[String], key: String, maxRowsPerFile: Long): Seq[String] = {
+    if (names.isEmpty ||
+        !spark.conf.getOption(BloomIndexKey).exists(_.toBoolean)) return Nil
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val paths = names.map(n => new Path(dataDir(table), n).toString)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1L, maxRowsPerFile), BloomFpp).bitSize()
+    val agg = CatalystBridge.column(new BloomFilterAggregate(
+      UnresolvedAttribute("__h"),
+      Literal(math.max(1L, maxRowsPerFile)), Literal(numBits))
+      .toAggregateExpression())
+    val built = spark.read.parquet(paths: _*)
+      .select(col("_metadata").getField("file_path").as("__f"),
+        xxhash64(col(key)).as("__h"))
+      .groupBy("__f").agg(agg.as("bloom"))
+      .collect()
+    val prefix = java.net.URI.create(
+      fs(spark, table).makeQualified(dataDir(table)).toUri.toString + "/")
+    val rows = built.toSeq.map { r =>
+      val rel = prefix.relativize(java.net.URI.create(r.getString(0))).getPath
+      org.apache.spark.sql.Row(rel, r.getAs[Array[Byte]]("bloom"))
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bloom",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val sidecarNames = stageWith(spark, table)(out =>
+      df.coalesce(1).write.mode("overwrite").parquet(out))
+    sidecarNames.map(n => s"$BloomIdxPrefix$n")
+  }
+
+  /** Bloom verdicts for candidate files of version `v`: the subset of
+    * `hit` (full paths) whose per-file Bloom may contain at least one of
+    * `keys` — files not covered by any sidecar always survive. A no-op
+    * when the version has no sidecars, when the key list exceeds
+    * point-lookup shape, or when the keys' type differs from the key
+    * column's (hash compatibility is per-type).
+    */
+  private def bloomPruneFiles(spark: SparkSession, tableDir: String, v: Long,
+      hit: Seq[String], keys: DataFrame, key: String,
+      keyType: org.apache.spark.sql.types.DataType): Seq[String] = {
+    val table = new Path(tableDir)
+    val sidecars = bloomSidecars(spark, tableDir, v)
+    if (sidecars.isEmpty || hit.isEmpty) return hit
+    val hashed = keys
+      .select(xxhash64(col(keys.columns.head).cast(keyType)).as("h"))
+      .distinct().limit(BloomProbeMaxKeys + 1).collect().map(_.getLong(0))
+    if (hashed.length > BloomProbeMaxKeys) return hit
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val hitNames = hit.map(f => relName(table, f))
+    val probe = CatalystBridge.column(
+      graft.functions.BloomAnyMightContainExpr(
+        UnresolvedAttribute("bloom"),
+        Literal.create(hashed, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    val verdicts = spark.read
+      .parquet(sidecars.map(n => new Path(dataDir(table), n).toString): _*)
+      .where(col("file").isin(hitNames: _*))
+      .select(col("file"), probe.as("may"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    hit.filter(f => verdicts.getOrElse(relName(table, f), true))
+  }
+
+  /** Create the table at version 0 from `df`, clustered by `key` —
+    * optionally under a Hive-style identity partition layout
+    * (`partitionBy`): one directory tree per partition-value tuple,
+    * key-clustered files within, partition values served from directory
+    * metadata at scan time (static pruning + DPP) while staying
+    * physically present in every file (self-contained CoW planning).
+    */
   def init(spark: SparkSession, tableDir: String, df: DataFrame, key: String,
-      numFiles: Int, meta: Seq[String] = Nil): SnapshotCommit = {
+      numFiles: Int, meta: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): SnapshotCommit = {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
-    val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, 0L, names, ("op=init" +: meta) ++ metaOf(key, df.schema) ++
-      rangeMeta(statsOfNew(spark, table, names, key)))
+    partitionBy.foreach { c =>
+      require(df.columns.contains(c), s"partition column $c is not a column")
+      require(c != key, s"the table key $key cannot be a partition column")
+      require(!c.contains(',') && !c.contains(':') && !c.contains('/'),
+        s"partition column name not stamp-safe: '$c'")
+    }
+    val names = stageFiles(spark, table, df, key, numFiles, partitionBy)
+    val (cow, typed) = newFileStamps(spark, table, names, key, df.schema)
+    commit(spark, table, 0L, names,
+      ("op=init" +: meta) ++ metaOf(key, df.schema, partitionBy) ++
+        rangeMeta(table, cow) ++ typed)
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
 
@@ -628,20 +926,21 @@ object SnapshotLog {
       case (None, Some(i))    => Some(i)
       case (None, None)       => None
     }
+    val pcols = partitionCols(spark, tableDir, v)
     val newNames = newData match {
-      case Some(df) => stageFiles(spark, table, df, key, math.max(1, affected.size))
+      case Some(df) => stageFiles(spark, table, df, key,
+        math.max(1, affected.size), pcols)
       case None     => Nil
     }
     // range stamps: untouched files carry their already-known ranges
     // forward; only the files this merge WROTE get a footer read
-    def nameOf(st: CowFileStats) =
-      st.file.substring(st.file.lastIndexOf('/') + 1)
     val untouchedSet = untouchedNames.toSet
-    val carried = ranges.filter(st => untouchedSet(nameOf(st)))
+    val carried = ranges.filter(st => untouchedSet(relName(table, st.file)))
+    val (newCow, newTyped) = newFileStamps(spark, table, newNames, key, evolved)
     commit(spark, table, v + 1, untouchedNames ++ newNames,
-      ("op=merge" +: meta) ++ metaOf(key, evolved) ++
-        rangeMeta(carried ++ statsOfNew(spark, table, newNames, key)) ++
-        carriedColRangeLines(spark, tableDir, v, untouchedSet),
+      ("op=merge" +: meta) ++ metaOf(key, evolved, pcols) ++
+        rangeMeta(table, carried ++ newCow) ++ newTyped ++
+        carriedStampLines(spark, tableDir, v, untouchedSet),
       newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
@@ -659,9 +958,12 @@ object SnapshotLog {
     val table = new Path(tableDir)
     val v = latestVersion(spark, tableDir)
     val before = manifest(spark, tableDir, v)
-    val names = stageFiles(spark, table, df, key, numFiles)
-    commit(spark, table, v + 1, names, ("op=overwrite" +: meta) ++ metaOf(key, df.schema) ++
-      rangeMeta(statsOfNew(spark, table, names, key)))
+    val pcols = partitionCols(spark, tableDir, v)
+    val names = stageFiles(spark, table, df, key, numFiles, pcols)
+    val (cow, typed) = newFileStamps(spark, table, names, key, df.schema)
+    commit(spark, table, v + 1, names,
+      ("op=overwrite" +: meta) ++ metaOf(key, df.schema, pcols) ++
+        rangeMeta(table, cow) ++ typed)
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, names.size))
   }
@@ -691,9 +993,9 @@ object SnapshotLog {
       .getOrElse(read(spark, tableDir, v).schema)
     // every data file is carried by reference — its range stamps too
     commit(spark, table, v + 1, names,
-      "op=delete" +: (metaOf(key, schema) ++
-        rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)) ++
-        carriedColRangeLines(spark, tableDir, v, _ => true)),
+      "op=delete" +: (metaOf(key, schema, partitionCols(spark, tableDir, v)) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true)),
       newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -710,9 +1012,12 @@ object SnapshotLog {
     val key = tableKey(spark, tableDir, v)
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
-    val newNames = stageFiles(spark, table, data, key, numFiles)
-    commit(spark, table, v + 1, newNames, "op=optimize" +: (metaOf(key, data.schema) ++
-      rangeMeta(statsOfNew(spark, table, newNames, key))))
+    val pcols = partitionCols(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, data, key, numFiles, pcols)
+    val (cow, typed) = newFileStamps(spark, table, newNames, key, data.schema)
+    commit(spark, table, v + 1, newNames,
+      "op=optimize" +: (metaOf(key, data.schema, pcols) ++
+        rangeMeta(table, cow) ++ typed))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -746,8 +1051,8 @@ object SnapshotLog {
     val resolver = spark.sessionState.conf.resolver
     val (hit, carried) = names.partition { n =>
       intervals.get(n) match {
-        case Some(cr) if cr.nonEmpty =>
-          !graft.sources.SnapshotFileIndex.evalOnRanges(pred, cr, resolver)
+        case Some(fsStamp) if fsStamp.nonEmpty =>
+          !graft.sources.SnapshotFileIndex.evalOnStamps(pred, fsStamp, resolver)
             .contains(false)
         case _ => true // unstamped: might match — rewrite (and gain stamps)
       }
@@ -765,14 +1070,16 @@ object SnapshotLog {
     val data =
       if (dels.isEmpty) data0
       else data0.join(readDeleteKeys(spark, table, dels, key), Seq(key), "left_anti")
-    val newNames = stageFiles(spark, table, data, key, numFiles)
+    val pcols = partitionCols(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, data, key, numFiles, pcols)
     val carriedSet = carried.toSet
     val carriedStats = keyRangesOfVersion(spark, tableDir, v, key)
-      .filter(st => carriedSet(st.file.substring(st.file.lastIndexOf('/') + 1)))
+      .filter(st => carriedSet(relName(table, st.file)))
+    val (newCow, newTyped) = newFileStamps(spark, table, newNames, key, schema)
     commit(spark, table, v + 1, carried ++ newNames,
-      "op=optimize-where" +: (metaOf(key, schema) ++
-        rangeMeta(carriedStats ++ statsOfNew(spark, table, newNames, key)) ++
-        carriedColRangeLines(spark, tableDir, v, carriedSet)),
+      "op=optimize-where" +: (metaOf(key, schema, pcols) ++
+        rangeMeta(table, carriedStats ++ newCow) ++ newTyped ++
+        carriedStampLines(spark, tableDir, v, carriedSet)),
       dels)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, hit.size, carried.size, newNames.size))
@@ -838,10 +1145,8 @@ object SnapshotLog {
       val shared = m0 & m1
       if (shared.isEmpty) None
       else {
-        def nameOf(st: CowFileStats) =
-          st.file.substring(st.file.lastIndexOf('/') + 1)
         val sharedRanges = keyRangesOfVersion(spark, tableDir, v1, key)
-          .filter(st => shared(nameOf(st)))
+          .filter(st => shared(relName(table, st.file)))
         val hit = CowMerge.matchFiles(spark, sharedRanges, newlyMasked)
         if (hit.isEmpty) None
         else Some(sch1.fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
@@ -868,24 +1173,24 @@ object SnapshotLog {
     val table = new Path(tableDir)
     val v = latestVersion(spark, tableDir)
     val key = tableKey(spark, tableDir, v)
+    require(partitionCols(spark, tableDir, v).isEmpty,
+      "OPTIMIZE ZORDER is not supported on a partitioned table: a Morton " +
+        "rewrite would break the Hive partition tree; compact per " +
+        "partition (OPTIMIZE ... WHERE) instead")
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val newNames = stageWith(spark, table)(out =>
       ZOrder.writeClustered(data, a, b, numFiles, out))
     // key ranges of z-ordered files are curve-segmented (wider but
-    // bounded) — stamped from the same one-time footer read. BOTH Morton
-    // dimensions get interval stamps, so SnapshotFileIndex-backed reads
-    // skip files on either one (a filter on `b` alone prunes — the
-    // payoff a key-sorted layout can never give).
-    // resolver-based key exclusion (not string equality): a case-variant
-    // dim (ZORDER BY (ID, b) on key `id`) must not be stamped under BOTH
-    // names, or stampedIntervals would carry two entries for one physical
-    // column and rangeOf's collectFirst would pick nondeterministically
-    val resolver = spark.sessionState.conf.resolver
-    val dims = (Seq(a, b).distinct.filterNot(resolver(_, key)))
-      .flatMap(c => colRangeMeta(c, statsOfNew(spark, table, newNames, c)))
-    commit(spark, table, v + 1, newNames, "op=optimize-zorder" +: (metaOf(key, data.schema) ++
-      rangeMeta(statsOfNew(spark, table, newNames, key)) ++ dims))
+    // bounded) — stamped from the same one-time footer read. The typed
+    // cstats stamps cover EVERY supported column, BOTH Morton dimensions
+    // included, so SnapshotFileIndex-backed reads skip on either one (a
+    // filter on `b` alone prunes — the payoff a key-sorted layout can
+    // never give). The legacy `colrange=` form is parse-only now.
+    val (cow, typed) = newFileStamps(spark, table, newNames, key, data.schema)
+    commit(spark, table, v + 1, newNames,
+      "op=optimize-zorder" +: (metaOf(key, data.schema) ++
+        rangeMeta(table, cow) ++ typed))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -987,9 +1292,10 @@ object SnapshotLog {
       .getOrElse(read(spark, tableDir, toVersion).schema)
     val names = manifest(spark, tableDir, toVersion)
     commit(spark, table, latest + 1, names,
-      s"op=restore from=$toVersion" +: (metaOf(key, schema) ++
-        rangeMeta(keyRangesOfVersion(spark, tableDir, toVersion, key)) ++
-        carriedColRangeLines(spark, tableDir, toVersion, _ => true)),
+      s"op=restore from=$toVersion" +: (
+        metaOf(key, schema, partitionCols(spark, tableDir, toVersion)) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, toVersion, key)) ++
+        carriedStampLines(spark, tableDir, toVersion, _ => true)),
       deletes(spark, tableDir, toVersion))
     SnapshotCommit(latest + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1029,9 +1335,9 @@ object SnapshotLog {
     val next = StructType(cur.fields ++ added)
     val names = manifest(spark, tableDir, v)
     commit(spark, table, v + 1, names,
-      "op=altertable" +: (metaOf(key, next) ++
-        rangeMeta(keyRangesOfVersion(spark, tableDir, v, key)) ++
-        carriedColRangeLines(spark, tableDir, v, _ => true)),
+      "op=altertable" +: (metaOf(key, next, partitionCols(spark, tableDir, v)) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true)),
       deletes(spark, tableDir, v))
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1058,12 +1364,22 @@ object SnapshotLog {
     val (expired, retained) = versions(spark, tableDir).partition(_ < retainFrom)
     require(retained.nonEmpty, s"vacuum would delete every version of $tableDir")
     val live = retained
-      .flatMap(v => manifest(spark, tableDir, v) ++ deletes(spark, tableDir, v))
+      .flatMap(v => manifest(spark, tableDir, v) ++ deletes(spark, tableDir, v) ++
+        bloomSidecars(spark, tableDir, v))
       .toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val dead = hfs.listStatus(dataDir(table)).toSeq
-      .filter(st => !live(st.getPath.getName) && st.getModificationTime < cutoff)
-      .map(_.getPath.getName)
+    val dataUri = java.net.URI.create(
+      hfs.makeQualified(dataDir(table)).toUri.toString + "/")
+    val dead = {
+      val it = hfs.listFiles(dataDir(table), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = dataUri.relativize(st.getPath.toUri).getPath
+        if (!live(rel) && st.getModificationTime < cutoff) b += rel
+      }
+      b.result()
+    }
     dead.foreach(n => hfs.delete(new Path(dataDir(table), n), false))
     // crashed stage scratch: a writer that died between stageWith's write
     // and its renames leaves a .stage-* dir no manifest will ever

@@ -2123,6 +2123,85 @@ object DedupQueries {
             .otherwise("duplicate").as("status"),
           col("keeper"))
         .orderBy("batch_doc")
+    },
+
+    // Bloom-stamped POINT PROBE of the dedup index (d30) — closing d29's
+    // documented gap: fingerprints are uniform hashes, so an INGESTED
+    // index's files all span the whole key domain and min/max range
+    // stamps prune nothing. With `spark.graft.bloomIndex` on, every
+    // commit writes a per-file Bloom sidecar (fpp 3%,
+    // [[graft.operators.SnapshotLog.BloomIndexKey]]), and
+    // [[SnapshotLog.lookupKeys]] consults it after range planning — a
+    // point probe opens ~1 file of N instead of all of them
+    // (BloomStampSpec pins the file counts, the FPR, carry across
+    // MoR/merge commits, and the no-false-negative contract). Here the
+    // batch's "is this fingerprint already indexed, and who keeps it?"
+    // question runs THROUGH the bloom-pruned lookup — absent
+    // fingerprints (the %15 fresh variants) fall out, present ones
+    // return their keeper — and the oracle recomputes the same join
+    // relationally, so a single bloom FALSE NEGATIVE (a dropped present
+    // key) breaks the hash.
+    Q("d30_bloom_point_probe", {
+      val norm = normSql
+      val freshNorm =
+        "trim(regexp_replace(lower(text || ' fresh!'), '\\s+', ' ', 'g'))"
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5($norm), 1, 15) AS BIGINT) AS fp
+         |  FROM documents
+         |),
+         |probes AS (
+         |  SELECT doc_id + $BatchIdOffset AS batch_doc, fp
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * BatchIdOffset},
+         |         CAST('0x' || substring(md5($freshNorm), 1, 15) AS BIGINT)
+         |  FROM documents WHERE doc_id % 15 = 0
+         |),
+         |idx AS (
+         |  -- first-batch-wins: the ingest merges batches doc_id%3 = 0,1,2
+         |  -- in order, and an insert on an existing fp is a no-op — so a
+         |  -- cross-batch duplicate keeps the EARLIEST batch's min doc
+         |  SELECT fp, MIN(doc_id) AS keeper FROM (
+         |    SELECT fp, doc_id, doc_id % 3 AS r,
+         |           MIN(doc_id % 3) OVER (PARTITION BY fp) AS rmin
+         |    FROM base) WHERE r = rmin GROUP BY fp
+         |)
+         |SELECT p.batch_doc, k.keeper
+         |FROM probes p JOIN idx k ON p.fp = k.fp
+         |ORDER BY batch_doc""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{Merge, SnapshotLog}
+      def fp60(norm: Column): Column =
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("long")
+      val dir = Stage.sharedDir(s, "d30_bloomidx", d) { out =>
+        s.conf.set(SnapshotLog.BloomIndexKey, "true")
+        try {
+          val docs = Tables.documents(s, d)
+            .select(fp60(DedupFns.normText(col("text"))).as("fp"), col("doc_id"))
+          // ingest-shaped: three successive batches, each committing its
+          // own domain-spanning files — the layout ranges cannot prune
+          val parts = Seq(0, 1, 2).map(r => docs.where(col("doc_id") % 3 === r)
+            .groupBy("fp").agg(min("doc_id").as("keeper")))
+          SnapshotLog.init(s, out, parts.head, "fp", numFiles = 2)
+          parts.tail.foreach { p =>
+            SnapshotLog.merge(s, out,
+              p.select(lit(Merge.OpInsert).as("op"), col("fp"), col("keeper")),
+              "fp")
+          }
+        } finally s.conf.unset(SnapshotLog.BloomIndexKey)
+      }
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val probes = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + BatchIdOffset).as("batch_doc"),
+          fp60(DedupFns.normText(col("text"))).as("fp"))
+        .unionByName(docs.where(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2 * BatchIdOffset).as("batch_doc"),
+            fp60(DedupFns.normText(concat(col("text"), lit(" fresh!")))).as("fp")))
+      val v = SnapshotLog.latestVersion(s, dir)
+      val hits = SnapshotLog.lookupKeys(s, dir, v, probes.select("fp"))
+      probes.join(hits, Seq("fp"))
+        .select(col("batch_doc"), col("keeper"))
+        .orderBy("batch_doc")
     }
   )
 

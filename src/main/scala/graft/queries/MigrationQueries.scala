@@ -704,6 +704,97 @@ object MigrationQueries {
         .select("id", "share_type", "uid_owner", "item_type", "item_source",
           "item_target", "file_source", "file_target")
         .orderBy("id")
+    },
+
+    // PARTITIONED catalog tables (m23): the m18 lifecycle under a
+    // Hive-style identity partition layout — `CREATE TABLE ...
+    // PARTITIONED BY (share_type)` CTAS, keyed INSERT, the m09 MERGE via
+    // SQL — read back through a PARTITION-PRUNED `WHERE share_type = 3`.
+    // Every write commits its files under one directory tree per
+    // partition value with the values DECLARED per file in the manifest
+    // ([[graft.operators.SnapshotLog]] `partcols=`); the read plans as
+    // real Hive partitions (static pruning + dynamic partition pruning —
+    // PartitionedSnapshotSpec pins the plan facts: per-partition file
+    // groups, DPP filter, cross-partition update movement), and the
+    // oracle recomputes the same slice relationally, so the whole
+    // partitioned lifecycle is hash-certified EQUAL to the flat one. At
+    // 100 TB this is the first-level layout lever: a partition predicate
+    // never opens a file outside its subtree, and maintenance
+    // (OPTIMIZE ... WHERE day = X) scopes to the partition's footprint.
+    Q("m23_partitioned_table",
+      s"""WITH ${Merge0.keyedMergeCtes}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM merged WHERE share_type = 3 ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m23_part", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m23_shares")
+        s.sql("CREATE TABLE graft.m23t PARTITIONED BY (share_type) " +
+          "TBLPROPERTIES ('key'='id') AS SELECT * FROM m23_shares WHERE id % 2 = 0")
+        s.sql("INSERT INTO graft.m23t SELECT * FROM m23_shares WHERE id % 2 = 1")
+        Merge0.changeset(shares).createOrReplaceTempView("m23_cs")
+        s.sql(
+          """MERGE INTO graft.m23t t USING m23_cs c ON t.id = c.id
+            |WHEN MATCHED AND c.op = 'delete' THEN DELETE
+            |WHEN MATCHED AND c.op = 'update' THEN
+            |  UPDATE SET item_target = c.item_target, file_target = c.file_target
+            |WHEN NOT MATCHED AND c.op = 'insert' THEN INSERT *
+            |""".stripMargin).collect()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target
+              |FROM graft.m23t WHERE share_type = 3 ORDER BY id""".stripMargin)
+    },
+
+    // Native streaming ingest into a catalog table (m24):
+    // `writeStream.toTable("graft.m24t")` — the DSv2 STREAMING_WRITE path
+    // ([[graft.streaming.SnapshotStreamingWrite]]): executors stage each
+    // epoch's rows as parquet, the driver commits them as an
+    // insert-if-absent merge with the epoch's `txn=` stamp riding the
+    // atomic manifest create (exactly-once across restarts — replay
+    // semantics are SnapshotStreamingWriteSpec's). Half the share table
+    // arrives via CTAS, the other half STREAMS in from a file feed; the
+    // oracle recomputes all shares from orders, so a dropped or doubled
+    // epoch breaks the hash.
+    Q("m24_streaming_ingest",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m24_stream", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m24_shares")
+        s.sql("CREATE TABLE graft.m24t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m24_shares WHERE id % 2 = 0")
+        val feed = s"$out/feed"
+        shares.where(col("id") % 2 === 1).write.parquet(feed)
+        val ckpt = java.nio.file.Files.createTempDirectory("m24_ckpt").toString
+        val q = s.readStream.schema(shares.schema).parquet(feed)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.m24t")
+        q.awaitTermination()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target
+              |FROM graft.m24t ORDER BY id""".stripMargin)
     }
   )
 

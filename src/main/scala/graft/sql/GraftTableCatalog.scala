@@ -131,24 +131,37 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     GraftSnapshotTable(catalogName, ident, dir, pinned = Some(v))
   }
 
-  /** `CREATE TABLE` — inits the log at version 0 with an EMPTY file set of
-    * the declared schema. The table key comes from `TBLPROPERTIES
-    * ('key'='<col>')`, defaulting to the first column; partitioning
-    * transforms are rejected (the log's layout unit is the key-clustered
-    * file, committed per write, not a static partition tree).
+  /** `CREATE TABLE [PARTITIONED BY (c, ...)]` — inits the log at version
+    * 0 with an EMPTY file set of the declared schema. The table key comes
+    * from `TBLPROPERTIES ('key'='<col>')`, defaulting to the first
+    * column. IDENTITY partition transforms are honored: every write
+    * commits its files under a Hive-style partition tree, partition
+    * values are declared per file in the manifest, and reads prune
+    * statically and dynamically (DPP) on them
+    * ([[graft.sources.SnapshotFileIndex]]). Bucket/temporal transforms
+    * (`days(ts)`, `bucket(n, c)`) are rejected — the log's second-level
+    * layout lever is key clustering + Z-order, not derived partitions.
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables cluster by key per commit; PARTITIONED BY is not supported")
+    val pcols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"only identity PARTITIONED BY columns are supported, got $t")
+      val refs = t.references
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"unsupported partition reference ${t.describe}")
+      refs.head.fieldNames.head
+    }
     val dir = tableDir(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident)
     val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
     require(schema.fieldNames.contains(key),
       s"table property key='$key' is not a column of ${schema.fieldNames.mkString(",")}")
+    pcols.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY column $c is not a column of the schema"))
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    SnapshotLog.init(spark, dir, empty, key, numFiles = 1)
+    SnapshotLog.init(spark, dir, empty, key, numFiles = 1, partitionBy = pcols)
     GraftSnapshotTable(catalogName, ident, dir, pinned = None)
   }
 
@@ -329,6 +342,11 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
 
   val key: String = SnapshotLog.tableKey(SparkSession.active, dir, snapshotVersion)
 
+  override def partitioning(): Array[Transform] =
+    SnapshotLog.partitionCols(SparkSession.active, dir, snapshotVersion)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   override lazy val schema: StructType = {
     val spark = SparkSession.active
     SnapshotLog.tableSchema(spark, dir, snapshotVersion)
@@ -347,6 +365,7 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
     val s = new util.HashSet[TableCapability]()
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
 
@@ -374,6 +393,17 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
             }
             ()
           }
+        // `df.writeStream.toTable("graft.t")`: exactly-once epoch commits
+        // through the manifest txn-stamp protocol — same insert-if-absent
+        // semantics as the batch INSERT INTO path above
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!replace,
+            s"streaming INSERT OVERWRITE into ${name()} is not supported; " +
+              "use append output mode")
+          new graft.streaming.SnapshotStreamingWrite(dir, key,
+            info.schema(), info.queryId())
+        }
       }
     }
   }

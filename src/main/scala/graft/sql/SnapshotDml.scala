@@ -453,8 +453,13 @@ object SnapshotDml {
 
   /** `DESCRIBE DETAIL name` — one row summarizing the LIVE version:
     * location, key, version, commit time, file/delete-vector counts,
-    * total data bytes, schema json. Manifest metadata plus one directory
-    * listing for the sizes; no data file is read.
+    * total data bytes, schema json, and — when the table is a
+    * MATERIALIZED VIEW ([[graft.operators.MaterializedView]]) — its
+    * STALENESS surface: the base version its rows reflect (`asof`), the
+    * base's latest committed version, and the lag between them (0 =
+    * current; the number a refresh scheduler actually monitors). Null
+    * for plain tables. Manifest metadata plus one directory listing for
+    * the sizes; no data file is read.
     */
   final case class DescribeDetailCommand(target: Target)
       extends LeafRunnableCommand {
@@ -466,7 +471,10 @@ object SnapshotDml {
       AttributeReference("num_files", LongType, nullable = false)(),
       AttributeReference("num_delete_vectors", LongType, nullable = false)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
-      AttributeReference("schema_json", org.apache.spark.sql.types.StringType)())
+      AttributeReference("schema_json", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("view_asof_base_version", LongType)(),
+      AttributeReference("base_latest_version", LongType)(),
+      AttributeReference("staleness_versions", LongType)())
     override def run(s: SparkSession): Seq[Row] = {
       val dir = target.dir
       val v = SnapshotLog.latestVersion(s, dir)
@@ -474,14 +482,28 @@ object SnapshotDml {
       val table = new org.apache.hadoop.fs.Path(dir)
       val data = new org.apache.hadoop.fs.Path(table, "data")
       val hfs = table.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val bytes = hfs.listStatus(data).toSeq
-        .filter(st => names(st.getPath.getName)).map(_.getLen).sum
+      val dataUri = java.net.URI.create(
+        hfs.makeQualified(data).toUri.toString + "/")
+      val bytes = {
+        val it = hfs.listFiles(data, true)
+        var total = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (names(dataUri.relativize(st.getPath.toUri).getPath))
+            total += st.getLen
+        }
+        total
+      }
       val schema = SnapshotLog.tableSchema(s, dir, v)
+      val lag = graft.operators.MaterializedView.staleness(s, dir)
       Seq(Row(dir, SnapshotLog.tableKey(s, dir, v), v,
         SnapshotLog.commitTimeMs(s, dir, v)
           .map(ms => new java.sql.Timestamp(ms)).orNull,
         names.size.toLong, SnapshotLog.deletes(s, dir, v).size.toLong,
-        bytes, schema.map(_.json).orNull))
+        bytes, schema.map(_.json).orNull,
+        lag.map(_._1).map(Long.box).orNull,
+        lag.map(_._2).map(Long.box).orNull,
+        lag.map(_._3).map(Long.box).orNull))
     }
   }
 

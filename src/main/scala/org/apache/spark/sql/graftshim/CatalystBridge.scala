@@ -25,4 +25,15 @@ object CatalystBridge {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Hadoop Configuration in Spark's own serializable wrapper
+    * (`private[spark]` — reachable from this subpackage), for shipping a
+    * prepared write job's conf to executor-side parquet writers.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def confOf(sc: org.apache.spark.util.SerializableConfiguration)
+      : org.apache.hadoop.conf.Configuration = sc.value
 }

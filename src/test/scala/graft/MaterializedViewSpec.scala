@@ -60,6 +60,39 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(rows(SnapshotLog.read(spark, view, 0L))("g1") == (10L, 55L))
   }
 
+  test("staleness surface: lag 0 after refresh, >0 after a base commit, in DESCRIBE DETAIL") {
+    val (base, view) = fresh()
+    MaterializedView.create(spark, base, view, "g", measures)
+    assert(MaterializedView.staleness(spark, view) == Some((0L, 0L, 0L)))
+    // a plain snapshot table has no staleness surface
+    assert(MaterializedView.staleness(spark, base).isEmpty)
+
+    // base moves twice: the lag the refresh scheduler watches is 2
+    SnapshotLog.merge(spark, base,
+      Seq((Merge.OpUpdate, 3L, null.asInstanceOf[String], Some(300L)))
+        .toDF("op", "id", "g", "x"), "id")
+    SnapshotLog.merge(spark, base,
+      Seq((Merge.OpInsert, 101L, "g3", Some(7L))).toDF("op", "id", "g", "x"), "id")
+    assert(MaterializedView.staleness(spark, view) == Some((0L, 2L, 2L)))
+
+    // DESCRIBE DETAIL reports the same numbers through SQL
+    graft.sql.SnapshotDml.register(spark, "mv_detail", view)
+    val r = spark.sql("DESCRIBE DETAIL mv_detail").head()
+    assert(r.getLong(r.fieldIndex("view_asof_base_version")) == 0L)
+    assert(r.getLong(r.fieldIndex("base_latest_version")) == 2L)
+    assert(r.getLong(r.fieldIndex("staleness_versions")) == 2L)
+
+    // refresh absorbs both: lag back to 0
+    MaterializedView.refresh(spark, base, view, measures)
+    assert(MaterializedView.staleness(spark, view) == Some((2L, 2L, 0L)))
+    val r2 = spark.sql("DESCRIBE DETAIL mv_detail").head()
+    assert(r2.getLong(r2.fieldIndex("staleness_versions")) == 0L)
+    // plain tables surface nulls in the staleness columns
+    graft.sql.SnapshotDml.register(spark, "mv_base_detail", base)
+    val rb = spark.sql("DESCRIBE DETAIL mv_base_detail").head()
+    assert(rb.isNullAt(rb.fieldIndex("staleness_versions")))
+  }
+
   test("refresh scans the delta + the view — never a shared base data file") {
     val (base, view) = fresh()
     MaterializedView.create(spark, base, view, "g", measures)

@@ -75,4 +75,52 @@ class SnapshotRaceSpec extends SparkTestBase {
         s"version $v lost data files to a concurrent vacuum")
     }
   }
+
+  test("two JVMs racing MIXED op kinds (merge/delete/OPTIMIZE WHERE/compact): no lost updates, CDC still folds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_race_mixed").toString + "/t"
+    SnapshotLog.init(spark, dir, Seq((0L, 0L)).toDF("id", "w"), "id", numFiles = 1)
+
+    val n = 8
+    val cp = sys.props("java.class.path")
+    def spawn(w: Int) = Process(Seq(
+      "java", "-Xmx3g", "--enable-native-access=ALL-UNNAMED",
+      "-cp", cp, "graft.tools.RaceWriter", dir, w.toString, n.toString, "mixed"))
+      .run(ProcessLogger(_ => (), _ => ()))
+    val p1 = spawn(1)
+    val p2 = spawn(2)
+    val deadline = System.currentTimeMillis() + 5 * 60 * 1000
+    while ((p1.isAlive() || p2.isAlive()) && System.currentTimeMillis() < deadline)
+      Thread.sleep(1000)
+    assert(!p1.isAlive() && !p2.isAlive(), "mixed race writers hung")
+    // non-zero exit = a writer SAW a lost update mid-race (RaceWriter
+    // asserts its own live key set after every step) or exhausted retries
+    assert(p1.exitValue() == 0, "writer 1 failed mid-race")
+    assert(p2.exitValue() == 0, "writer 2 failed mid-race")
+
+    // serialized: the version line is contiguous (no double-won version)
+    val vs = SnapshotLog.versions(spark, dir)
+    assert(vs == (vs.head to vs.last), s"version line has holes: $vs")
+
+    // no lost updates across op KINDS: final set = inserts minus deletes
+    def keysOf(w: Long) = (0 until n).map(w * 1000000L + _).toSet --
+      (2 until n by 3).map(j => w * 1000000L + (j - 1)).toSet
+    val got = SnapshotLog.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet
+    val want = keysOf(1L) ++ keysOf(2L) + 0L
+    assert(got == want,
+      s"lost update: missing ${want -- got}, phantom ${got -- want}")
+
+    // CDC stays sound through the interleaved compactions: applying the
+    // last version step's changes to the previous version IS the latest
+    // table (cdc output is a Merge changeset by contract)
+    val vLast = vs.last
+    val changes = SnapshotLog.cdc(spark, dir, vLast - 1, vLast, "id")
+    val applied = graft.operators.Merge(
+      SnapshotLog.read(spark, dir, vLast - 1), changes, "id")
+    val expected = SnapshotLog.read(spark, dir, vLast)
+    assert(applied.orderBy("id").collect().toSeq ==
+      expected.orderBy("id").collect().toSeq,
+      "cdc between the final versions does not fold to the live table")
+  }
 }
