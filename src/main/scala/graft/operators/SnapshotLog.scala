@@ -77,18 +77,24 @@ final class ConcurrentCommitException(msg: String)
   * DuckDB-derived changeset and SnapshotLogSpec pins the physical facts.
   *
   * MANIFEST SIZING, stated honestly: a manifest lists the version's FULL
-  * file set (plus one range stamp per file), so each commit writes
-  * O(live files) metadata text — ~100 bytes/file, i.e. ~10 MB per commit
-  * on a 10^5-file table, noise beside the data write it accompanies, and
-  * read once per planning operation (cheaper than the per-file footer
-  * fetches it replaced). The full-listing format is what buys O(1)-read
-  * time travel and set-algebra CDC ([[cdc]] diffs two manifests, no
-  * log replay); the total metadata footprint is bounded by [[vacuum]]'s
-  * retention, not by table lifetime. A Delta-style add/remove delta log
-  * with periodic checkpoints trades manifest write size for reader-side
-  * log replay and checkpoint machinery — the right trade only past
-  * ~10^6 live files per table, at which point partitioning the table
-  * (many logs) is the simpler lever.
+  * file set plus its stamps — the key `range=` line and up to
+  * [[graft.sources.Stamps.MaxStampedCols]] typed `cstats=` lines per
+  * file — so each commit writes O(live files) metadata text: ~1 KB/file
+  * fully stamped, i.e. ~100 MB per commit on a 10^5-file table, still
+  * noise beside the data write it accompanies and read once per
+  * planning operation (cheaper than the per-file footer fetches it
+  * replaced, which is exactly what the stamps exist to avoid). The
+  * full-listing format is what buys O(1)-read time travel and
+  * set-algebra CDC ([[cdc]] diffs two manifests, no log replay); the
+  * total metadata footprint is bounded by [[vacuum]]'s retention, not
+  * by table lifetime. A Delta-style add/remove delta log with periodic
+  * checkpoints trades manifest write size for reader-side log replay
+  * and checkpoint machinery — the right trade past ~10^5-10^6 live
+  * files per table, at which point partitioning the table (many logs,
+  * and since round 14 a first-class layout here) is the simpler lever.
+  * Bloom sidecars ([[BloomIndexKey]]) deliberately live OUTSIDE the
+  * manifest as parquet files: at ~1 bit-something per row they are
+  * data-sized, not metadata-sized.
   */
 object SnapshotLog {
 
@@ -117,6 +123,19 @@ object SnapshotLog {
     require(vs.nonEmpty, s"no committed versions under $tableDir")
     vs.last
   }
+
+
+  /** All data files under `dir`, recursing into partition
+    * subdirectories via plain `listStatus` — NOT `listFiles(recursive)`,
+    * whose LocatedFileStatus materialization stats permissions per file
+    * (a subprocess per file on the local filesystem: ~8 ms each, i.e.
+    * seconds of pure planning overhead at a few hundred files and
+    * unusable at 10^5).
+    */
+  private def listDataFiles(hfs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    hfs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) listDataFiles(hfs, st.getPath) else Seq(st)
+    }
 
   private def manifestLines(spark: SparkSession, tableDir: String,
       v: Long): Seq[String] = {
@@ -364,16 +383,10 @@ object SnapshotLog {
         val hfs = fs(spark, table)
         val dataUri = java.net.URI.create(
           hfs.makeQualified(dataDir(table)).toUri.toString + "/")
-        val byName = {
-          val it = hfs.listFiles(dataDir(table), true)
-          val b = Map.newBuilder[String, org.apache.hadoop.fs.FileStatus]
-          while (it.hasNext) {
-            val st = it.next()
-            val rel = dataUri.relativize(st.getPath.toUri).getPath
-            if (nameSet(rel)) b += rel -> st
-          }
-          b.result()
-        }
+        val byName = listDataFiles(hfs, dataDir(table)).flatMap { st =>
+          val rel = dataUri.relativize(st.getPath.toUri).getPath
+          if (nameSet(rel)) Some(rel -> st) else None
+        }.toMap
         val missing = names.filterNot(byName.contains)
         require(missing.isEmpty,
           s"version $v of $tableDir references data files that do not " +
@@ -392,10 +405,9 @@ object SnapshotLog {
             val key = tableKey(spark, tableDir, v)
             Some(graft.sources.SnapshotFileIndex.BloomProbe(key,
               schema(key).dataType,
-              () => spark.read.parquet(sidecars.map(n =>
-                  new Path(dataDir(table), n).toString): _*)
-                .collect()
-                .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap))
+              () => sidecars.flatMap(n =>
+                loadBloomSidecar(spark, new Path(dataDir(table), n).toString))
+                .toMap))
           }
         }
         graft.sources.SnapshotFileIndex.scan(spark, table,
@@ -777,6 +789,26 @@ object SnapshotLog {
     val sidecarNames = stageWith(spark, table)(out =>
       df.coalesce(1).write.mode("overwrite").parquet(out))
     sidecarNames.map(n => s"$BloomIdxPrefix$n")
+  }
+
+  /** Sidecar contents, cached per PATH: sidecars are immutable once
+    * committed (same contract as data files — vacuum deletes, never
+    * rewrites), so a loaded one is valid for the process lifetime. The
+    * cache is what makes repeated point probes pay the sidecar scan
+    * ONCE, not per query; bounded by a clear-all guard, and advisory —
+    * a cold process just reloads.
+    */
+  private val bloomSidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def loadBloomSidecar(spark: SparkSession,
+      path: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    if (bloomSidecarCache.size > 256) bloomSidecarCache.clear()
+    bloomSidecarCache.computeIfAbsent(path, p =>
+      spark.read.parquet(p).collect()
+        .map(r => r.getString(0) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap)
   }
 
   /** Bloom verdicts for candidate files of version `v`: the subset of
@@ -1370,15 +1402,9 @@ object SnapshotLog {
     val cutoff = System.currentTimeMillis() - graceMs
     val dataUri = java.net.URI.create(
       hfs.makeQualified(dataDir(table)).toUri.toString + "/")
-    val dead = {
-      val it = hfs.listFiles(dataDir(table), true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = dataUri.relativize(st.getPath.toUri).getPath
-        if (!live(rel) && st.getModificationTime < cutoff) b += rel
-      }
-      b.result()
+    val dead = listDataFiles(hfs, dataDir(table)).flatMap { st =>
+      val rel = dataUri.relativize(st.getPath.toUri).getPath
+      if (!live(rel) && st.getModificationTime < cutoff) Some(rel) else None
     }
     dead.foreach(n => hfs.delete(new Path(dataDir(table), n), false))
     // crashed stage scratch: a writer that died between stageWith's write

@@ -612,11 +612,46 @@ object DedupQueries {
     * corpus's 3-gram vocabulary) even ONE collision anywhere is a coin
     * flip, and one that also crosses a df boundary vanishing.
     */
+  /** Conf gate for the BUCKETED-index variant of d06: write the exploded
+    * (doc_id, h) index ONCE as an h-bucketed table, so the df aggregate,
+    * the index semi-join and the self-join all consume the bucket layout
+    * with ZERO h-shuffles (EnsureRequirements sees HashPartitioning(h)
+    * from the scan — PlanShapeSpec pins both the parity and the
+    * no-h-exchange plan fact).
+    *
+    * MEASURED AND REJECTED as the default (r14, sf1 documents = 50k
+    * docs, local[32], min of passes): shuffled 44.8 s, bucketed 71.8 s.
+    * Why it loses: exchange reuse already dedupes the df-aggregate and
+    * index-join shuffles of the identical exploded child, so the
+    * "three shuffles" are physically ONE — and the bucketed parquet
+    * write (encode + disk) of the exploded set costs strictly more than
+    * that single in-memory/local-spill shuffle. The flag stays (with its
+    * parity test) for the cluster regime where a shuffle is network-
+    * bound and the index is REUSED across runs — the case bucketing
+    * exists for — but single-run local execution keeps the shuffled
+    * form. The r13 typed-Aggregator precedent: alternatives are
+    * measured, not assumed.
+    */
+  val NgramBucketedKey = "spark.graft.d06.bucketed"
+
   private[graft] def ngramPairsUnstaged(s: SparkSession, d: String): DataFrame = {
       GraftNative.ensure(s)
       val sh = shingleStage(s, d)
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      val inv =
+        if (!s.conf.getOption(NgramBucketedKey).exists(_.toBoolean)) inv0
+        else {
+          val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+          val tbl = s"d06_inv_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+          val path = Stage.dirFor(s, s"d06_inv_b_$tbl")
+          // ONE shuffle by the bucket expression (so each task owns one
+          // bucket and writes one file), then the bucketed write — the
+          // layout every downstream h-consumer reads shuffle-free
+          graft.operators.Bucketing.writeBucketed(
+            inv0.repartition(n, col("h")), tbl, path, Seq("h"), n)
+          graft.operators.Bucketing.readBucketed(s, tbl)
+        }
       val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df").between(2, NgramMaxDf))
         .select("h")

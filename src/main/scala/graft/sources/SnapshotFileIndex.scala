@@ -94,7 +94,7 @@ final class SnapshotFileIndex(
 
   // loaded once per scan, and ONLY if a probeable point predicate on the
   // key actually reaches prunedFiles — a full scan never pays for it
-  private lazy val loadedBlooms: Map[String, Array[Byte]] =
+  private lazy val loadedBlooms: Map[String, org.apache.spark.util.sketch.BloomFilter] =
     bloom.map(_.load()).getOrElse(Map.empty)
 
   /** Non-null key values a conjunct pins the key to, hashed in the
@@ -143,11 +143,8 @@ final class SnapshotFileIndex(
       case Some(hs) if hs.nonEmpty =>
         base.filter { case (name, _) =>
           loadedBlooms.get(name) match {
-            case Some(bytes) =>
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(bytes))
-              hs.exists(bf.mightContainLong)
-            case None => true // not covered by any sidecar: candidate
+            case Some(bf) => hs.exists(bf.mightContainLong)
+            case None     => true // not covered by any sidecar: candidate
           }
         }
       case _ => base
@@ -192,14 +189,16 @@ final class SnapshotFileIndex(
 object SnapshotFileIndex {
 
   /** Lazy per-file Bloom verdict source for point predicates on the
-    * table key: `load()` yields manifest name -> serialized filter (one
-    * sidecar read, paid only when a probeable predicate reaches the
-    * index). `keyType` gates hash compatibility — xxhash64 is
+    * table key: `load()` yields manifest name -> DESERIALIZED filter
+    * (one sidecar read + one deserialization, both process-cached
+    * upstream and paid only when a probeable predicate reaches the
+    * index; mightContain is read-only, so sharing across plans is
+    * safe). `keyType` gates hash compatibility — xxhash64 is
     * type-sensitive, so only a literal of exactly the key's type probes.
     */
   final case class BloomProbe(keyCol: String,
       keyType: org.apache.spark.sql.types.DataType,
-      load: () => Map[String, Array[Byte]])
+      load: () => Map[String, org.apache.spark.util.sketch.BloomFilter])
 
   /** Tri-state evaluation of `e` against one file's stamps: Some(true) =
     * TRUE for EVERY row of the file, Some(false) = TRUE for NO row (the

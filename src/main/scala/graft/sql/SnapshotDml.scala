@@ -485,14 +485,16 @@ object SnapshotDml {
       val dataUri = java.net.URI.create(
         hfs.makeQualified(data).toUri.toString + "/")
       val bytes = {
-        val it = hfs.listFiles(data, true)
-        var total = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (names(dataUri.relativize(st.getPath.toUri).getPath))
-            total += st.getLen
-        }
-        total
+        // listStatus recursion, not listFiles(recursive) — see
+        // SnapshotLog.listDataFiles on the per-file permission stat
+        def walk(d: org.apache.hadoop.fs.Path): Long =
+          hfs.listStatus(d).map { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (names(dataUri.relativize(st.getPath.toUri).getPath))
+              st.getLen
+            else 0L
+          }.sum
+        walk(data)
       }
       val schema = SnapshotLog.tableSchema(s, dir, v)
       val lag = graft.operators.MaterializedView.staleness(s, dir)

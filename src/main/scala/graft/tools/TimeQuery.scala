@@ -34,6 +34,13 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // args beyond [passes] are session conf overrides (`k=v`) — how the
+    // measured-alternative experiments (e.g. the d06 bucketed index) are
+    // toggled without a recompile
+    val confs = args.drop(4).filter(_.contains('=')).map { kv =>
+      val i = kv.indexOf('='); (kv.substring(0, i), kv.substring(i + 1))
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val fn = graft.SparkEntry.queries(name)
     val times = (1 to passes).map { _ =>
       graft.operators.Stage.resetShared()
@@ -43,7 +50,8 @@ object TimeQuery {
     }
     spark.stop()
     val ts = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val confStr = confs.map { case (k, v) => s""""$k=$v"""" }.mkString("[", ",", "]")
     println(s"""{"query":"$name","sf_dir":"$sfDir","shuffle":$shuffle,""" +
-      s""""passes":$ts,"min":${times.min}}""")
+      s""""confs":$confStr,"passes":$ts,"min":${times.min}}""")
   }
 }

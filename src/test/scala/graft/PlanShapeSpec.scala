@@ -248,6 +248,25 @@ class PlanShapeSpec extends SparkTestBase {
       }
   }
 
+  test("d06 bucketed index variant: pair parity, and the bucket layout kills the h-shuffles") {
+    import graft.queries.DedupQueries
+    val base = DedupQueries.ngramPairsUnstaged(spark, dir)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    spark.conf.set(DedupQueries.NgramBucketedKey, "true")
+    try {
+      val bucketed = DedupQueries.ngramPairsUnstaged(spark, dir)
+      val p = bucketed.queryExecution.executedPlan.toString
+      val got = bucketed.orderBy("doc_a", "doc_b").collect().toSeq
+      assert(got == base, "bucketed d06 must be pair-identical to the shuffled form")
+      // the df aggregate + index join + self-join consume the bucket
+      // layout: no hashpartitioning exchange keyed on h anywhere
+      val hExchanges = p.split('\n')
+        .filter(l => l.contains("Exchange hashpartitioning(h#"))
+      assert(hExchanges.isEmpty,
+        s"the bucketed index must not re-shuffle on h:\n${hExchanges.mkString("\n")}")
+    } finally spark.conf.unset(DedupQueries.NgramBucketedKey)
+  }
+
   test("t09 CMS: the fixed-size sketch broadcasts into the estimate join") {
     val p = planOf("t09_cms_heavyhitters")
     assert(p.contains("BroadcastHashJoin"),
