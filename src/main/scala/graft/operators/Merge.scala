@@ -54,8 +54,20 @@ object Merge {
   val OpUpdate = "update"
   val OpDelete = "delete"
 
+  /** Optional changeset sidecar column (`array<string>`): payload columns
+    * an update row EXPLICITLY nulls. The partial-update contract reads a
+    * null changeset value as "keep the base value" — which makes NULL
+    * unassignable by value alone; a column named in this array overrides
+    * the coalesce and writes NULL. Absent column = pure null-keep
+    * semantics (every pre-existing changeset producer). SQL UPDATE emits
+    * it per row, so `UPDATE t SET c = <expr>` has exact SQL semantics
+    * even when the expression evaluates to NULL.
+    */
+  val SetNullCol = "__set_null"
+
   /** Functional keyed MERGE of `cs` (op + key + all payload columns of
-    * `base`, nulls = untouched on update) into `base`.
+    * `base`, nulls = untouched on update unless named in [[SetNullCol]])
+    * into `base`.
     */
   def apply(base: DataFrame, cs: DataFrame, key: String): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq
@@ -63,16 +75,26 @@ object Merge {
       s"changeset needs 'op' and '$key' columns, has ${cs.columns.mkString(",")}")
     val missing = payload.filterNot(cs.columns.contains)
     require(missing.isEmpty, s"changeset lacks payload columns: ${missing.mkString(",")}")
+    val hasSetNull = cs.columns.contains(SetNullCol)
 
     val upd = cs.where(col("op") === OpUpdate).drop("op")
     val del = cs.where(col("op") === OpDelete).select(col(key))
     val ins = cs.where(col("op") === OpInsert)
       .select(col(key) +: payload.map(col): _*)
 
+    val updated = payload.map { c =>
+      val kept = coalesce(col(s"u.$c"), col(s"b.$c"))
+      val v =
+        if (hasSetNull)
+          // unmatched base rows: array_contains(null, c) is null -> kept
+          when(array_contains(col(s"u.$SetNullCol"), c), lit(null))
+            .otherwise(kept)
+        else kept
+      v.as(c)
+    }
     val merged = base.as("b")
       .join(upd.as("u"), col(s"b.$key") === col(s"u.$key"), "left")
-      .select(col(s"b.$key").as(key) +:
-        payload.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)): _*)
+      .select(col(s"b.$key").as(key) +: updated: _*)
       .join(del, Seq(key), "left_anti")
     merged.unionByName(ins.join(base.select(col(key)), Seq(key), "left_anti"))
   }

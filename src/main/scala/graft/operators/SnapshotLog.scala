@@ -118,10 +118,58 @@ object SnapshotLog {
       .sorted
   }
 
+  // ---- Latest-version pointer ----------------------------------------
+  //
+  // `versions()` lists the whole `_log` — O(#commits) per call, the
+  // dominant planning cost on a long-lived table (10^4 commits = 10^4
+  // statuses per query). Every commit therefore re-creates a tiny
+  // `_log/_latest` HINT (Delta's `_last_checkpoint` shape) so
+  // steady-state planning reads ONE small file. The hint is strictly
+  // ADVISORY: it is verified against the manifest set on every read
+  // (the hinted manifest must exist and its successor must not) and any
+  // mismatch — crashed writer, racing commit, foreign tool — falls back
+  // to the listing. The underscore prefix keeps it invisible to Spark's
+  // file sources (the `readVersionFeed` stream tails the same dir).
+
+  private def latestHintPath(table: Path) = new Path(logDir(table), "_latest")
+
+  private def writeLatestHint(hfs: FileSystem, table: Path, v: Long): Unit =
+    try {
+      val tmp = new Path(logDir(table),
+        s"._latest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = hfs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // rename-overwrite is not atomic on every FS; the hint is advisory
+      // and read-verified, so a lost race only costs one fallback listing
+      if (!hfs.rename(tmp, latestHintPath(table))) {
+        hfs.delete(latestHintPath(table), false)
+        if (!hfs.rename(tmp, latestHintPath(table))) hfs.delete(tmp, false)
+      }
+    } catch { case _: java.io.IOException => () }
+
+  private def readLatestHint(hfs: FileSystem, table: Path): Option[Long] =
+    try {
+      val p = latestHintPath(table)
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLongOption
+      }
+    } catch { case _: java.io.IOException => None }
+
   def latestVersion(spark: SparkSession, tableDir: String): Long = {
-    val vs = versions(spark, tableDir)
-    require(vs.nonEmpty, s"no committed versions under $tableDir")
-    vs.last
+    val table = new Path(tableDir)
+    val hfs = fs(spark, table)
+    readLatestHint(hfs, table) match {
+      case Some(v) if hfs.exists(manifestPath(table, v)) &&
+          !hfs.exists(manifestPath(table, v + 1)) => v
+      case _ =>
+        val vs = versions(spark, tableDir)
+        require(vs.nonEmpty, s"no committed versions under $tableDir")
+        vs.last
+    }
   }
 
 
@@ -193,6 +241,108 @@ object SnapshotLog {
       case m if m.startsWith("schema=") =>
         DataType.fromJson(m.stripPrefix("schema=")).asInstanceOf[StructType]
     }
+
+  // ---- Column rename/drop without column-mapping ids -----------------
+  //
+  // Parquet read-through resolves columns BY NAME, so a rename cannot be
+  // purely declarative while pre-rename files live: their physical column
+  // still carries the OLD name. The design here (the id-free alternative
+  // to Delta's column mapping): a rename is a metadata-only commit that
+  // records the column's PRIOR physical names as a `physmap=` chain, and
+  // every read widens its scan schema with the chain and takes the first
+  // non-null (each file physically holds exactly ONE name of a chain —
+  // enforced by tombstoning, below). A drop is a metadata-only commit
+  // that removes the column from the stamped schema and TOMBSTONES its
+  // name (plus its whole chain): re-introducing a tombstoned name would
+  // resurrect the old physical values still sitting in unrewritten files,
+  // so ADD/RENAME-to/merge-evolution of those names is rejected loudly.
+  // Both records retire at the next FULL rewrite (OPTIMIZE / INSERT
+  // OVERWRITE): once no live file predates the evolution, reads are plain
+  // again — rename costs one manifest write now and a (documented)
+  // pruning tax on the renamed column until compaction naturally retires
+  // it. Time travel is era-exact for free: each version's manifest
+  // carries its own map.
+
+  private val PhysMapPrefix = "physmap="
+  private val DroppedPrefix = "dropped="
+
+  /** Renamed columns of version `v`: logical name -> prior physical
+    * names, newest first (`physmap=<logical>:<prev>[:<older>...]`).
+    */
+  def physMap(spark: SparkSession, tableDir: String, v: Long): Map[String, Seq[String]] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(PhysMapPrefix) =>
+        val parts = m.stripPrefix(PhysMapPrefix).split(":").toSeq
+        parts.head -> parts.tail
+    }.toMap
+
+  /** Names tombstoned by DROP COLUMN as of version `v` — dead physical
+    * names still present in live files, unavailable for re-introduction.
+    */
+  def droppedNames(spark: SparkSession, tableDir: String, v: Long): Set[String] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(DroppedPrefix) => m.stripPrefix(DroppedPrefix)
+    }.toSet
+
+  private def evolutionMeta(pm: Map[String, Seq[String]],
+      dropped: Set[String]): Seq[String] =
+    pm.toSeq.sortBy(_._1).map { case (l, olds) =>
+      s"$PhysMapPrefix$l:${olds.mkString(":")}"
+    } ++ dropped.toSeq.sorted.map(DroppedPrefix + _)
+
+  /** The evolution records version `v`'s reference-carrying successor
+    * must re-emit (partial rewrites keep pre-evolution files alive; full
+    * rewrites simply don't call this, retiring the records).
+    */
+  private def carriedEvolution(spark: SparkSession, tableDir: String,
+      v: Long): Seq[String] =
+    evolutionMeta(physMap(spark, tableDir, v), droppedNames(spark, tableDir, v))
+
+  /** Every name that may still exist physically in live files under a
+    * meaning OTHER than its current logical one — blocked for ADD, for
+    * RENAME targets and for merge-driven schema evolution.
+    */
+  private def blockedNames(pm: Map[String, Seq[String]],
+      dropped: Set[String]): Set[String] = pm.values.flatten.toSet ++ dropped
+
+  /** Scan schema widened with each renamed column's prior physical names
+    * (all chain fields nullable: any given file holds exactly one of
+    * them). Identity when no column was ever renamed.
+    */
+  private[graft] def eraSchema(schema: StructType,
+      pm: Map[String, Seq[String]]): StructType =
+    if (pm.isEmpty) schema
+    else StructType(schema.fields.flatMap { f =>
+      pm.get(f.name) match {
+        case Some(olds) => f.copy(nullable = true) +:
+          olds.map(o => org.apache.spark.sql.types.StructField(
+            o, f.dataType, nullable = true)).toArray
+        case None => Array(f)
+      }
+    })
+
+  /** Logical projection over an [[eraSchema]] scan: renamed columns take
+    * the first non-null of their name chain, everything else passes
+    * through.
+    */
+  private[graft] def eraProjection(schema: StructType,
+      pm: Map[String, Seq[String]]): Seq[org.apache.spark.sql.Column] =
+    schema.fields.toSeq.map { f =>
+      pm.get(f.name) match {
+        case Some(olds) => coalesce((f.name +: olds).map(col): _*).as(f.name)
+        case None       => col(f.name)
+      }
+    }
+
+  /** Read `paths` in version-era LOGICAL space — the one parquet read
+    * helper every internal consumer of raw table files must use, or a
+    * pre-rename file's values silently null out.
+    */
+  private def readEra(spark: SparkSession, schema: StructType,
+      pm: Map[String, Seq[String]], paths: Seq[String]): DataFrame =
+    if (pm.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else spark.read.schema(eraSchema(schema, pm)).parquet(paths: _*)
+      .select(eraProjection(schema, pm): _*)
 
   private def filesOf(spark: SparkSession, tableDir: String, v: Long): Seq[Path] = {
     val table = new Path(tableDir)
@@ -410,9 +560,20 @@ object SnapshotLog {
                 .toMap))
           }
         }
-        graft.sources.SnapshotFileIndex.scan(spark, table,
+        val bucketProbe = partitionBucket(spark, tableDir, v).map {
+          case (c, n) => graft.sources.SnapshotFileIndex.BucketProbe(
+            c, schema(c).dataType, n,
+            names.flatMap(nm => bucketOfName(nm).map(nm -> _)).toMap)
+        }
+        // renamed columns: scan the physical-name-widened schema, then
+        // project each chain's first non-null back to the logical name
+        // (identity when the table never renamed — the common case)
+        val pm = physMap(spark, tableDir, v)
+        val scanned = graft.sources.SnapshotFileIndex.scan(spark, table,
           names.map(n => n -> byName(n)), stampedIntervals(spark, tableDir, v),
-          schema, pcols, pvals, bloomProbe)
+          eraSchema(schema, pm), pcols, pvals, bloomProbe, bucketProbe)
+        if (pm.isEmpty) scanned
+        else scanned.select(eraProjection(schema, pm): _*)
       }
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
@@ -443,10 +604,25 @@ object SnapshotLog {
     // sidecar verdicts cut the candidates to ~fpp of the files
     val keyType = tableSchema(spark, tableDir, v).map(_(key).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
-    val hit = bloomPruneFiles(spark, tableDir, v, rangeHit, keys, key, keyType)
+    // hash-bucket layout: drop candidates whose bucket directory no
+    // lookup key hashes into (exact, one ≤N-row distinct job)
+    val bucketHit = partitionBucket(spark, tableDir, v) match {
+      case Some((c, n)) if c == key && rangeHit.nonEmpty =>
+        val buckets = keys
+          .select(pmod(xxhash64(col(keys.columns.head).cast(keyType)), lit(n))
+            .cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        rangeHit.filter(f =>
+          bucketOfName(relName(table, f)).forall(buckets.contains))
+      case _ => rangeHit
+    }
+    val hit = bloomPruneFiles(spark, tableDir, v, bucketHit, keys, key, keyType)
     if (hit.isEmpty) return read(spark, tableDir, v).where(lit(false))
-    val data = tableSchema(spark, tableDir, v)
-      .fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
+    val raw = tableSchema(spark, tableDir, v) match {
+      case Some(s) => readEra(spark, s, physMap(spark, tableDir, v), hit)
+      case None    => spark.read.parquet(hit: _*)
+    }
+    val data = raw
       .join(keys.select(col(keys.columns.head).as(key)), Seq(key), "left_semi")
     val dels = deletes(spark, tableDir, v)
     if (dels.isEmpty) data
@@ -505,6 +681,9 @@ object SnapshotLog {
     val lines = stamped.map("# " + _) ++ delNames.sorted.map("-" + _) ++ names.sorted
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // the commit IS the manifest create above; the pointer is advisory
+    // acceleration, written after the fact and verified on read
+    writeLatestHint(hfs, table, v)
   }
 
   private val TsPrefix = "ts="
@@ -571,6 +750,16 @@ object SnapshotLog {
     * from different commits never collide, even inside a shared partition
     * directory.
     */
+  /** Per-session refcount for the staging timestamp-encoding override:
+    * parquet writers read the SESSION conf (there is no per-write
+    * option), so overlapping stagings in one session must share one
+    * set/restore pair — a naive set-then-restore interleaving could
+    * stage INT96 files (stats silently lost) or leave the session
+    * pinned. First staging in saves + sets; last one out restores.
+    */
+  private val tsOverrides =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, String)]()
+
   private def stageWith(spark: SparkSession, table: Path)
       (write: String => Unit): Seq[String] = {
     val hfs = fs(spark, table)
@@ -579,12 +768,19 @@ object SnapshotLog {
     // a timestamp column staged under the default encoding could never be
     // range-stamped. Stage writes always use the modern int64-micros
     // physical form (readable by every reader, stats defined; INT96 is
-    // deprecated upstream) — scoped to this write, conf restored after.
+    // deprecated upstream) — refcount-scoped to the overlapping writes,
+    // conf restored by the last one out.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.get(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    tsOverrides.compute(spark, (_, cur) =>
+      if (cur == null) {
+        val old = spark.conf.get(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        (1, old)
+      } else (cur._1 + 1, cur._2))
     try write(scratch.toString)
-    finally spark.conf.set(tsKey, oldTs)
+    finally tsOverrides.compute(spark, (_, cur) =>
+      if (cur._1 == 1) { spark.conf.set(tsKey, cur._2); null }
+      else (cur._1 - 1, cur._2))
     hfs.mkdirs(dataDir(table))
     // URI.relativize needs the directory form (trailing slash) AND the
     // same scheme as the listed statuses (which come back qualified), or
@@ -625,24 +821,37 @@ object SnapshotLog {
     * value per range, keys clustered within each).
     */
   private def stageFiles(spark: SparkSession, table: Path, df: DataFrame,
-      key: String, numFiles: Int, pcols: Seq[String] = Nil): Seq[String] =
-    if (pcols.isEmpty)
-      stageWith(spark, table)(out => CowMerge.writeKeyed(df, key, numFiles, out))
-    else stageWith(spark, table) { out =>
-      val dirCols = pcols.map(c => PartDirPrefix + c)
-      val withDirs = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
-        d.withColumn(dc, col(c))
+      key: String, numFiles: Int, pcols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Seq[String] =
+    bucket match {
+      case Some((c, n)) => stageWith(spark, table) { out =>
+        // bucket dir + key order: each bucket directory's files stay
+        // key-sorted, so range stamps still prune WITHIN a bucket
+        val withDir = df.withColumn(BucketDirCol, bucketExpr(c, n))
+        withDir.repartitionByRange(numFiles, col(BucketDirCol), col(key))
+          .sortWithinPartitions(col(BucketDirCol), col(key))
+          .write.partitionBy(BucketDirCol).mode("overwrite").parquet(out)
       }
-      val order = pcols.map(col) :+ col(key)
-      withDirs.repartitionByRange(numFiles, order: _*)
-        .sortWithinPartitions(order: _*)
-        .write.partitionBy(dirCols: _*).mode("overwrite").parquet(out)
+      case None if pcols.isEmpty =>
+        stageWith(spark, table)(out => CowMerge.writeKeyed(df, key, numFiles, out))
+      case None => stageWith(spark, table) { out =>
+        val dirCols = pcols.map(c => PartDirPrefix + c)
+        val withDirs = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
+          d.withColumn(dc, col(c))
+        }
+        val order = pcols.map(col) :+ col(key)
+        withDirs.repartitionByRange(numFiles, order: _*)
+          .sortWithinPartitions(order: _*)
+          .write.partitionBy(dirCols: _*).mode("overwrite").parquet(out)
+      }
     }
 
   private def metaOf(key: String, schema: StructType,
-      pcols: Seq[String] = Nil): Seq[String] =
+      pcols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Seq[String] =
     Seq(s"key=$key", s"schema=${schema.json}") ++
-      (if (pcols.isEmpty) Nil else Seq(s"partcols=${pcols.mkString(",")}"))
+      (if (pcols.isEmpty) Nil else Seq(s"partcols=${pcols.mkString(",")}")) ++
+      bucket.map { case (c, n) => s"$PartBucketPrefix$c:$n" }.toSeq
 
   /** The table's partition columns, as stamped at [[init]] and carried by
     * every commit; Nil for unpartitioned tables.
@@ -652,6 +861,56 @@ object SnapshotLog {
       case m if m.startsWith("partcols=") =>
         m.stripPrefix("partcols=").split(",").toSeq
     }.getOrElse(Nil)
+
+  // ---- HASH-BUCKET layout (`PARTITIONED BY (bucket(N, col))`) --------
+  //
+  // The layout lever for UNIFORM HASH KEYS, where key clustering and
+  // range stamps are structurally useless (every file's min/max spans
+  // the domain — d29's shape): every write distributes its rows into N
+  // stable directories by `pmod(xxhash64(col), N)` and declares the
+  // spec in the manifest, so a point predicate on the bucketed column
+  // prunes to ONE directory of N at planning time — from layout alone,
+  // before (and independent of) the per-file Bloom sidecars. The bucket
+  // function matches the Bloom convention (xxhash64 over the column's
+  // own type), so the same type-exactness gate applies to probe
+  // literals. Unlike identity partitions the bucket column is usually
+  // the TABLE KEY — that is the point — and the synthetic directory
+  // value is planning metadata, never a logical column.
+
+  private val PartBucketPrefix = "partbucket="
+
+  /** The synthetic bucket directory column ([[PartDirPrefix]]-prefixed
+    * like identity partition dirs, so the existing path parsing, vacuum
+    * recursion and carry machinery see nothing new).
+    */
+  private val BucketDirCol = PartDirPrefix + "graftbucket"
+
+  /** The table's hash-bucket spec (column, bucket count), as stamped at
+    * [[init]] and carried by every commit; None for unbucketed tables.
+    */
+  def partitionBucket(spark: SparkSession, tableDir: String,
+      v: Long): Option[(String, Int)] =
+    manifestMeta(spark, tableDir, v).collectFirst {
+      case m if m.startsWith(PartBucketPrefix) =>
+        val body = m.stripPrefix(PartBucketPrefix)
+        val i = body.lastIndexOf(':')
+        (body.substring(0, i), body.substring(i + 1).toInt)
+    }
+
+  /** A manifest name's bucket, parsed from its directory segment; None
+    * for flat names (delete vectors, unbucketed history).
+    */
+  private[graft] def bucketOfName(name: String): Option[Int] =
+    name.split('/').dropRight(1)
+      .find(_.startsWith(BucketDirCol + "="))
+      .map(_.substring(BucketDirCol.length + 1).toInt)
+
+  /** The write-side bucket function — MUST stay in lockstep with the
+    * read-side probe ([[graft.sources.SnapshotFileIndex.BucketProbe]]):
+    * pmod(xxhash64(col), n).
+    */
+  private def bucketExpr(c: String, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(c)), lit(n)).cast("int")
 
   /** Partition values of a manifest name, parsed from its `pt_c=v` path
     * segments in `pcols` order, cast to the stamped schema's types by
@@ -708,9 +967,9 @@ object SnapshotLog {
         case _ => CowFileStats(full, Long.MinValue, Long.MaxValue, hasStats = false)
       }
     }
-    val maxRows = stats.values.flatMap(_.rows).foldLeft(1L)(math.max)
+    val rowsOf = stats.flatMap { case (n, st) => st.rows.map(n -> _) }
     (cow, Stamps.metaLines(stats) ++
-      bloomSidecarLines(spark, table, names, key, maxRows))
+      bloomSidecarLines(spark, table, names, key, rowsOf))
   }
 
   // ---- Per-file Bloom key stamps -------------------------------------
@@ -753,30 +1012,43 @@ object SnapshotLog {
     }
 
   private def bloomSidecarLines(spark: SparkSession, table: Path,
-      names: Seq[String], key: String, maxRowsPerFile: Long): Seq[String] = {
+      names: Seq[String], key: String,
+      rowsOf: Map[String, Long]): Seq[String] = {
     if (names.isEmpty ||
         !spark.conf.getOption(BloomIndexKey).exists(_.toBoolean)) return Nil
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.graftshim.CatalystBridge
-    val paths = names.map(n => new Path(dataDir(table), n).toString)
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(1L, maxRowsPerFile), BloomFpp).bitSize()
-    val agg = CatalystBridge.column(new BloomFilterAggregate(
-      UnresolvedAttribute("__h"),
-      Literal(math.max(1L, maxRowsPerFile)), Literal(numBits))
-      .toAggregateExpression())
-    val built = spark.read.parquet(paths: _*)
-      .select(col("_metadata").getField("file_path").as("__f"),
-        xxhash64(col(key)).as("__h"))
-      .groupBy("__f").agg(agg.as("bloom"))
-      .collect()
+    // per-file sizing via row-count MAGNITUDE buckets (files within one
+    // power of 4 share a filter size): BloomFilterAggregate's size is a
+    // per-job constant, so a skewed commit sized from its largest file
+    // would pay that file's bitSize for every small sibling — grouping
+    // bounds the waste at 4x while keeping job count log-bounded
+    val fallbackRows = rowsOf.values.foldLeft(1024L)(math.max)
+    val groups = names.groupBy { n =>
+      val r = math.max(1L, rowsOf.getOrElse(n, fallbackRows))
+      var m = 1024L
+      while (m < r) m *= 4
+      m
+    }
     val prefix = java.net.URI.create(
       fs(spark, table).makeQualified(dataDir(table)).toUri.toString + "/")
-    val rows = built.toSeq.map { r =>
-      val rel = prefix.relativize(java.net.URI.create(r.getString(0))).getPath
-      org.apache.spark.sql.Row(rel, r.getAs[Array[Byte]]("bloom"))
+    val rows = groups.toSeq.sortBy(_._1).flatMap { case (cap, ns) =>
+      val paths = ns.map(n => new Path(dataDir(table), n).toString)
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .create(cap, BloomFpp).bitSize()
+      val agg = CatalystBridge.column(new BloomFilterAggregate(
+        UnresolvedAttribute("__h"), Literal(cap), Literal(numBits))
+        .toAggregateExpression())
+      spark.read.parquet(paths: _*)
+        .select(col("_metadata").getField("file_path").as("__f"),
+          xxhash64(col(key)).as("__h"))
+        .groupBy("__f").agg(agg.as("bloom"))
+        .collect().toSeq.map { r =>
+          val rel = prefix.relativize(java.net.URI.create(r.getString(0))).getPath
+          org.apache.spark.sql.Row(rel, r.getAs[Array[Byte]]("bloom"))
+        }
     }
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("file",
@@ -795,21 +1067,21 @@ object SnapshotLog {
     * committed (same contract as data files — vacuum deletes, never
     * rewrites), so a loaded one is valid for the process lifetime. The
     * cache is what makes repeated point probes pay the sidecar scan
-    * ONCE, not per query; bounded by a clear-all guard, and advisory —
-    * a cold process just reloads.
+    * ONCE, not per query; bounded LRU (hot entries survive a standing
+    * service juggling more paths than the capacity — no clear-all
+    * churn), and advisory — a cold process just reloads.
     */
-  private val bloomSidecarCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+  private val bloomSidecarCache =
+    new LruCache[String, Map[String, org.apache.spark.util.sketch.BloomFilter]](256)
 
   private def loadBloomSidecar(spark: SparkSession,
-      path: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    if (bloomSidecarCache.size > 256) bloomSidecarCache.clear()
-    bloomSidecarCache.computeIfAbsent(path, p =>
-      spark.read.parquet(p).collect()
+      path: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    bloomSidecarCache.getOrLoad(path) {
+      spark.read.parquet(path).collect()
         .map(r => r.getString(0) ->
           org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap)
-  }
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+    }
 
   /** Bloom verdicts for candidate files of version `v`: the subset of
     * `hit` (full paths) whose per-file Bloom may contain at least one of
@@ -854,19 +1126,28 @@ object SnapshotLog {
     */
   def init(spark: SparkSession, tableDir: String, df: DataFrame, key: String,
       numFiles: Int, meta: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): SnapshotCommit = {
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(String, Int)] = None): SnapshotCommit = {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
+    require(partitionBy.isEmpty || bucketBy.isEmpty,
+      "identity PARTITIONED BY and bucket(N, col) cannot combine")
     partitionBy.foreach { c =>
       require(df.columns.contains(c), s"partition column $c is not a column")
       require(c != key, s"the table key $key cannot be a partition column")
       require(!c.contains(',') && !c.contains(':') && !c.contains('/'),
         s"partition column name not stamp-safe: '$c'")
     }
-    val names = stageFiles(spark, table, df, key, numFiles, partitionBy)
+    bucketBy.foreach { case (c, n) =>
+      require(df.columns.contains(c), s"bucket column $c is not a column")
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      require(!c.contains(',') && !c.contains(':') && !c.contains('/'),
+        s"bucket column name not stamp-safe: '$c'")
+    }
+    val names = stageFiles(spark, table, df, key, numFiles, partitionBy, bucketBy)
     val (cow, typed) = newFileStamps(spark, table, names, key, df.schema)
     commit(spark, table, 0L, names,
-      ("op=init" +: meta) ++ metaOf(key, df.schema, partitionBy) ++
+      ("op=init" +: meta) ++ metaOf(key, df.schema, partitionBy, bucketBy) ++
         rangeMeta(table, cow) ++ typed)
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
@@ -893,11 +1174,17 @@ object SnapshotLog {
     // contract Merge.apply enforces.
     val baseSchema = tableSchema(spark, tableDir, v)
       .getOrElse(spark.read.parquet(files.head.toString).schema)
-    val evolved = StructType(baseSchema.fields ++
-      cs.schema.fields.filter(f => f.name != "op" && f.name != key &&
-        !baseSchema.fieldNames.contains(f.name)))
+    val widening = cs.schema.fields.filter(f => f.name != "op" && f.name != key &&
+      f.name != Merge.SetNullCol && !baseSchema.fieldNames.contains(f.name))
+    val pm = physMap(spark, tableDir, v)
+    val dropped = droppedNames(spark, tableDir, v)
+    widening.foreach(f => require(!blockedNames(pm, dropped).contains(f.name),
+      s"changeset column ${f.name} was previously dropped or renamed away " +
+        "and live files still hold its old physical values — re-introducing " +
+        "it would resurrect them; OPTIMIZE the table first"))
+    val evolved = StructType(baseSchema.fields ++ widening)
     def readEvolved(paths: Seq[String]): DataFrame =
-      spark.read.schema(evolved).parquet(paths: _*)
+      readEra(spark, evolved, pm, paths)
     val delKeys: Option[DataFrame] =
       if (delNames.isEmpty) None else Some(readDeleteKeys(spark, table, delNames, key))
     def masked(df: DataFrame): DataFrame =
@@ -905,6 +1192,20 @@ object SnapshotLog {
     // planning ranges from the manifest's commit-time stamps — one
     // metadata read, not a footer fetch per file
     val ranges = keyRangesOfVersion(spark, tableDir, v, key)
+    // on a hash-bucketed KEY the range join cannot prune (every file
+    // spans the domain), but the LAYOUT can: a candidate file whose
+    // bucket directory no changeset key hashes into is out of the
+    // footprint — one ≤N-row distinct-bucket job per key set
+    val pb = partitionBucket(spark, tableDir, v)
+    def bucketScope(candidates: Seq[String], keyDf: DataFrame): Seq[String] =
+      pb match {
+        case Some((c, n)) if c == key && candidates.nonEmpty =>
+          val buckets = keyDf.select(bucketExpr(key, n).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          candidates.filter(f =>
+            bucketOfName(relName(table, f)).forall(buckets.contains))
+        case _ => candidates
+      }
 
     val updDel = cs.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
     val ins = cs.where(col("op") === Merge.OpInsert)
@@ -917,12 +1218,15 @@ object SnapshotLog {
     val maskedIns: Option[DataFrame] =
       delKeys.map(dk => insKeys.join(dk, Seq(key), "left_semi"))
     val maskedHitFiles = maskedIns match {
-      case Some(mi) if !ins.isEmpty => CowMerge.matchFiles(spark, ranges, mi)
-      case _                        => Nil
+      case Some(mi) if !ins.isEmpty =>
+        bucketScope(CowMerge.matchFiles(spark, ranges, mi), mi)
+      case _ => Nil
     }
-    val affected =
-      CowMerge.matchFiles(spark, ranges, updDel.select(col(key))).toSet ++ maskedHitFiles
-    val insCheck = CowMerge.matchFiles(spark, ranges, insKeys)
+    val updDelKeys = updDel.select(col(key))
+    val affected = bucketScope(
+      CowMerge.matchFiles(spark, ranges, updDelKeys), updDelKeys).toSet ++
+      maskedHitFiles
+    val insCheck = bucketScope(CowMerge.matchFiles(spark, ranges, insKeys), insKeys)
     val untouchedNames = names.filterNot(n =>
       affected.contains(new Path(dataDir(table), n).toString))
 
@@ -961,7 +1265,7 @@ object SnapshotLog {
     val pcols = partitionCols(spark, tableDir, v)
     val newNames = newData match {
       case Some(df) => stageFiles(spark, table, df, key,
-        math.max(1, affected.size), pcols)
+        math.max(1, affected.size), pcols, pb)
       case None     => Nil
     }
     // range stamps: untouched files carry their already-known ranges
@@ -970,9 +1274,11 @@ object SnapshotLog {
     val carried = ranges.filter(st => untouchedSet(relName(table, st.file)))
     val (newCow, newTyped) = newFileStamps(spark, table, newNames, key, evolved)
     commit(spark, table, v + 1, untouchedNames ++ newNames,
-      ("op=merge" +: meta) ++ metaOf(key, evolved, pcols) ++
+      ("op=merge" +: meta) ++ metaOf(key, evolved, pcols, pb) ++
         rangeMeta(table, carried ++ newCow) ++ newTyped ++
-        carriedStampLines(spark, tableDir, v, untouchedSet),
+        carriedStampLines(spark, tableDir, v, untouchedSet) ++
+        (if (untouchedNames.isEmpty) Nil  // full rewrite retires evolution
+         else carriedEvolution(spark, tableDir, v)),
       newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
@@ -991,10 +1297,11 @@ object SnapshotLog {
     val v = latestVersion(spark, tableDir)
     val before = manifest(spark, tableDir, v)
     val pcols = partitionCols(spark, tableDir, v)
-    val names = stageFiles(spark, table, df, key, numFiles, pcols)
+    val pb = partitionBucket(spark, tableDir, v)
+    val names = stageFiles(spark, table, df, key, numFiles, pcols, pb)
     val (cow, typed) = newFileStamps(spark, table, names, key, df.schema)
     commit(spark, table, v + 1, names,
-      ("op=overwrite" +: meta) ++ metaOf(key, df.schema, pcols) ++
+      ("op=overwrite" +: meta) ++ metaOf(key, df.schema, pcols, pb) ++
         rangeMeta(table, cow) ++ typed)
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, names.size))
@@ -1025,9 +1332,11 @@ object SnapshotLog {
       .getOrElse(read(spark, tableDir, v).schema)
     // every data file is carried by reference — its range stamps too
     commit(spark, table, v + 1, names,
-      "op=delete" +: (metaOf(key, schema, partitionCols(spark, tableDir, v)) ++
+      "op=delete" +: (metaOf(key, schema, partitionCols(spark, tableDir, v),
+        partitionBucket(spark, tableDir, v)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
-        carriedStampLines(spark, tableDir, v, _ => true)),
+        carriedStampLines(spark, tableDir, v, _ => true) ++
+        carriedEvolution(spark, tableDir, v)),
       newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1045,10 +1354,11 @@ object SnapshotLog {
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val pcols = partitionCols(spark, tableDir, v)
-    val newNames = stageFiles(spark, table, data, key, numFiles, pcols)
+    val pb = partitionBucket(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, data, key, numFiles, pcols, pb)
     val (cow, typed) = newFileStamps(spark, table, newNames, key, data.schema)
     commit(spark, table, v + 1, newNames,
-      "op=optimize" +: (metaOf(key, data.schema, pcols) ++
+      "op=optimize" +: (metaOf(key, data.schema, pcols, pb) ++
         rangeMeta(table, cow) ++ typed))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
@@ -1098,20 +1408,24 @@ object SnapshotLog {
     val schema = tableSchema(spark, tableDir, v)
       .getOrElse(read(spark, tableDir, v).schema)
     val dels = deletes(spark, tableDir, v)
-    val data0 = spark.read.schema(schema).parquet(hitPaths.map(_.toString): _*)
+    val data0 = readEra(spark, schema, physMap(spark, tableDir, v),
+      hitPaths.map(_.toString))
     val data =
       if (dels.isEmpty) data0
       else data0.join(readDeleteKeys(spark, table, dels, key), Seq(key), "left_anti")
     val pcols = partitionCols(spark, tableDir, v)
-    val newNames = stageFiles(spark, table, data, key, numFiles, pcols)
+    val pb = partitionBucket(spark, tableDir, v)
+    val newNames = stageFiles(spark, table, data, key, numFiles, pcols, pb)
     val carriedSet = carried.toSet
     val carriedStats = keyRangesOfVersion(spark, tableDir, v, key)
       .filter(st => carriedSet(relName(table, st.file)))
     val (newCow, newTyped) = newFileStamps(spark, table, newNames, key, schema)
     commit(spark, table, v + 1, carried ++ newNames,
-      "op=optimize-where" +: (metaOf(key, schema, pcols) ++
+      "op=optimize-where" +: (metaOf(key, schema, pcols, pb) ++
         rangeMeta(table, carriedStats ++ newCow) ++ newTyped ++
-        carriedStampLines(spark, tableDir, v, carriedSet)),
+        carriedStampLines(spark, tableDir, v, carriedSet) ++
+        (if (carried.isEmpty) Nil  // full rewrite retires evolution
+         else carriedEvolution(spark, tableDir, v))),
       dels)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, hit.size, carried.size, newNames.size))
@@ -1144,10 +1458,50 @@ object SnapshotLog {
     val dk1 = delKeysOf(v1)
     val sch0 = tableSchema(spark, tableDir, v0)
     val sch1 = tableSchema(spark, tableDir, v1)
+    // both sides read in v1's LOGICAL space, through a physmap composed
+    // over the WHOLE window: v1's own chains don't suffice, because a
+    // full rewrite inside (v0, v1] retires them while the before side
+    // still reads v0-era files — so each rename commit's
+    // `op=rename-column from:to` stamp is replayed backwards from v1's
+    // names and unioned with both endpoint maps (manifest-text reads,
+    // one per window version). A pre-rename before-image then surfaces
+    // under the CURRENT column name; columns v1 gained read null on the
+    // old side (the existing alignment semantic) and columns v1 dropped
+    // are simply absent from the diff.
+    val pm1: Map[String, Seq[String]] = {
+      val pmEnd = physMap(spark, tableDir, v1)
+      val pmStart = physMap(spark, tableDir, v0)
+      val renames = versions(spark, tableDir)
+        .filter(x => x > v0 && x <= v1).sorted.flatMap { x =>
+          manifestMeta(spark, tableDir, x).collectFirst {
+            case m if m.startsWith("op=rename-column ") =>
+              val body = m.stripPrefix("op=rename-column ")
+              val i = body.lastIndexOf(':') // names are stamp-safe (no ':')
+              (body.substring(0, i), body.substring(i + 1))
+          }
+        }
+      sch1 match {
+        case Some(s) if renames.nonEmpty || pmEnd.nonEmpty || pmStart.nonEmpty =>
+          s.fieldNames.toSeq.map { f =>
+            var name = f
+            val prior = scala.collection.mutable.ArrayBuffer.empty[String]
+            renames.reverse.foreach { case (from, to) =>
+              if (to == name) { prior += from; name = from }
+            }
+            f -> (pmEnd.getOrElse(f, Seq.empty) ++ prior ++
+              pmStart.getOrElse(name, Seq.empty)).distinct.filterNot(_ == f)
+          }.filter(_._2.nonEmpty).toMap
+        case _ => pmEnd
+      }
+    }
     def readNames(ns: Iterable[String], sch: Option[StructType]): DataFrame =
       if (ns.isEmpty) read(spark, tableDir, v1).where(lit(false))
-      else sch.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(ns.map(n => new Path(dataDir(table), n).toString).toSeq: _*)
+      else sch match {
+        case Some(s) => readEra(spark, s, pm1,
+          ns.map(n => new Path(dataDir(table), n).toString).toSeq)
+        case None => spark.read
+          .parquet(ns.map(n => new Path(dataDir(table), n).toString).toSeq: _*)
+      }
 
     // A-part: rows whose DATA FILE is in exactly one version, each side
     // under its own version's delete mask. The BEFORE side is aligned to
@@ -1155,7 +1509,7 @@ object SnapshotLog {
     // read as null on the old side, so an update that populated a new
     // column reports null -> value, exactly the semantic change.
     val after = maskWith(readNames(m1 -- m0, sch1), dk1)
-    val before0 = maskWith(readNames(m0 -- m1, sch0), dk0)
+    val before0 = maskWith(readNames(m0 -- m1, sch1.orElse(sch0)), dk0)
     val before = after.columns.filterNot(before0.columns.contains)
       .foldLeft(before0)((df, c) =>
         df.withColumn(c, lit(null).cast(after.schema(c).dataType)))
@@ -1181,9 +1535,14 @@ object SnapshotLog {
           .filter(st => shared(relName(table, st.file)))
         val hit = CowMerge.matchFiles(spark, sharedRanges, newlyMasked)
         if (hit.isEmpty) None
-        else Some(sch1.fold(spark.read)(s => spark.read.schema(s)).parquet(hit: _*)
-          .join(newlyMasked, Seq(key), "left_semi")
-          .select(col(key) +: payload.map(col): _*))
+        else {
+          val raw = sch1 match {
+            case Some(s) => readEra(spark, s, pm1, hit)
+            case None    => spark.read.parquet(hit: _*)
+          }
+          Some(raw.join(newlyMasked, Seq(key), "left_semi")
+            .select(col(key) +: payload.map(col): _*))
+        }
       }
     }
     (joined, payload, bRows)
@@ -1209,6 +1568,9 @@ object SnapshotLog {
       "OPTIMIZE ZORDER is not supported on a partitioned table: a Morton " +
         "rewrite would break the Hive partition tree; compact per " +
         "partition (OPTIMIZE ... WHERE) instead")
+    require(partitionBucket(spark, tableDir, v).isEmpty,
+      "OPTIMIZE ZORDER is not supported on a bucketed table: a Morton " +
+        "rewrite would break the hash-bucket directories")
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val newNames = stageWith(spark, table)(out =>
@@ -1325,9 +1687,11 @@ object SnapshotLog {
     val names = manifest(spark, tableDir, toVersion)
     commit(spark, table, latest + 1, names,
       s"op=restore from=$toVersion" +: (
-        metaOf(key, schema, partitionCols(spark, tableDir, toVersion)) ++
+        metaOf(key, schema, partitionCols(spark, tableDir, toVersion),
+          partitionBucket(spark, tableDir, toVersion)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, toVersion, key)) ++
-        carriedStampLines(spark, tableDir, toVersion, _ => true)),
+        carriedStampLines(spark, tableDir, toVersion, _ => true) ++
+        carriedEvolution(spark, tableDir, toVersion)),
       deletes(spark, tableDir, toVersion))
     SnapshotCommit(latest + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1364,12 +1728,151 @@ object SnapshotLog {
       require(!cur.fieldNames.exists(resolver(_, f.name)),
         s"column ${f.name} already exists")
     }
+    val blocked = blockedNames(physMap(spark, tableDir, v),
+      droppedNames(spark, tableDir, v))
+    added.foreach(f => require(!blocked.exists(resolver(_, f.name)),
+      s"column name ${f.name} was previously dropped or renamed away and " +
+        "live files still hold its old physical values — re-introducing it " +
+        "would resurrect them; OPTIMIZE the table first (a full rewrite " +
+        "retires the tombstone)"))
     val next = StructType(cur.fields ++ added)
     val names = manifest(spark, tableDir, v)
     commit(spark, table, v + 1, names,
-      "op=altertable" +: (metaOf(key, next, partitionCols(spark, tableDir, v)) ++
+      "op=altertable" +: (metaOf(key, next, partitionCols(spark, tableDir, v),
+        partitionBucket(spark, tableDir, v)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
-        carriedStampLines(spark, tableDir, v, _ => true)),
+        carriedStampLines(spark, tableDir, v, _ => true) ++
+        carriedEvolution(spark, tableDir, v)),
+      deletes(spark, tableDir, v))
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
+  /** The column a typed per-file stat line describes, or None for lines
+    * not keyed by a column (`rows=`, `bloomidx=`).
+    */
+  private def stampColOf(line: String): Option[String] = {
+    import graft.sources.Stamps
+    if (line.startsWith(Stamps.CStatsPrefix)) {
+      val parts = line.stripPrefix(Stamps.CStatsPrefix).split(":", 6)
+      if (parts.length == 6) Some(parts(1)) else None
+    } else if (line.startsWith(ColRangePrefix)) {
+      val parts = line.stripPrefix(ColRangePrefix).split(":", 4)
+      if (parts.length == 4) Some(parts(0)) else None
+    } else None
+  }
+
+  private def remapStampCol(line: String, from: String, to: String): String = {
+    import graft.sources.Stamps
+    if (line.startsWith(Stamps.CStatsPrefix)) {
+      val parts = line.stripPrefix(Stamps.CStatsPrefix).split(":", 6)
+      if (parts.length == 6 && parts(1) == from)
+        Stamps.CStatsPrefix + parts.updated(1, to).mkString(":")
+      else line
+    } else if (line.startsWith(ColRangePrefix)) {
+      val parts = line.stripPrefix(ColRangePrefix).split(":", 4)
+      if (parts.length == 4 && parts(0) == from)
+        ColRangePrefix + parts.updated(0, to).mkString(":")
+      else line
+    } else line
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit (see the
+    * physmap design note above [[physMap]]): same file set, schema
+    * renamed, the old name recorded as the column's physical-name chain,
+    * per-file stat stamps REMAPPED to the new name (an interval describes
+    * values — a rename doesn't change them, so old files stay prunable by
+    * predicate-scoped maintenance under the new name). The table key and
+    * partition columns cannot be renamed: every delete vector, range
+    * stamp and clustering invariant is keyed on the former, and the
+    * latter ARE directory names. The old name joins the blocked set until
+    * a full rewrite retires the chain.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String, from: String,
+      to: String): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val cur = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    val pcols = partitionCols(spark, tableDir, v)
+    val resolver = spark.sessionState.conf.resolver
+    require(cur.fieldNames.exists(resolver(_, from)),
+      s"RENAME COLUMN: no column $from in ${cur.fieldNames.mkString(",")}")
+    require(!cur.fieldNames.exists(resolver(_, to)),
+      s"RENAME COLUMN: column $to already exists")
+    require(!resolver(from, key),
+      s"renaming the table key $key is not supported: delete vectors, " +
+        "range stamps and key clustering are all keyed on it")
+    require(!pcols.exists(resolver(_, from)),
+      s"renaming partition column $from is not supported: partition " +
+        "values are directory names")
+    val pb = partitionBucket(spark, tableDir, v)
+    require(!pb.exists(b => resolver(b._1, from)),
+      s"renaming bucket column $from is not supported: the bucket " +
+        "layout is keyed on it")
+    require(!to.contains(',') && !to.contains(':') && !to.contains('/'),
+      s"new column name not stamp-safe: '$to'")
+    val pm = physMap(spark, tableDir, v)
+    val dropped = droppedNames(spark, tableDir, v)
+    require(!blockedNames(pm, dropped).exists(resolver(_, to)),
+      s"column name $to was previously dropped or renamed away and live " +
+        "files still hold its old physical values — OPTIMIZE the table " +
+        "first (a full rewrite retires the tombstone)")
+    val fromExact = cur.fieldNames.find(resolver(_, from)).get
+    val chain = fromExact +: pm.getOrElse(fromExact, Seq.empty)
+    val newPm = (pm - fromExact).updated(to, chain)
+    val next = StructType(cur.fields.map(f =>
+      if (resolver(f.name, from)) f.copy(name = to) else f))
+    val names = manifest(spark, tableDir, v)
+    commit(spark, table, v + 1, names,
+      s"op=rename-column $fromExact:$to" +: (metaOf(key, next, pcols, pb) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true)
+          .map(remapStampCol(_, fromExact, to)) ++
+        evolutionMeta(newPm, dropped)),
+      deletes(spark, tableDir, v))
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a METADATA-ONLY commit: same file set
+    * under a narrower stamped schema — the physical values stay in the
+    * files, unread (by-name resolution never selects them), and the name
+    * plus its whole rename chain is TOMBSTONED so no later ADD/RENAME can
+    * resurrect them; the tombstone retires at the next full rewrite. The
+    * dropped column's stat stamps are invalidated with it (no predicate
+    * can reference the name again while the tombstone lives).
+    */
+  def dropColumn(spark: SparkSession, tableDir: String,
+      name: String): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val cur = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    val pcols = partitionCols(spark, tableDir, v)
+    val resolver = spark.sessionState.conf.resolver
+    require(cur.fieldNames.exists(resolver(_, name)),
+      s"DROP COLUMN: no column $name in ${cur.fieldNames.mkString(",")}")
+    require(!resolver(name, key), s"cannot drop the table key $key")
+    require(!pcols.exists(resolver(_, name)),
+      s"cannot drop partition column $name: partition values are " +
+        "directory names")
+    val pb = partitionBucket(spark, tableDir, v)
+    require(!pb.exists(b => resolver(b._1, name)),
+      s"cannot drop bucket column $name: the bucket layout is keyed on it")
+    val pm = physMap(spark, tableDir, v)
+    val dropped = droppedNames(spark, tableDir, v)
+    val nameExact = cur.fieldNames.find(resolver(_, name)).get
+    val chain = nameExact +: pm.getOrElse(nameExact, Seq.empty)
+    val deadSet = chain.toSet
+    val next = StructType(cur.fields.filterNot(f => resolver(f.name, name)))
+    val names = manifest(spark, tableDir, v)
+    commit(spark, table, v + 1, names,
+      s"op=drop-column $nameExact" +: (metaOf(key, next, pcols, pb) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true)
+          .filterNot(l => stampColOf(l).exists(deadSet)) ++
+        evolutionMeta(pm - nameExact, dropped ++ deadSet)),
       deletes(spark, tableDir, v))
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }

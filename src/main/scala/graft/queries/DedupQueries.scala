@@ -2237,6 +2237,91 @@ object DedupQueries {
       probes.join(hits, Seq("fp"))
         .select(col("batch_doc"), col("keeper"))
         .orderBy("batch_doc")
+    },
+
+    // STREAMING dedup admission by table NAME (d31): d29's MERGE-as-
+    // admission driven by a stream — the fingerprint index lives as a
+    // CATALOG table (`graft.d31idx`, CTAS'd from the corpus), the two
+    // ingest waves (copies, fresh) arrive as separate micro-batches
+    // (file feed, maxFilesPerTrigger=1), and each epoch commits
+    // insert-if-absent under the txn-stamp protocol and (re)writes its
+    // per-doc admitted/duplicate-of outcomes deterministically
+    // ([[graft.streaming.CurationStreams.admitByName]]). Same oracle as
+    // d29 — the streamed outcome set must hash-equal the one-shot
+    // relational recompute, so a dropped epoch, a double-committed
+    // epoch, or a keeper decided in the wrong order breaks it. Replay /
+    // crash semantics are CurationStreamsSpec's.
+    Q("d31_stream_admission", {
+      val norm = normSql
+      val freshNorm =
+        "trim(regexp_replace(lower(text || ' fresh!'), '\\s+', ' ', 'g'))"
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST('0x' || substring(md5($norm), 1, 15) AS BIGINT) AS fp
+         |  FROM documents
+         |),
+         |batch AS (
+         |  SELECT doc_id + $BatchIdOffset AS batch_doc, fp
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * BatchIdOffset},
+         |         CAST('0x' || substring(md5($freshNorm), 1, 15) AS BIGINT)
+         |  FROM documents WHERE doc_id % 15 = 0
+         |),
+         |allk AS (
+         |  SELECT fp, MIN(owner) AS keeper FROM (
+         |    SELECT fp, doc_id AS owner FROM base
+         |    UNION ALL
+         |    SELECT fp, batch_doc AS owner FROM batch
+         |  ) GROUP BY fp
+         |)
+         |SELECT b.batch_doc,
+         |       CASE WHEN k.keeper = b.batch_doc THEN 'admitted'
+         |            ELSE 'duplicate' END AS status,
+         |       k.keeper
+         |FROM batch b JOIN allk k ON b.fp = k.fp
+         |ORDER BY batch_doc""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.SnapshotLog
+      def fp60(norm: Column): Column =
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("long")
+      val base = Stage.sharedDir(s, "d31_admit", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        docs.select(fp60(DedupFns.normText(col("text"))).as("fp"), col("doc_id"))
+          .groupBy("fp").agg(min("doc_id").as("keeper"))
+          .createOrReplaceTempView("d31_corpus")
+        s.sql("CREATE TABLE graft.d31idx TBLPROPERTIES ('key'='fp') AS " +
+          "SELECT * FROM d31_corpus")
+        // two ingest waves as two feed files -> two micro-batches
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + BatchIdOffset).as("doc_id"),
+            fp60(DedupFns.normText(col("text"))).as("fp"))
+          .coalesce(1).write.parquet(s"$out/feed/w1")
+        docs.where(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2 * BatchIdOffset).as("doc_id"),
+            fp60(DedupFns.normText(concat(col("text"), lit(" fresh!")))).as("fp"))
+          .coalesce(1).write.parquet(s"$out/feed/w2")
+        val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType)))
+        val q = graft.streaming.CurationStreams.admitByName(
+          s.readStream.schema(feedSchema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(s"$out/feed"),
+          "graft.d31idx", "d31-admit", s"$out/outcomes")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ()
+      }
+      s.read.parquet(s"$base/outcomes/epoch=*")
+        .select(col("doc_id").as("batch_doc"), col("status"), col("keeper"))
+        .orderBy("batch_doc")
     }
   )
 

@@ -795,6 +795,139 @@ object MigrationQueries {
       s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
               |       item_target, file_source, file_target
               |FROM graft.m24t ORDER BY id""".stripMargin)
+    },
+
+    // Native streaming READ of a catalog table (m25): `spark.readStream
+    // .table("graft.m25t")` — the DSv2 MICRO_BATCH_READ path
+    // ([[graft.streaming.SnapshotMicroBatchStream]]), the missing half of
+    // m24's by-name streaming surface: offsets are log versions, the
+    // first batch bootstraps with the earliest version's content, later
+    // batches deliver each version range's appended rows (file-diff
+    // bounded — manifest text plus the new files, never a table rescan).
+    // Half the share table arrives via CTAS (v0), the other half as a
+    // keyed INSERT (v1); the stream drains into a parquet fold whose
+    // union must hash-equal the oracle's from-scratch share recompute —
+    // a dropped bootstrap row, a doubled version or a phantom image
+    // breaks it. Restart/replay/change-commit/vacuum-gap semantics are
+    // SnapshotMicroBatchReadSpec's.
+    Q("m25_streaming_read",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source, file_target
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m25_streamread", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m25_shares")
+        s.sql("CREATE TABLE graft.m25t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m25_shares WHERE id % 2 = 0")
+        s.sql("INSERT INTO graft.m25t SELECT * FROM m25_shares WHERE id % 2 = 1")
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      // fresh checkpoint + accumulator per run: the stream replays the
+      // full feed and folds it batch-by-batch (eagerly — the staged
+      // micro-batch deltas are reclaimed as each batch commits)
+      val scratch = java.nio.file.Files.createTempDirectory("m25").toString
+      val acc = s"$scratch/acc"
+      val q = s.readStream.table("graft.m25t")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(acc)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(acc)
+        .select("id", "share_type", "uid_owner", "item_type", "item_source",
+          "item_target", "file_source", "file_target")
+        .orderBy("id")
+    },
+
+    // Column RENAME + DROP as metadata-only DDL (m26): CTAS the share
+    // table, `ALTER TABLE ... RENAME COLUMN file_target TO target_path`
+    // (one manifest write — pre-rename files keep their bytes and read
+    // through the physmap chain, [[graft.operators.SnapshotLog
+    // .renameColumn]]), a SQL UPDATE whose copy-on-write rewrite MIXES
+    // eras (its footprint files are pre-rename, the rewritten ones
+    // post-rename), then `DROP COLUMN item_source` (schema narrowed,
+    // name tombstoned against resurrection). The oracle recomputes the
+    // same final state relationally under the NEW column name, so a
+    // single nulled-out pre-rename value or a resurrected dropped value
+    // breaks the hash. Guard shapes (key/partition renames, tombstone
+    // blocks, retire-on-OPTIMIZE, CDC across the rename) are
+    // SchemaRenameDropSpec's.
+    Q("m26_rename_drop_column",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_target,
+         |       file_source,
+         |       CASE WHEN id % 13 = 0 THEN file_target || '.r'
+         |            ELSE file_target END AS target_path
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m26_rename", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m26_shares")
+        s.sql("CREATE TABLE graft.m26t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m26_shares")
+        s.sql("ALTER TABLE graft.m26t RENAME COLUMN file_target TO target_path")
+        s.sql("UPDATE graft.m26t SET target_path = concat(target_path, '.r') " +
+          "WHERE id % 13 = 0").collect()
+        s.sql("ALTER TABLE graft.m26t DROP COLUMN item_source")
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_target,
+              |       file_source, target_path
+              |FROM graft.m26t ORDER BY id""".stripMargin)
+    },
+
+    // UPDATE SET c = NULL (m27): the partial-update changeset reads a
+    // null value as "keep base", so explicit NULL assignment rides the
+    // [[graft.operators.Merge.SetNullCol]] sidecar — per-row column names
+    // the UPDATE assigned whose value evaluated null — giving SQL UPDATE
+    // exact standard semantics. Every 7th share's item_target is nulled
+    // (a COMPUTED null: nullif exercises the runtime path, not a folded
+    // literal); the oracle recomputes with CASE, so a "kept" value that
+    // should have been nulled — or a nulled neighbor column — breaks the
+    // hash. Literal/typed/mixed-assignment shapes are SqlDmlSpec's.
+    Q("m27_update_set_null",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       CASE WHEN id % 7 = 0 THEN NULL ELSE item_target END AS item_target,
+         |       file_source, file_target
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m27_setnull", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m27_shares")
+        s.sql("CREATE TABLE graft.m27t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m27_shares")
+        s.sql("UPDATE graft.m27t SET item_target = nullif(item_target, item_target) " +
+          "WHERE id % 7 = 0").collect()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target
+              |FROM graft.m27t ORDER BY id""".stripMargin)
     }
   )
 

@@ -80,7 +80,8 @@ final class SnapshotFileIndex(
     resolve: (String, String) => Boolean,
     partSchema: StructType = StructType(Nil),
     partValues: Map[String, InternalRow] = Map.empty,
-    bloom: Option[SnapshotFileIndex.BloomProbe] = None) extends FileIndex {
+    bloom: Option[SnapshotFileIndex.BloomProbe] = None,
+    bucketLayout: Option[SnapshotFileIndex.BucketProbe] = None) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(table)
 
@@ -125,10 +126,42 @@ final class SnapshotFileIndex(
     }.collectFirst { case Some(hs) => hs }
   }
 
+  /** Bucket directories a conjunct's point predicate on the bucketed
+    * column pins — the LAYOUT analogue of [[pointHashes]], exact rather
+    * than probabilistic, and type-gated the same way (the write side
+    * hashed the column's own type).
+    */
+  private def pointBuckets(dataFilters: Seq[Expression]): Option[Set[Int]] = {
+    val p = bucketLayout.getOrElse(return None)
+    def isCol(e: Expression): Boolean = e match {
+      case a: Attribute => resolve(a.name, p.col)
+      case _            => false
+    }
+    def bucketOfLit(l: Expression): Option[Int] = l match {
+      case lit @ Literal(v, t) if v != null && t == p.colType =>
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit))
+          .eval(InternalRow.empty).asInstanceOf[Long]
+        val m = h % p.n
+        Some((if (m < 0) m + p.n else m).toInt)
+      case _ => None
+    }
+    dataFilters.iterator.map {
+      case EqualTo(a, l) if isCol(a)       => bucketOfLit(l).map(Set(_))
+      case EqualTo(l, a) if isCol(a)       => bucketOfLit(l).map(Set(_))
+      case EqualNullSafe(a, l) if isCol(a) => bucketOfLit(l).map(Set(_))
+      case EqualNullSafe(l, a) if isCol(a) => bucketOfLit(l).map(Set(_))
+      case In(a, vs) if isCol(a) && vs.nonEmpty =>
+        val bs = vs.flatMap(bucketOfLit)
+        if (bs.length == vs.length) Some(bs.toSet) else None
+      case _ => None
+    }.collectFirst { case Some(bs) => bs }
+  }
+
   /** Files surviving the data filters — the skipping decision: stamp
-    * verdicts first (intervals + null counts), then per-file Bloom
-    * verdicts for point predicates on the key (the hash-key path where
-    * intervals cannot help).
+    * verdicts first (intervals + null counts), then hash-bucket
+    * directory pruning (exact, from layout), then per-file Bloom
+    * verdicts for point predicates on the key — the two hash-key paths
+    * where intervals cannot help.
     */
   def prunedFiles(dataFilters: Seq[Expression]): Seq[(String, FileStatus)] = {
     val base = files.filter { case (name, _) =>
@@ -139,15 +172,24 @@ final class SnapshotFileIndex(
         case _ => true
       }
     }
+    val bucketed = pointBuckets(dataFilters) match {
+      case Some(bs) =>
+        base.filter { case (name, _) =>
+          // a file without a bucket directory (pre-bucket history) is
+          // always a candidate — pruning stays conservative
+          bucketLayout.get.bucketOf.get(name).forall(bs.contains)
+        }
+      case _ => base
+    }
     pointHashes(dataFilters) match {
       case Some(hs) if hs.nonEmpty =>
-        base.filter { case (name, _) =>
+        bucketed.filter { case (name, _) =>
           loadedBlooms.get(name) match {
             case Some(bf) => hs.exists(bf.mightContainLong)
             case None     => true // not covered by any sidecar: candidate
           }
         }
-      case _ => base
+      case _ => bucketed
     }
   }
 
@@ -174,14 +216,23 @@ final class SnapshotFileIndex(
     if (partitionFilters.isEmpty) dirs
     else {
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Predicate}
-      val bound = Predicate.createInterpreted(
-        partitionFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            val i = partSchema.fields.indexWhere(f => resolve(f.name, a.name))
-            require(i >= 0, s"partition filter references non-partition column ${a.name}")
-            BoundReference(i, partSchema.fields(i).dataType, nullable = true)
-        })
-      dirs.filter(d => bound.eval(d.values))
+      // a filter referencing an attribute that doesn't resolve against
+      // the partition schema (e.g. a metadata column Spark routes here)
+      // is SKIPPED, never thrown on: pruning must only ever be
+      // conservative — the dropped filter still runs row-level
+      val bindable = partitionFilters.filter(f =>
+        f.references.forall(a =>
+          partSchema.fields.exists(x => resolve(x.name, a.name))))
+      if (bindable.isEmpty) dirs
+      else {
+        val bound = Predicate.createInterpreted(
+          bindable.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partSchema.fields.indexWhere(f => resolve(f.name, a.name))
+              BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+          })
+        dirs.filter(d => bound.eval(d.values))
+      }
     }
   }
 }
@@ -199,6 +250,17 @@ object SnapshotFileIndex {
   final case class BloomProbe(keyCol: String,
       keyType: org.apache.spark.sql.types.DataType,
       load: () => Map[String, org.apache.spark.util.sketch.BloomFilter])
+
+  /** Hash-bucket layout spec for EXACT directory pruning of point
+    * predicates on the bucketed column: `bucketOf` maps each manifest
+    * name to its directory's bucket (absent = flat file, never pruned);
+    * the probe recomputes `pmod(xxhash64(literal), n)` — the write-side
+    * function — at planning time. `colType` gates hash compatibility
+    * exactly like [[BloomProbe.keyType]].
+    */
+  final case class BucketProbe(col: String,
+      colType: org.apache.spark.sql.types.DataType, n: Int,
+      bucketOf: Map[String, Int])
 
   /** Tri-state evaluation of `e` against one file's stamps: Some(true) =
     * TRUE for EVERY row of the file, Some(false) = TRUE for NO row (the
@@ -444,12 +506,14 @@ object SnapshotFileIndex {
       schema: StructType,
       partCols: Seq[String] = Nil,
       partValues: Map[String, InternalRow] = Map.empty,
-      bloom: Option[BloomProbe] = None): DataFrame = {
+      bloom: Option[BloomProbe] = None,
+      bucketLayout: Option[BucketProbe] = None): DataFrame = {
     val resolver: (String, String) => Boolean =
       spark.sessionState.conf.resolver
     val partSchema = StructType(partCols.map(c => schema(c)).toArray)
     val index = new SnapshotFileIndex(table, files, stamps, resolver,
-      nullable(partSchema).asInstanceOf[StructType], partValues, bloom)
+      nullable(partSchema).asInstanceOf[StructType], partValues, bloom,
+      bucketLayout)
     val dataSchema = StructType(
       schema.fields.filterNot(f => partCols.exists(resolver(_, f.name))))
     val relation = HadoopFsRelation(

@@ -232,24 +232,40 @@ object Stamps {
       rows ++ cols
     }
 
-  /** Parse manifest meta lines (# stripped) back to per-file stamps. */
+  /** Parse manifest meta lines (# stripped) back to per-file stamps.
+    * Stamps are ADVISORY: a malformed or truncated line (hand-edited
+    * manifest, future format drift) is silently dropped — the file just
+    * loses that stamp and degrades to never-skipped, exactly how
+    * unstamped files already behave — rather than failing every read of
+    * the version.
+    */
   def parse(meta: Seq[String]): Map[String, FileStamp] = {
-    val rows = meta.collect {
+    val rows = meta.flatMap {
       case m if m.startsWith(RowsPrefix) =>
         val body = m.stripPrefix(RowsPrefix)
         val i = body.lastIndexOf(':')
-        body.substring(0, i) -> body.substring(i + 1).toLong
+        if (i <= 0) None
+        else body.substring(i + 1).toLongOption.map(body.substring(0, i) -> _)
+      case _ => None
     }.toMap
-    val cols = meta.collect {
+    val cols = meta.flatMap {
       case m if m.startsWith(CStatsPrefix) =>
-        val Array(name, col, kind, lo, hi, n) =
-          m.stripPrefix(CStatsPrefix).split(":", 6)
-        val iv: Option[Iv] =
-          if (lo == "-" || hi == "-") None
-          else if (kind == "s") Some(StrIv(unb64(lo), unb64(hi)))
-          else Some(LongIv(lo.toLong, hi.toLong))
-        val nulls = if (n == "-") None else Some(n.toLong)
-        (name, col, ColStamp(iv, nulls))
+        m.stripPrefix(CStatsPrefix).split(":", 6) match {
+          case Array(name, col, kind, lo, hi, n) =>
+            try {
+              val iv: Option[Iv] =
+                if (lo == "-" || hi == "-") None
+                else if (kind == "s") Some(StrIv(unb64(lo), unb64(hi)))
+                else Some(LongIv(lo.toLong, hi.toLong))
+              val nulls = if (n == "-") None else Some(n.toLong)
+              Some((name, col, ColStamp(iv, nulls)))
+            } catch {
+              case _: NumberFormatException | _: IllegalArgumentException =>
+                None // unparseable stamp: conservative drop
+            }
+          case _ => None
+        }
+      case _ => None
     }.groupBy(_._1).map { case (name, entries) =>
       name -> entries.map(e => e._2 -> e._3).toMap
     }

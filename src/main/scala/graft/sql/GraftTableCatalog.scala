@@ -144,13 +144,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val pcols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"only identity PARTITIONED BY columns are supported, got $t")
-      val refs = t.references
-      require(refs.length == 1 && refs.head.fieldNames.length == 1,
-        s"unsupported partition reference ${t.describe}")
-      refs.head.fieldNames.head
+    // identity column(s) OR one bucket(N, col) — the hash-layout lever
+    // for uniform keys; temporal transforms (days(ts), ...) stay
+    // rejected (the log's second-level lever is key clustering + Z-order)
+    val (pcols, bucket) = partitions.toSeq match {
+      case Seq(t) if t.name == "bucket" =>
+        val refs = t.references
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"unsupported bucket reference ${t.describe}")
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: ${t.describe}"))
+        (Nil, Some((refs.head.fieldNames.head, n)))
+      case ts => (ts.map { t =>
+        require(t.name == "identity",
+          s"only identity PARTITIONED BY columns and bucket(N, col) are " +
+            s"supported, got $t")
+        val refs = t.references
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"unsupported partition reference ${t.describe}")
+        refs.head.fieldNames.head
+      }, None)
     }
     val dir = tableDir(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident)
@@ -159,40 +176,65 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       s"table property key='$key' is not a column of ${schema.fieldNames.mkString(",")}")
     pcols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column $c is not a column of the schema"))
+    bucket.foreach { case (c, _) => require(schema.fieldNames.contains(c),
+      s"bucket column $c is not a column of the schema") }
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    SnapshotLog.init(spark, dir, empty, key, numFiles = 1, partitionBy = pcols)
+    SnapshotLog.init(spark, dir, empty, key, numFiles = 1,
+      partitionBy = pcols, bucketBy = bucket)
     GraftSnapshotTable(catalogName, ident, dir, pinned = None)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMNS (...)` — a metadata-only commit
-    * ([[SnapshotLog.addColumns]]): same file set under a wider stamped
-    * schema, old files reading the new columns as null. Everything else
-    * (drop / rename / type change / property change) is rejected loudly:
-    * read-through resolves parquet columns by name, so a drop-then-readd
-    * would resurrect dropped physical values (the hazard Delta's
-    * column-mapping ids exist for); renames and type changes would need
-    * the same ids. MERGE WITH SCHEMA EVOLUTION remains the DML-side way
-    * a table widens.
+  /** `ALTER TABLE graft.t ADD COLUMNS / RENAME COLUMN / DROP COLUMN` —
+    * all METADATA-ONLY commits:
+    *
+    *  - ADD ([[SnapshotLog.addColumns]]): same file set under a wider
+    *    stamped schema, old files reading the new columns as null.
+    *  - RENAME ([[SnapshotLog.renameColumn]]): schema renamed, the old
+    *    name recorded as a physical-name chain the read path coalesces
+    *    through (pre-rename files keep their bytes); the table key and
+    *    partition columns cannot be renamed.
+    *  - DROP ([[SnapshotLog.dropColumn]]): schema narrowed, the name (and
+    *    its rename chain) tombstoned against re-introduction until a full
+    *    rewrite retires the old physical values — the id-free answer to
+    *    the resurrection hazard Delta's column-mapping ids exist for.
+    *
+    * Type changes / property changes stay rejected (a retype would
+    * misread old physical values). MERGE WITH SCHEMA EVOLUTION remains
+    * the DML-side way a table widens.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!exists(dir)) throw new NoSuchTableException(ident)
-    val added = changes.map {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"nested column adds are not supported: ${add.fieldNames.mkString(".")}")
-        require(add.isNullable,
-          s"ADD COLUMNS ${add.fieldNames.head}: new columns must be nullable " +
-            "(existing rows have no value for them)")
-        StructField(add.fieldNames.head, add.dataType, nullable = true)
+    changes.toList match {
+      case (r: TableChange.RenameColumn) :: Nil =>
+        require(r.fieldNames.length == 1,
+          s"nested column renames are not supported: ${r.fieldNames.mkString(".")}")
+        SnapshotLog.renameColumn(spark, dir, r.fieldNames.head, r.newName)
+      case ds if ds.nonEmpty && ds.forall(_.isInstanceOf[TableChange.DeleteColumn]) =>
+        ds.foreach { case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
+          SnapshotLog.dropColumn(spark, dir, d.fieldNames.head)
+        }
+      case as if as.nonEmpty && as.forall(_.isInstanceOf[TableChange.AddColumn]) =>
+        val added = as.map { case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"nested column adds are not supported: ${add.fieldNames.mkString(".")}")
+          require(add.isNullable,
+            s"ADD COLUMNS ${add.fieldNames.head}: new columns must be nullable " +
+              "(existing rows have no value for them)")
+          StructField(add.fieldNames.head, add.dataType, nullable = true)
+        }
+        SnapshotLog.addColumns(spark, dir, added)
       case other =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE on snapshot tables supports ADD COLUMNS only, got " +
-            s"${other.getClass.getSimpleName}: drops/renames/retypes would " +
-            "resurrect or misread old physical columns (no column-mapping ids)")
+          s"ALTER TABLE on snapshot tables supports ADD COLUMNS, RENAME " +
+            s"COLUMN and DROP COLUMN, got " +
+            other.map(_.getClass.getSimpleName).mkString(",") +
+            ": type changes would misread old physical columns " +
+            "(no column-mapping ids)")
     }
-    SnapshotLog.addColumns(spark, dir, added)
     GraftSnapshotTable(catalogName, ident, dir, pinned = None)
   }
 
@@ -316,13 +358,20 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   *    full-replacement commit ([[SnapshotLog.overwrite]]) — prior
   *    versions stay time-travel-readable until vacuumed.
   *
-  * Reads carry NO capability on purpose: [[GraftCatalogRelations]]
+  *  - [[TableCapability.MICRO_BATCH_READ]]: `spark.readStream.table`
+  *    tails the table's commit feed — offsets are log versions, each
+  *    micro-batch delivers the appended rows of its version range
+  *    ([[graft.streaming.SnapshotMicroBatchStream]]; update/delete
+  *    commits fail loudly unless `skipChangeCommits=true`).
+  *
+  * BATCH reads carry NO capability on purpose: [[GraftCatalogRelations]]
   * replaces the relation with the version's parquet scan during
   * resolution, so the scan path is Spark's own (pushdown, pruning,
   * delete-vector mask as an anti-join) rather than a connector loop.
   */
 final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
-    dir: String, pinned: Option[Long]) extends Table with SupportsWrite {
+    dir: String, pinned: Option[Long])
+    extends Table with SupportsWrite with SupportsRead {
 
   override def name(): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
@@ -342,10 +391,16 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
 
   val key: String = SnapshotLog.tableKey(SparkSession.active, dir, snapshotVersion)
 
-  override def partitioning(): Array[Transform] =
-    SnapshotLog.partitionCols(SparkSession.active, dir, snapshotVersion)
+  override def partitioning(): Array[Transform] = {
+    val spark = SparkSession.active
+    val identity = SnapshotLog.partitionCols(spark, dir, snapshotVersion)
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+    val bucket = SnapshotLog.partitionBucket(spark, dir, snapshotVersion)
+      .map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      }
+    (identity ++ bucket).toArray
+  }
 
   override lazy val schema: StructType = {
     val spark = SparkSession.active
@@ -366,7 +421,33 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.STREAMING_WRITE)
+    s.add(TableCapability.MICRO_BATCH_READ)
     s
+  }
+
+  /** The streaming read path ([[TableCapability.MICRO_BATCH_READ]]).
+    * Batch SELECTs never reach this — [[GraftCatalogRelations]] swaps the
+    * relation at resolution — so the scan built here only ever serves
+    * `readStream`. The schema is frozen at scan build (structured
+    * streaming's contract); a time-travel-pinned table cannot stream (a
+    * pin is one version, a stream is the feed of versions).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(pinned.isEmpty,
+      s"cannot stream ${name()} pinned at VERSION AS OF ${pinned.get}: " +
+        "a time-travel pin is one version, a stream is the version feed")
+    val skipChanges = options.getBoolean("skipChangeCommits", false)
+    val frozenSchema = schema
+    val tableKey = key
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = frozenSchema
+      override def description(): String = s"graft-snapshot-stream ${name()}"
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new graft.streaming.SnapshotMicroBatchStream(dir, tableKey,
+          frozenSchema, checkpointLocation, skipChanges)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

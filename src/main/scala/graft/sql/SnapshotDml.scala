@@ -40,8 +40,11 @@ import graft.operators.{Merge, SnapshotCommit, SnapshotLog}
   *
   * Semantics inherit [[Merge.apply]]'s MERGE contract, with the limits
   * stated loudly rather than silently diverging:
-  *  - matched UPDATE is PARTIAL: unassigned columns keep base values;
-  *    `SET c = NULL` is rejected (null means "keep" in the changeset);
+  *  - matched UPDATE is exact SQL: unassigned columns keep base values,
+  *    and an ASSIGNED column always overwrites — `SET c = NULL` (literal
+  *    or computed) writes NULL via the [[Merge.SetNullCol]] sidecar.
+  *    MERGE INTO's UPDATE actions keep the null-means-keep changeset
+  *    contract (the m09-pinned partial-update semantic);
   *  - MATCHED / NOT MATCHED conditions and assignment values may
   *    reference the SOURCE row only (the standard streaming-upsert
   *    shape); a target-column reference is rejected loudly;
@@ -564,27 +567,33 @@ object SnapshotDml {
       val (dir, _, key, schema, aliased) = tableState(s, target, alias)
       val assigned = assigns.toMap
       if (assigned.contains(key)) fail(s"UPDATE must not assign the key column $key")
-      assigned.foreach { case (c, v) =>
+      assigned.foreach { case (c, _) =>
         if (!schema.fieldNames.contains(c)) fail(s"UPDATE SET unknown column $c")
-        // statically-null guard AFTER folding: a bare NULL literal, a
-        // CAST(NULL AS t), or any other resolved foldable expression that
-        // evaluates to null is the same silent no-op hazard — all of them
-        // would flow into the changeset as "keep base value"
-        if (v.resolved && v.foldable &&
-            v.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == null)
-          fail(s"UPDATE SET $c = NULL is not supported (null means 'keep " +
-            "base' in the partial-update changeset); DELETE + re-INSERT instead")
       }
       val payload = schema.fieldNames.filterNot(_ == key).toSeq
+      // `SET c = NULL` (literal or computed): a null changeset value means
+      // "keep base" in the partial-update contract, so EXPLICIT assignment
+      // is carried per row in the [[Merge.SetNullCol]] sidecar — column
+      // names this row assigned whose value evaluated null — giving
+      // UPDATE exact SQL semantics (an assigned column always overwrites)
+      val setNull: Expression = org.apache.spark.sql.catalyst.expressions
+        .CreateArray(assigned.keys.toSeq.sorted.map { c =>
+          org.apache.spark.sql.catalyst.expressions.If(
+            org.apache.spark.sql.catalyst.expressions.IsNull(
+              Cast(assigned(c), schema(c).dataType)),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(c),
+              org.apache.spark.sql.types.StringType),
+            Literal.create(null, org.apache.spark.sql.types.StringType))
+        })
       val projections: Seq[NamedExpression] =
-        Alias(Literal(Merge.OpUpdate), "op")() +:
+        (Alias(Literal(Merge.OpUpdate), "op")() +:
           Alias(UnresolvedAttribute.quoted(key), key)() +:
           payload.map { c =>
             val value = assigned.get(c)
               .map(v => Cast(v, schema(c).dataType))
               .getOrElse(nullOf(schema, c))
             Alias(value, c)()
-          }
+          }) :+ Alias(setNull, Merge.SetNullCol)()
       val filtered = condition.fold(aliased)(c => Filter(c, aliased))
       val cs = ofRows(s, Project(projections, filtered))
       finish(s, target, SnapshotLog.merge(s, dir, cs, key))

@@ -116,4 +116,56 @@ object CurationStreams {
       .groupByKey(_.fp)
       .transformWithState(new KeeperProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Resolve a `graft.ns.t` identifier to its snapshot-table directory
+    * through the registered catalog — admission by NAME, not by path.
+    */
+  private def tableDirOf(spark: SparkSession, table: String): String = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val catalog = spark.sessionState.catalogManager.catalog(parts.head)
+    require(catalog.isInstanceOf[graft.sql.GraftTableCatalog],
+      s"${parts.head} is not a graft snapshot catalog")
+    catalog.asInstanceOf[graft.sql.GraftTableCatalog].tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.dropRight(1).toArray, parts.last))
+  }
+
+  /** Streaming dedup ADMISSION against a catalog-NAMED fingerprint index
+    * — d29's MERGE-as-admission driven by a stream, the composition of
+    * the by-name streaming surface with the dedup family. Each
+    * micro-batch of (doc_id, fp) rows folds to one keeper candidate per
+    * fingerprint and commits insert-if-absent into the index under the
+    * manifest txn-stamp protocol ([[SnapshotStreams.applyEpoch]] —
+    * exactly-once across checkpoint restarts, version races re-planned);
+    * the per-doc outcome — `admitted`, or `duplicate` with its keeper —
+    * is then (re)written to `outcomeDir/epoch=<id>` from a join against
+    * the post-commit index. The outcome write is DETERMINISTIC and
+    * epoch-keyed (overwrite), so a crash-replayed epoch recomputes
+    * byte-identical outcomes whether or not its merge had committed:
+    * keepers are immutable once admitted (later epochs only ever add
+    * NEW fingerprints), which is what makes the two-sink shape
+    * (index + outcomes) safe without a second ledger.
+    */
+  def admitByName(docs: DataFrame, indexTable: String, streamId: String,
+      outcomeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Merge, SnapshotLog}
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val s = batch.sparkSession
+        val dir = tableDirOf(s, indexTable)
+        val cs = batch.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+          .select(lit(Merge.OpInsert).as("op"), col("fp"), col("keeper"))
+        SnapshotLog.commitWithRetry() {
+          SnapshotStreams.applyEpoch(s, dir, cs, epochId, streamId, "fp")
+        }
+        batch.join(SnapshotLog.readLatest(s, dir), Seq("fp"))
+          .select(col("doc_id"),
+            when(col("keeper") === col("doc_id"), lit("admitted"))
+              .otherwise(lit("duplicate")).as("status"),
+            col("keeper"))
+          .write.mode("overwrite").parquet(s"$outcomeDir/epoch=$epochId")
+        ()
+      }
+  }
 }

@@ -87,7 +87,17 @@ final class SnapshotStreamingWrite(dir: String, key: String,
       }
     } finally {
       val hconf = s.sparkContext.hadoopConfiguration
-      scratches.foreach(p => p.getFileSystem(hconf).delete(p, true))
+      scratches.foreach { p =>
+        val hfs = p.getFileSystem(hconf)
+        hfs.delete(p, true)
+        // the epoch dirs' outer .stage-stream-* scratch, once drained
+        val outer = p.getParent
+        try {
+          if (outer != null && outer.getName.startsWith(".stage-stream-") &&
+              hfs.exists(outer) && hfs.listStatus(outer).isEmpty)
+            hfs.delete(outer, true)
+        } catch { case _: java.io.IOException => () } // racing epoch: keep
+      }
     }
   }
 
@@ -116,7 +126,11 @@ private[streaming] final class SnapshotEpochWriterFactory(
 
       private def ensureOpen(): Unit = if (writer == null) {
         val hconf = CatalystBridge.confOf(conf)
-        path = new Path(scratchDir,
+        // epoch-keyed subdirectory: commit(epochId) reclaims the staged
+        // files' PARENT, so overlapping epochs (Trigger.Continuous keeps
+        // one factory for the whole query) must never share one — epoch
+        // N's commit must not delete epoch N+1's in-flight files
+        path = new Path(new Path(scratchDir, s"epoch-$epochId"),
           f"part-$partitionId%05d-$taskId-$epochId${factory.getFileExtension(
             new TaskAttemptContextImpl(hconf,
               new TaskAttemptID("graft-stream", 0, TaskType.MAP, partitionId, 0)))}")

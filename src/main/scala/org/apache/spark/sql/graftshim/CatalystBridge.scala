@@ -36,4 +36,37 @@ object CatalystBridge {
 
   def confOf(sc: org.apache.spark.util.SerializableConfiguration)
       : org.apache.hadoop.conf.Configuration = sc.value
+
+  /** Driver-built, executor-serializable parquet row reader over one
+    * schema — the READ-side mirror of [[graft.streaming.SnapshotStreamingWrite]]'s
+    * `prepareWrite` use: Spark's own [[org.apache.spark.sql.execution
+    * .datasources.parquet.ParquetFileFormat]] reader (predicate/row-group
+    * machinery included), forced to the row-iterator shape
+    * (`OPTION_RETURNING_BATCH=false`) so a DSv2 [[org.apache.spark.sql
+    * .connector.read.PartitionReader]] can serve the rows directly.
+    * Built once per scan on the driver (it broadcasts the hadoop conf);
+    * the returned function is what ships to executors.
+    */
+  def parquetRowReader(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.FileFormat
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      classic, schema, new org.apache.spark.sql.types.StructType(), schema,
+      Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      classic.sessionState.newHadoopConfWithOptions(Map.empty))
+  }
+
+  /** A whole-file [[org.apache.spark.sql.execution.datasources
+    * .PartitionedFile]] (no partition values, no split) for feeding
+    * [[parquetRowReader]] from a DSv2 input partition.
+    */
+  def wholeFile(path: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path), 0L, length)
 }

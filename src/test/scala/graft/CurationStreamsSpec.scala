@@ -130,4 +130,58 @@ class CurationStreamsSpec extends SparkTestBase {
         s"$src: streamed ${streamed.get(src)} != batch p02 ($nAdmitted, $sumToks)")
     }
   }
+
+  test("admitByName: epochs admit insert-if-absent into the NAMED index " +
+    "exactly once; a replayed epoch skips the merge and recomputes " +
+    "identical outcomes") {
+    import graft.operators.SnapshotLog
+    import graft.streaming.{CurationStreams, SnapshotStreams}
+    val w = java.nio.file.Files.createTempDirectory("admitbyname").toString
+    spark.conf.set("spark.graft.catalog.location", w)
+    import spark.implicits._
+    Seq((100L, 1L), (101L, 2L)).toDF("fp", "keeper")
+      .createOrReplaceTempView("abn_corpus")
+    spark.sql("CREATE TABLE graft.abnidx TBLPROPERTIES ('key'='fp') AS " +
+      "SELECT * FROM abn_corpus")
+    val dir = s"$w/abnidx"
+    val v0 = SnapshotLog.latestVersion(spark, dir)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val out = s"$w/outcomes"
+    val q = CurationStreams.admitByName(
+      ms.toDF().toDF("doc_id", "fp"), "graft.abnidx", "abn-test", out)
+      .option("checkpointLocation", s"$w/ckpt")
+      .start()
+    try {
+      // epoch 0: one duplicate of the corpus (fp=100), one fresh pair on
+      // fp=500 (min doc wins), one fresh singleton
+      ms.addData((10L, 100L), (11L, 500L), (12L, 500L), (13L, 600L))
+      q.processAllAvailable()
+      // epoch 1: late twin of fp=500 — its keeper was fixed in epoch 0
+      ms.addData((5L, 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val outcomes = spark.read.parquet(s"$out/epoch=*")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(outcomes == Set(
+      (10L, "duplicate", 1L),   // corpus keeper wins
+      (11L, "admitted", 11L),   // min of the epoch's pair
+      (12L, "duplicate", 11L),
+      (13L, "admitted", 13L),
+      (5L, "duplicate", 11L)    // late twin: epoch-0 keeper is immutable
+    ), s"outcomes: $outcomes")
+
+    // exactly-once: one committed version per epoch, txn-stamped
+    val vLatest = SnapshotLog.latestVersion(spark, dir)
+    assert(vLatest == v0 + 2, s"one commit per epoch: $v0 -> $vLatest")
+    // a REPLAYED epoch (same stream id, old epoch id) must skip
+    val replay = Seq((99L, 700L)).toDF("doc_id", "fp")
+      .selectExpr("'insert' AS op", "fp", "doc_id AS keeper")
+    assert(SnapshotStreams.applyEpoch(spark, dir, replay, 1L, "abn-test",
+      "fp").isEmpty, "replayed epoch must skip, never double-apply")
+    assert(SnapshotLog.latestVersion(spark, dir) == vLatest)
+    spark.sql("DROP TABLE IF EXISTS graft.abnidx")
+  }
 }

@@ -225,9 +225,11 @@ class GraftCatalogSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM graft.a VERSION AS OF 1").columns.toSeq ==
       Seq("id", "x"))
 
-    // rejected shapes fail loudly, not silently
-    intercept[Exception](spark.sql("ALTER TABLE graft.a DROP COLUMN x"))
-    intercept[Exception](spark.sql("ALTER TABLE graft.a RENAME COLUMN x TO y"))
+    // rejected shapes fail loudly, not silently (RENAME/DROP COLUMN are
+    // supported metadata-only ops since round 15 — SchemaRenameDropSpec —
+    // so the rejections left here are retypes and duplicate adds)
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.a ALTER COLUMN x TYPE BIGINT"))
     intercept[Exception](spark.sql("ALTER TABLE graft.a ADD COLUMNS (quota BIGINT)"))
   }
 }

@@ -48,6 +48,47 @@ class SnapshotLogSpec extends SparkTestBase {
     csUpd.unionByName(csDel).unionByName(csIns)
   }
 
+  test("latest-version pointer: commits refresh _log/_latest; a stale, " +
+    "missing or corrupt hint falls back to the listing") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("hint").toString + "/t"
+    SnapshotLog.init(spark, dir,
+      spark.range(0, 10).selectExpr("id", "id AS x"), "id", 1)
+    SnapshotLog.deleteKeys(spark, dir,
+      spark.range(0, 1).selectExpr("id"), "id")
+    val hint = new Path(s"$dir/_log/_latest")
+    val hfs = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.exists(hint), "every commit must refresh the pointer")
+    assert(SnapshotLog.latestVersion(spark, dir) == 1L)
+
+    // STALE hint (points below a committed successor): read-verify
+    // detects the successor and falls back to the listing
+    val out = hfs.create(hint, true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    assert(SnapshotLog.latestVersion(spark, dir) == 1L,
+      "a stale hint must never hide a committed version")
+
+    // CORRUPT hint: fallback, not failure
+    val out2 = hfs.create(hint, true)
+    out2.write("not-a-number".getBytes("UTF-8")); out2.close()
+    assert(SnapshotLog.latestVersion(spark, dir) == 1L)
+
+    // MISSING hint (foreign tool removed it): fallback, and the next
+    // commit re-creates it
+    hfs.delete(hint, false)
+    assert(SnapshotLog.latestVersion(spark, dir) == 1L)
+    SnapshotLog.deleteKeys(spark, dir,
+      spark.range(1, 2).selectExpr("id"), "id")
+    assert(hfs.exists(hint))
+    assert(SnapshotLog.latestVersion(spark, dir) == 2L)
+
+    // hint AHEAD of reality (crashed writer wrote it for a manifest that
+    // never landed — not our ordering, but a foreign tool's): fallback
+    val out3 = hfs.create(hint, true)
+    out3.write("99".getBytes("UTF-8")); out3.close()
+    assert(SnapshotLog.latestVersion(spark, dir) == 2L)
+  }
+
   test("time travel: v0 stays readable after the merge; versions share untouched files") {
     val dir = Files.createTempDirectory("graft_snap").toString + "/t"
     val b = base

@@ -340,21 +340,38 @@ class SqlDmlSpec extends SparkTestBase {
     assert(r.getString(7).contains("\"id\""))
   }
 
+  test("UPDATE SET c = NULL writes NULL (the __set_null sidecar), " +
+    "literal, typed and computed; unassigned columns still keep base") {
+    val dir = freshTable("dml_setnull")
+    SnapshotDml.register(spark, "dml_setnull", dir)
+    // literal NULL
+    spark.sql("UPDATE dml_setnull SET path = NULL WHERE id = 1").collect()
+    // typed NULL
+    spark.sql("UPDATE dml_setnull SET path = CAST(NULL AS STRING) " +
+      "WHERE id = 2").collect()
+    // computed-to-null, plus a non-null assignment in the SAME statement
+    spark.sql("UPDATE dml_setnull SET path = nullif(owner, owner), x = 777 " +
+      "WHERE id = 3").collect()
+    val got = snap(dir).where(col("id") <= 4).orderBy("id")
+      .select("id", "owner", "x", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, "u1", 10L, null),   // literal NULL wrote NULL, x kept
+      (2L, "u2", 20L, null),   // typed NULL wrote NULL
+      (3L, "u0", 777L, null),  // computed NULL wrote NULL, x overwritten
+      (4L, "u1", 40L, "/p/4")  // untouched row
+    ), s"SET NULL semantics: $got")
+    // a computed value that happens to be non-null still overwrites
+    spark.sql("UPDATE dml_setnull SET path = concat(owner, '!') " +
+      "WHERE id = 4").collect()
+    assert(snap(dir).where(col("id") === 4).head().getString(3) == "u1!")
+  }
+
   test("guard rails reject what the changeset semantics cannot honor") {
     val dir = freshTable("dml_guard")
     SnapshotDml.register(spark, "dml_guard", dir)
-    // SET c = NULL: null means 'keep base' in the partial changeset
-    val e1 = intercept[IllegalArgumentException] {
-      spark.sql("UPDATE dml_guard SET path = NULL WHERE id = 1")
-    }
-    assert(e1.getMessage.contains("NULL"))
-    // ...including a TYPED null: the guard folds constants, so
-    // CAST(NULL AS STRING) is rejected the same way, never silently
-    // becoming "keep base value"
-    val e1b = intercept[IllegalArgumentException] {
-      spark.sql("UPDATE dml_guard SET path = CAST(NULL AS STRING) WHERE id = 1")
-    }
-    assert(e1b.getMessage.contains("NULL"))
     // assigning the key column
     val e2 = intercept[IllegalArgumentException] {
       spark.sql("UPDATE dml_guard SET id = 99 WHERE id = 1")
