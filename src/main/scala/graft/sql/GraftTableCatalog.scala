@@ -438,6 +438,7 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
       s"cannot stream ${name()} pinned at VERSION AS OF ${pinned.get}: " +
         "a time-travel pin is one version, a stream is the version feed")
     val skipChanges = options.getBoolean("skipChangeCommits", false)
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
     val frozenSchema = schema
     val tableKey = key
     () => new org.apache.spark.sql.connector.read.Scan {
@@ -446,7 +447,7 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
         new graft.streaming.SnapshotMicroBatchStream(dir, tableKey,
-          frozenSchema, checkpointLocation, skipChanges)
+          frozenSchema, checkpointLocation, skipChanges, maxVersions)
     }
   }
 

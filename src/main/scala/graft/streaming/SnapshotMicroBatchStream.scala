@@ -66,8 +66,11 @@ object VersionOffset {
   */
 final class SnapshotMicroBatchStream(dir: String, key: String,
     streamSchema: StructType, checkpointLocation: String,
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  maxVersionsPerTrigger.foreach(k =>
+    require(k >= 1, s"maxVersionsPerTrigger must be >= 1, got $k"))
 
   private def spark = SparkSession.active
   private val scratchRoot = new Path(checkpointLocation, "graft-delta")
@@ -88,9 +91,26 @@ final class SnapshotMicroBatchStream(dir: String, key: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this")
 
+  /** Admission control: the batch never advances past the AvailableNow
+    * snapshot, and `maxVersionsPerTrigger` caps how many versions one
+    * micro-batch composes (bounding each batch's delta materialization —
+    * a stream catching up on a long backlog then paces itself instead of
+    * folding the whole history into one giant batch). The initial batch
+    * counts its bootstrap as one version.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val live = SnapshotLog.latestVersion(spark, dir)
-    VersionOffset(availableNowBound.fold(live)(math.min(live, _)))
+    val bound = availableNowBound.fold(live)(math.min(live, _))
+    val from = start.asInstanceOf[VersionOffset].version
+    VersionOffset(maxVersionsPerTrigger.fold(bound) { k =>
+      // the initial batch's bootstrap (the earliest SURVIVING version)
+      // counts as one version — stepping from -1 blindly would hand a
+      // vacuumed-prefix table an offset below its earliest survivor
+      val stepped =
+        if (from < 0L) SnapshotLog.versions(spark, dir).head + (k - 1L)
+        else from + k
+      math.min(bound, stepped)
+    })
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -184,6 +184,35 @@ class SnapshotMicroBatchReadSpec extends SparkTestBase {
     assert(e.getMessage.contains("pinned"))
   }
 
+  test("maxVersionsPerTrigger paces catch-up: one version per batch, " +
+    "results identical to the unpaced stream") {
+    freshWarehouse("mbr")
+    spark.sql("CREATE TABLE graft.mbr6 (id BIGINT) TBLPROPERTIES ('key'='id')")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.mbr6 VALUES ($i)").collect())
+    // versions now: 0 (empty init) + 4 inserts
+    val ckpt = Files.createTempDirectory("mbr-ckpt").toString
+    val out = Files.createTempDirectory("mbr-out").toString + "/acc"
+    var batches = 0
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft.mbr6")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(out)
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches >= 5,
+      s"pacing must split the 5-version backlog into >=5 batches, got $batches")
+    val rows = collected(out).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == (0L until 4L), s"paced union != table: $rows")
+  }
+
   test("batch commit cleanup: committed ranges' staged deltas are reclaimed") {
     freshWarehouse("mbr")
     spark.sql("CREATE TABLE graft.mbr5 (id BIGINT) TBLPROPERTIES ('key'='id')")
