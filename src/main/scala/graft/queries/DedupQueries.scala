@@ -2292,8 +2292,13 @@ object DedupQueries {
         docs.select(fp60(DedupFns.normText(col("text"))).as("fp"), col("doc_id"))
           .groupBy("fp").agg(min("doc_id").as("keeper"))
           .createOrReplaceTempView("d31_corpus")
-        s.sql("CREATE TABLE graft.d31idx TBLPROPERTIES ('key'='fp') AS " +
-          "SELECT * FROM d31_corpus")
+        // the index is HASH-BUCKETED on fp — the d29-shape composition:
+        // fingerprints are uniform, so range stamps cannot prune the
+        // admission probes, but the bucket(8, fp) layout scopes every
+        // epoch's insert-if-absent planning (and any point probe) to the
+        // changeset fingerprints' bucket directories
+        s.sql("CREATE TABLE graft.d31idx PARTITIONED BY (bucket(8, fp)) " +
+          "TBLPROPERTIES ('key'='fp') AS SELECT * FROM d31_corpus")
         // two ingest waves as two feed files -> two micro-batches
         docs.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + BatchIdOffset).as("doc_id"),

@@ -477,7 +477,13 @@ object SnapshotDml {
       AttributeReference("schema_json", org.apache.spark.sql.types.StringType)(),
       AttributeReference("view_asof_base_version", LongType)(),
       AttributeReference("base_latest_version", LongType)(),
-      AttributeReference("staleness_versions", LongType)())
+      AttributeReference("staleness_versions", LongType)(),
+      // layout: "pcol,..." identity tree / "bucket(N, col)" hash tree,
+      // null = flat key-clustered; evolution: the live rename chains and
+      // drop tombstones ("renamed:b<-a;dropped:x"), null = none pending
+      // (records retire at the next full rewrite)
+      AttributeReference("layout", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("evolution", org.apache.spark.sql.types.StringType)())
     override def run(s: SparkSession): Seq[Row] = {
       val dir = target.dir
       val v = SnapshotLog.latestVersion(s, dir)
@@ -501,6 +507,22 @@ object SnapshotDml {
       }
       val schema = SnapshotLog.tableSchema(s, dir, v)
       val lag = graft.operators.MaterializedView.staleness(s, dir)
+      val layout = {
+        val pcols = SnapshotLog.partitionCols(s, dir, v)
+        val bucket = SnapshotLog.partitionBucket(s, dir, v)
+        if (pcols.nonEmpty) pcols.mkString(",")
+        else bucket.map { case (c, n) => s"bucket($n, $c)" }.orNull
+      }
+      val evolution = {
+        val pm = SnapshotLog.physMap(s, dir, v)
+        val dropped = SnapshotLog.droppedNames(s, dir, v)
+        val parts =
+          pm.toSeq.sortBy(_._1).map { case (l, olds) =>
+            s"renamed:$l<-${olds.mkString("<-")}"
+          } ++ (if (dropped.isEmpty) Nil
+                else Seq(s"dropped:${dropped.toSeq.sorted.mkString(",")}"))
+        if (parts.isEmpty) null else parts.mkString(";")
+      }
       Seq(Row(dir, SnapshotLog.tableKey(s, dir, v), v,
         SnapshotLog.commitTimeMs(s, dir, v)
           .map(ms => new java.sql.Timestamp(ms)).orNull,
@@ -508,7 +530,8 @@ object SnapshotDml {
         bytes, schema.map(_.json).orNull,
         lag.map(_._1).map(Long.box).orNull,
         lag.map(_._2).map(Long.box).orNull,
-        lag.map(_._3).map(Long.box).orNull))
+        lag.map(_._3).map(Long.box).orNull,
+        layout, evolution))
     }
   }
 

@@ -159,7 +159,14 @@ object CurationStreams {
         SnapshotLog.commitWithRetry() {
           SnapshotStreams.applyEpoch(s, dir, cs, epochId, streamId, "fp")
         }
-        batch.join(SnapshotLog.readLatest(s, dir), Seq("fp"))
+        // outcome via the PRUNED point lookup, not a full index scan: the
+        // epoch's fingerprints open only their range/bucket/Bloom
+        // footprint of the index — per-epoch cost stays batch-sized on a
+        // 100 TB index
+        val v = SnapshotLog.latestVersion(s, dir)
+        batch.join(
+          SnapshotLog.lookupKeys(s, dir, v, batch.select("fp").distinct()),
+          Seq("fp"))
           .select(col("doc_id"),
             when(col("keeper") === col("doc_id"), lit("admitted"))
               .otherwise(lit("duplicate")).as("status"),

@@ -213,6 +213,32 @@ class SnapshotMicroBatchReadSpec extends SparkTestBase {
     assert(rows == (0L until 4L), s"paced union != table: $rows")
   }
 
+  test("streaming reads compose with the layout levers: partitioned and " +
+    "hash-bucketed tables stream their appended rows unchanged") {
+    freshWarehouse("mbr")
+    spark.sql("CREATE TABLE graft.mbr7p (id BIGINT, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graft.mbr7p VALUES (1, 0), (2, 1)").collect()
+    spark.sql("INSERT INTO graft.mbr7p VALUES (3, 0)").collect()
+    val outP = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr7p", outP,
+      Files.createTempDirectory("mbr-ckpt").toString)
+    assert(collected(outP).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (2L, 1), (3L, 0)), "partitioned table stream")
+
+    spark.sql("CREATE TABLE graft.mbr7b (id BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('key'='id')")
+    spark.range(0, 40).selectExpr("id", "id AS x")
+      .createOrReplaceTempView("mbr7b_in")
+    spark.sql("INSERT INTO graft.mbr7b SELECT * FROM mbr7b_in")
+    val outB = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr7b", outB,
+      Files.createTempDirectory("mbr-ckpt").toString)
+    assert(collected(outB).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == (0L until 40L), "bucketed table stream")
+  }
+
   test("batch commit cleanup: committed ranges' staged deltas are reclaimed") {
     freshWarehouse("mbr")
     spark.sql("CREATE TABLE graft.mbr5 (id BIGINT) TBLPROPERTIES ('key'='id')")

@@ -338,6 +338,32 @@ class SqlDmlSpec extends SparkTestBase {
     assert(r.getLong(5) == 1L) // one delete vector
     assert(r.getLong(6) > 0L)
     assert(r.getString(7).contains("\"id\""))
+    // flat, un-evolved table: layout + evolution null
+    assert(r.isNullAt(11) && r.isNullAt(12))
+  }
+
+  test("DESCRIBE DETAIL surfaces layout and pending evolution records") {
+    import spark.implicits._
+    // bucketed layout
+    val bDir = Files.createTempDirectory("graft_detb").toString + "/t"
+    SnapshotLog.init(spark, bDir,
+      (1L to 20L).map(i => (i, i)).toDF("id", "x"), "id", numFiles = 2,
+      bucketBy = Some(("id", 4)))
+    SnapshotDml.register(spark, "det_bkt", bDir)
+    val rb = spark.sql("DESCRIBE DETAIL det_bkt").head()
+    assert(rb.getString(11) == "bucket(4, id)", rb.getString(11))
+
+    // rename chain + drop tombstone until a full rewrite retires them
+    val eDir = Files.createTempDirectory("graft_dete").toString + "/t"
+    SnapshotLog.init(spark, eDir,
+      (1L to 20L).map(i => (i, i, i)).toDF("id", "a", "z"), "id", numFiles = 2)
+    SnapshotLog.renameColumn(spark, eDir, "a", "b")
+    SnapshotLog.dropColumn(spark, eDir, "z")
+    SnapshotDml.register(spark, "det_evo", eDir)
+    val re = spark.sql("DESCRIBE DETAIL det_evo").head()
+    assert(re.getString(12) == "renamed:b<-a;dropped:z", re.getString(12))
+    SnapshotLog.compact(spark, eDir, numFiles = 1) // full rewrite retires
+    assert(spark.sql("DESCRIBE DETAIL det_evo").head().isNullAt(12))
   }
 
   test("UPDATE SET c = NULL writes NULL (the __set_null sidecar), " +
