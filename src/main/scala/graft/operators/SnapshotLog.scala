@@ -1391,7 +1391,7 @@ object SnapshotLog {
     val names = manifest(spark, tableDir, v)
     val intervals = stampedIntervals(spark, tableDir, v)
     val resolver = spark.sessionState.conf.resolver
-    val (hit, carried) = names.partition { n =>
+    val (stampHit, stampCarried) = names.partition { n =>
       intervals.get(n) match {
         case Some(fsStamp) if fsStamp.nonEmpty =>
           !graft.sources.SnapshotFileIndex.evalOnStamps(pred, fsStamp, resolver)
@@ -1399,6 +1399,24 @@ object SnapshotLog {
         case _ => true // unstamped: might match — rewrite (and gain stamps)
       }
     }
+    // hash-bucket layout: a point predicate on the bucketed column scopes
+    // the footprint to its bucket directories — the same exact pruning
+    // the read-side FileIndex runs, at the write side, where range stamps
+    // are structurally blind on a uniform hash key
+    val bucketSkipped = partitionBucket(spark, tableDir, v) match {
+      case Some((c, n)) =>
+        val colType = tableSchema(spark, tableDir, v)
+          .flatMap(s => s.fields.find(f => resolver(f.name, c)).map(_.dataType))
+        colType.flatMap(t => graft.sources.SnapshotFileIndex.pointBuckets(
+          Seq(pred), c, t, n, resolver)) match {
+          case Some(bs) =>
+            stampHit.filterNot(nm => bucketOfName(nm).forall(bs.contains)).toSet
+          case None => Set.empty[String]
+        }
+      case None => Set.empty[String]
+    }
+    val hit = stampHit.filterNot(bucketSkipped)
+    val carried = stampCarried ++ stampHit.filter(bucketSkipped)
     if (hit.isEmpty)
       return SnapshotCommit(v, CowMergeReport(names.size, 0, names.size, 0))
     val hfs = fs(spark, table)

@@ -126,35 +126,9 @@ final class SnapshotFileIndex(
     }.collectFirst { case Some(hs) => hs }
   }
 
-  /** Bucket directories a conjunct's point predicate on the bucketed
-    * column pins — the LAYOUT analogue of [[pointHashes]], exact rather
-    * than probabilistic, and type-gated the same way (the write side
-    * hashed the column's own type).
-    */
   private def pointBuckets(dataFilters: Seq[Expression]): Option[Set[Int]] = {
     val p = bucketLayout.getOrElse(return None)
-    def isCol(e: Expression): Boolean = e match {
-      case a: Attribute => resolve(a.name, p.col)
-      case _            => false
-    }
-    def bucketOfLit(l: Expression): Option[Int] = l match {
-      case lit @ Literal(v, t) if v != null && t == p.colType =>
-        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit))
-          .eval(InternalRow.empty).asInstanceOf[Long]
-        val m = h % p.n
-        Some((if (m < 0) m + p.n else m).toInt)
-      case _ => None
-    }
-    dataFilters.iterator.map {
-      case EqualTo(a, l) if isCol(a)       => bucketOfLit(l).map(Set(_))
-      case EqualTo(l, a) if isCol(a)       => bucketOfLit(l).map(Set(_))
-      case EqualNullSafe(a, l) if isCol(a) => bucketOfLit(l).map(Set(_))
-      case EqualNullSafe(l, a) if isCol(a) => bucketOfLit(l).map(Set(_))
-      case In(a, vs) if isCol(a) && vs.nonEmpty =>
-        val bs = vs.flatMap(bucketOfLit)
-        if (bs.length == vs.length) Some(bs.toSet) else None
-      case _ => None
-    }.collectFirst { case Some(bs) => bs }
+    SnapshotFileIndex.pointBuckets(dataFilters, p.col, p.colType, p.n, resolve)
   }
 
   /** Files surviving the data filters — the skipping decision: stamp
@@ -261,6 +235,63 @@ object SnapshotFileIndex {
   final case class BucketProbe(col: String,
       colType: org.apache.spark.sql.types.DataType, n: Int,
       bucketOf: Map[String, Int])
+
+  /** Bucket directories a point predicate on the bucketed column pins —
+    * the LAYOUT analogue of the Bloom probe, exact rather than
+    * probabilistic. Shared by the read-side FileIndex and the write-side
+    * footprint selection ([[graft.operators.SnapshotLog.compactWhere]]),
+    * so `filters` may arrive as un-split conjunct trees (parsed
+    * predicates) — conjunctions are split here. Hashing MUST run over
+    * the column's own type (xxhash64 is type-sensitive): a literal of a
+    * narrower integral type is retyped when the value converts
+    * losslessly, anything else refuses to prune.
+    */
+  private[graft] def pointBuckets(filters: Seq[Expression], colName: String,
+      colType: org.apache.spark.sql.types.DataType, n: Int,
+      resolve: (String, String) => Boolean): Option[Set[Int]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x         => Seq(x)
+    }
+    def isCol(e: Expression): Boolean = e match {
+      case a: Attribute => resolve(a.name, colName)
+      case _            => false
+    }
+    def retyped(l: Expression): Option[Literal] = l match {
+      case lit @ Literal(v, t) if v != null =>
+        if (t == colType) Some(lit)
+        else (t, colType) match { // lossless integral widening only
+          case (IntegerType, LongType) =>
+            Some(Literal(v.asInstanceOf[Int].toLong, LongType))
+          case (ShortType, LongType) =>
+            Some(Literal(v.asInstanceOf[Short].toLong, LongType))
+          case (ByteType, LongType) =>
+            Some(Literal(v.asInstanceOf[Byte].toLong, LongType))
+          case (ShortType, IntegerType) =>
+            Some(Literal(v.asInstanceOf[Short].toInt, IntegerType))
+          case (ByteType, IntegerType) =>
+            Some(Literal(v.asInstanceOf[Byte].toInt, IntegerType))
+          case _ => None
+        }
+      case _ => None
+    }
+    def bucketOfLit(l: Expression): Option[Int] = retyped(l).map { lit =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit))
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      val m = h % n
+      (if (m < 0) m + n else m).toInt
+    }
+    filters.flatMap(split).iterator.map {
+      case EqualTo(a, l) if isCol(a)       => bucketOfLit(l).map(Set(_))
+      case EqualTo(l, a) if isCol(a)       => bucketOfLit(l).map(Set(_))
+      case EqualNullSafe(a, l) if isCol(a) => bucketOfLit(l).map(Set(_))
+      case EqualNullSafe(l, a) if isCol(a) => bucketOfLit(l).map(Set(_))
+      case In(a, vs) if isCol(a) && vs.nonEmpty =>
+        val bs = vs.flatMap(bucketOfLit)
+        if (bs.length == vs.length) Some(bs.toSet) else None
+      case _ => None
+    }.collectFirst { case Some(bs) => bs }
+  }
 
   /** Tri-state evaluation of `e` against one file's stamps: Some(true) =
     * TRUE for EVERY row of the file, Some(false) = TRUE for NO row (the

@@ -371,14 +371,35 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   */
 final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
     dir: String, pinned: Option[Long])
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead with TruncatableTable {
+
+  /** `TRUNCATE TABLE graft.t` — a full-replacement commit with an empty
+    * row set: schema, key, layout and HISTORY survive (prior versions
+    * stay time-travel readable until vacuumed — truncation is an
+    * ordinary undoable commit, not a directory wipe).
+    */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty,
+      s"cannot truncate ${name()} pinned at VERSION AS OF ${pinned.get}")
+    val s = SparkSession.active
+    SnapshotLog.overwrite(s, dir,
+      SnapshotLog.readLatest(s, dir).where(
+        org.apache.spark.sql.functions.lit(false)),
+      key, numFiles = 1)
+    true
+  }
 
   override def name(): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
 
   /** The version this table object reads: the pin, or latest AT LOAD TIME
     * (resolved once per loadTable so one query's plan is one version —
-    * the snapshot-isolation read every lakehouse layer gives).
+    * the snapshot-isolation read every lakehouse layer gives). Resolution
+    * uses `SparkSession.active` at CONSTRUCTION: sound under Spark's
+    * session-per-planner model (the catalog builds a fresh table object
+    * per loadTable on the planning session's thread), and deliberately
+    * NOT re-resolved later even though the object outlives the call — a
+    * version pinned at load is the whole point.
     */
   val snapshotVersion: Long = {
     val spark = SparkSession.active

@@ -154,6 +154,29 @@ class BucketedSnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE WHERE with a point predicate on the bucketed column " +
+    "rewrites only that bucket's footprint — including retyped literals") {
+    val dir = freshDir("optw")
+    SnapshotLog.init(spark, dir,
+      spark.range(0, 400).selectExpr("id", "id AS x"), "id", numFiles = 8,
+      bucketBy = Some(("id", 8)))
+    val nFiles = SnapshotLog.manifest(spark, dir, 0L).size
+    // parsed predicate: the literal parses as INT, the column is LONG —
+    // the probe retypes losslessly and still prunes
+    val pred = spark.sessionState.sqlParser.parseExpression("id = 7")
+    val c = SnapshotLog.compactWhere(spark, dir, pred,
+      targetBytes = Long.MaxValue)
+    assert(c.report.nRewritten < nFiles && c.report.nRewritten >= 1,
+      s"bucket scope must bound OPTIMIZE WHERE: ${c.report} of $nFiles")
+    assert(SnapshotLog.readLatest(spark, dir).count() == 400)
+    // a predicate the layout cannot scope (range) stays conservative
+    val c2 = SnapshotLog.compactWhere(spark, dir,
+      spark.sessionState.sqlParser.parseExpression("id < 1000000"),
+      targetBytes = Long.MaxValue)
+    assert(c2.report.nRewritten >= 1)
+    assert(SnapshotLog.readLatest(spark, dir).count() == 400)
+  }
+
   test("identity + bucket cannot combine; bucket count must be positive") {
     val dir = freshDir("guards")
     val df = spark.range(0, 10).selectExpr("id", "id AS x", "id % 2 AS p")

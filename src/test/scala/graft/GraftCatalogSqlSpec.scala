@@ -232,4 +232,24 @@ class GraftCatalogSqlSpec extends SparkTestBase {
       spark.sql("ALTER TABLE graft.a ALTER COLUMN x TYPE BIGINT"))
     intercept[Exception](spark.sql("ALTER TABLE graft.a ADD COLUMNS (quota BIGINT)"))
   }
+
+  test("TRUNCATE TABLE empties the live version as an ordinary commit; " +
+    "history stays time-travel readable") {
+    val w = java.nio.file.Files.createTempDirectory("trunc").toString
+    spark.conf.set("spark.graft.catalog.location", w)
+    spark.sql("CREATE TABLE graft.tr (id BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graft.tr VALUES (1, 10), (2, 20)").collect()
+    val vBefore = graft.operators.SnapshotLog.latestVersion(spark, s"$w/tr")
+    spark.sql("TRUNCATE TABLE graft.tr").collect()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tr").head().getLong(0) == 0L)
+    assert(spark.table("graft.tr").columns.toSeq == Seq("id", "x"),
+      "truncate must keep the schema")
+    // the pre-truncate version is still readable, and inserts work after
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.tr VERSION AS OF $vBefore")
+      .head().getLong(0) == 2L)
+    spark.sql("INSERT INTO graft.tr VALUES (3, 30)").collect()
+    assert(spark.sql("SELECT x FROM graft.tr").head().getLong(0) == 30L)
+    spark.sql("DROP TABLE IF EXISTS graft.tr")
+  }
 }

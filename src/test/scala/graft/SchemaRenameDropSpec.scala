@@ -155,6 +155,21 @@ class SchemaRenameDropSpec extends SparkTestBase {
     assert(msgs(e2).contains("partition column"))
   }
 
+  test("merge-driven schema evolution cannot resurrect a tombstoned name") {
+    val w = freshWarehouse()
+    spark.range(0, 6).selectExpr("id", "id AS doomed")
+      .createOrReplaceTempView("rc7_in")
+    spark.sql("CREATE TABLE graft.rc7 TBLPROPERTIES ('key'='id') AS " +
+      "SELECT * FROM rc7_in")
+    spark.sql("ALTER TABLE graft.rc7 DROP COLUMN doomed")
+    val cs = spark.range(100, 101)
+      .selectExpr("'insert' AS op", "id", "id AS doomed")
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.merge(spark, s"$w/rc7", cs, "id"))
+    assert(e.getMessage.contains("previously dropped or renamed away"),
+      e.getMessage)
+  }
+
   test("CDC across a rename reports before-images under the current name; " +
     "restore carries the evolution records") {
     val w = freshWarehouse()
