@@ -23,6 +23,9 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftNative.registrations.foreach(ext.injectFunction)
+    // the SQL CDC surface: table_changes('t', v1[, v2]) as a real TVF,
+    // composable inside arbitrary queries — see [[graft.sql.TableChanges]]
+    ext.injectTableFunction(graft.sql.TableChanges.registration)
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(session, delegate))
     // plan reads of graft-catalog snapshot tables as their version's

@@ -70,6 +70,14 @@ object Merge {
     * into `base`.
     */
   def apply(base: DataFrame, cs: DataFrame, key: String): DataFrame = {
+    // the sidecar is recognized by NAME in the changeset — a base table
+    // that legitimately owned a '__set_null' column would have its
+    // updates silently corrupted (the column read as the null-override
+    // list) and be excluded from schema evolution; reject it loudly
+    require(!base.columns.contains(SetNullCol),
+      s"base table has a column named '$SetNullCol' — that name is " +
+        "reserved for the UPDATE SET-NULL sidecar and cannot be a " +
+        "payload column")
     val payload = base.columns.filterNot(_ == key).toSeq
     require(cs.columns.contains("op") && cs.columns.contains(key),
       s"changeset needs 'op' and '$key' columns, has ${cs.columns.mkString(",")}")

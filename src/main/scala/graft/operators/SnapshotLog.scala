@@ -298,6 +298,164 @@ object SnapshotLog {
       v: Long): Seq[String] =
     evolutionMeta(physMap(spark, tableDir, v), droppedNames(spark, tableDir, v))
 
+  // ---- WRITE-TIME CONSTRAINTS (CHECK / NOT NULL) ---------------------
+  //
+  // The reference's defining sink behavior is a VALIDATED write
+  // (main.go:232-238 asserts rows-affected after every upsert);
+  // table-level constraints generalize that theme: a CHECK expression
+  // stamped into the manifest chain, enforced on every commit's WRITTEN
+  // rows — violations abort the commit with the offending row count,
+  // before any manifest lands. NOT NULL rides the same machinery as a
+  // `col IS NOT NULL` check (SQL CHECK semantics make that exact: a
+  // violation is the expression evaluating to FALSE, and
+  // `NULL IS NOT NULL` IS false — whereas for any other check a NULL
+  // result passes, per the standard).
+  //
+  // Scale shape: the constraint set is CARRIED manifest metadata (like
+  // the schema stamp) — resolution is one metadata read, never a replay
+  // of the version chain; enforcement is one aggregate over the rows a
+  // commit is already writing (the CoW footprint / the changeset), never
+  // a table scan. The only full-table validation is the one ADD
+  // CONSTRAINT itself runs, once, at add time — Delta's rule.
+
+  /** Carried meta line: `constraint=<name>:<check expr sql>` (names are
+    * stamp-safe identifiers; the first ':' splits; exprs are single-line
+    * SQL text re-parsed by the session at enforcement time).
+    */
+  private val ConstraintPrefix = "constraint="
+
+  /** The CHECK constraints stamped on version `v`, in add order. */
+  def constraintsOf(spark: SparkSession, tableDir: String,
+      v: Long): Seq[(String, String)] =
+    manifestMeta(spark, tableDir, v).collect {
+      case m if m.startsWith(ConstraintPrefix) =>
+        val body = m.stripPrefix(ConstraintPrefix)
+        val i = body.indexOf(':')
+        (body.substring(0, i), body.substring(i + 1))
+    }
+
+  private def constraintMeta(cons: Seq[(String, String)]): Seq[String] =
+    cons.map { case (n, e) => s"$ConstraintPrefix$n:$e" }
+
+  /** The constraint stamps version `v`'s successor re-emits — EVERY
+    * successor: unlike evolution records, constraints never retire on a
+    * full rewrite (they describe the table's contract, not its files).
+    */
+  private def carriedConstraints(spark: SparkSession, tableDir: String,
+      v: Long): Seq[String] =
+    constraintMeta(constraintsOf(spark, tableDir, v))
+
+  /** Abort unless every row of `df` (the rows a commit is about to
+    * write) satisfies every stamped constraint — ONE aggregate pass
+    * computing all violation counts together, run only when constraints
+    * exist. The error carries per-constraint counts: the validated-write
+    * contract, generalized.
+    */
+  private def enforceConstraints(spark: SparkSession, tableDir: String,
+      v: Long, df: DataFrame, what: String): Unit = {
+    val cons = constraintsOf(spark, tableDir, v)
+    if (cons.nonEmpty) {
+      val counts = df.agg(
+        sum(when(expr(cons.head._2) <=> lit(false), 1L).otherwise(0L))
+          .as(cons.head._1),
+        cons.tail.map { case (n, e) =>
+          sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)).as(n) }: _*)
+        .collect().head
+      val violated = cons.zipWithIndex.flatMap { case ((n, e), i) =>
+        val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        if (c > 0) Some(s"$n CHECK ($e): $c row(s)") else None
+      }
+      if (violated.nonEmpty) throw new IllegalStateException(
+        s"$what into $tableDir violates table constraint(s) " +
+          s"${violated.mkString("; ")} — commit aborted, no version " +
+          "was created")
+    }
+  }
+
+  /** The column names a constraint expression references (resolver-
+    * compared downstream) — parsed, never regexed.
+    */
+  private def constraintRefs(spark: SparkSession, exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (expr)`: validates the
+    * expression analyzes to BOOLEAN over the live schema, validates
+    * EXISTING rows (the one full scan, at add time), then commits the
+    * stamp metadata-only — same files, constraint carried by every
+    * successor.
+    */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+      exprSql: String): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val cur = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be a plain identifier, got '$name'")
+    require(!exprSql.contains('\n') && !exprSql.contains('\r'),
+      "constraint expression must be single-line (it is stamped as one " +
+        "manifest meta line)")
+    val existing = constraintsOf(spark, tableDir, v)
+    require(!existing.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $tableDir (DROP CONSTRAINT " +
+        "first to replace it)")
+    val resolver = spark.sessionState.conf.resolver
+    constraintRefs(spark, exprSql).foreach(c =>
+      require(cur.fieldNames.exists(resolver(_, c)),
+        s"constraint $name references unknown column $c " +
+          s"(table columns: ${cur.fieldNames.mkString(", ")})"))
+    val snap = read(spark, tableDir, v)
+    val checked = snap.select(expr(exprSql).as("__check"))
+    require(checked.schema.head.dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"CHECK expression must be BOOLEAN, got " +
+        s"${checked.schema.head.dataType.simpleString}: $exprSql")
+    val bad = snap.where(expr(exprSql) <=> lit(false)).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"cannot add constraint $name CHECK ($exprSql) to $tableDir: " +
+        s"$bad existing row(s) violate it")
+    val names = manifest(spark, tableDir, v)
+    commit(spark, table, v + 1, names,
+      s"op=add-constraint $name" +: (metaOf(key, cur,
+        partitionCols(spark, tableDir, v), partitionBucket(spark, tableDir, v)) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true) ++
+        carriedEvolution(spark, tableDir, v) ++
+        constraintMeta(existing :+ (name -> exprSql))),
+      deletes(spark, tableDir, v))
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — metadata-only commit without
+    * the stamp.
+    */
+  def dropConstraint(spark: SparkSession, tableDir: String,
+      name: String): SnapshotCommit = {
+    val table = new Path(tableDir)
+    val v = latestVersion(spark, tableDir)
+    val key = tableKey(spark, tableDir, v)
+    val cur = tableSchema(spark, tableDir, v)
+      .getOrElse(read(spark, tableDir, v).schema)
+    val existing = constraintsOf(spark, tableDir, v)
+    require(existing.exists(_._1.equalsIgnoreCase(name)),
+      s"no constraint $name on $tableDir (have: " +
+        s"${existing.map(_._1).mkString(", ")})")
+    val names = manifest(spark, tableDir, v)
+    commit(spark, table, v + 1, names,
+      s"op=drop-constraint $name" +: (metaOf(key, cur,
+        partitionCols(spark, tableDir, v), partitionBucket(spark, tableDir, v)) ++
+        rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
+        carriedStampLines(spark, tableDir, v, _ => true) ++
+        carriedEvolution(spark, tableDir, v) ++
+        constraintMeta(existing.filterNot(_._1.equalsIgnoreCase(name)))),
+      deletes(spark, tableDir, v))
+    SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
+  }
+
   /** Every name that may still exist physically in live files under a
     * meaning OTHER than its current logical one — blocked for ADD, for
     * RENAME targets and for merge-driven schema evolution.
@@ -725,6 +883,26 @@ object SnapshotLog {
     hit.map(_._1).max
   }
 
+  /** The EARLIEST retained version committed at or after `tsMillis` —
+    * [[versionAt]]'s streaming twin (`startingTimestamp` wants "changes
+    * from this instant onward", so it resolves forward where time travel
+    * resolves backward). Fails when every retained commit predates the
+    * timestamp: the caller asked to start in the future of the log.
+    */
+  def versionAtOrAfter(spark: SparkSession, tableDir: String,
+      tsMillis: Long): Long = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    val stamped = vs.flatMap(v => commitTimeMs(spark, tableDir, v).map(v -> _))
+    require(stamped.nonEmpty, s"no commit-time stamps under $tableDir — " +
+      "startingTimestamp needs manifests committed by stamp-aware code")
+    val hit = stamped.filter(_._2 >= tsMillis)
+    require(hit.nonEmpty, s"timestamp $tsMillis is after the latest " +
+      s"retained commit (${stamped.last._2}) of $tableDir — nothing to " +
+      "start from (commit newer versions first, or omit the option)")
+    hit.map(_._1).min
+  }
+
   /** One row per retained version — the DESCRIBE HISTORY surface:
     * (version, ts millis, operation, data files, delete-vector files,
     * range stamps, txn stamp). All from the manifest chain; no data file
@@ -1132,6 +1310,13 @@ object SnapshotLog {
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
     require(partitionBy.isEmpty || bucketBy.isEmpty,
       "identity PARTITIONED BY and bucket(N, col) cannot combine")
+    // '__set_null' is the UPDATE SET-NULL changeset sidecar, recognized
+    // by name ([[Merge.SetNullCol]]) — a table owning it as a payload
+    // column would have merges misread it; reject at birth, like the
+    // stamp-safety checks below
+    require(!df.columns.contains(Merge.SetNullCol),
+      s"column name ${Merge.SetNullCol} is reserved for the UPDATE " +
+        "SET-NULL changeset sidecar and cannot be a table column")
     partitionBy.foreach { c =>
       require(df.columns.contains(c), s"partition column $c is not a column")
       require(c != key, s"the table key $key cannot be a partition column")
@@ -1200,15 +1385,35 @@ object SnapshotLog {
     def bucketScope(candidates: Seq[String], keyDf: DataFrame): Seq[String] =
       pb match {
         case Some((c, n)) if c == key && candidates.nonEmpty =>
-          val buckets = keyDf.select(bucketExpr(key, n).as("b"))
+          // hash over the TABLE's stamped key type, never the changeset's
+          // own: xxhash64 is type-sensitive, and a changeset key arriving
+          // as a narrower integral (INT source keys coerced fine by the
+          // join/union paths) would compute wrong buckets and silently
+          // drop the truly-affected files from the CoW footprint — the
+          // same cast [[lookupKeys]] and the read-side probe apply
+          val keyType = baseSchema(key).dataType
+          val buckets = keyDf
+            .select(pmod(xxhash64(col(key).cast(keyType)), lit(n))
+              .cast("int").as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
           candidates.filter(f =>
             bucketOfName(relName(table, f)).forall(buckets.contains))
         case _ => candidates
       }
 
-    val updDel = cs.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
-    val ins = cs.where(col("op") === Merge.OpInsert)
+    // MATERIALIZE the changeset once: footprint planning, the masked-key
+    // probe, the admission check and the final write each evaluate it —
+    // unmaterialized, the source plan re-executes per action (4-6 jobs
+    // re-reading whatever feeds the merge: a JDBC scan, a parquet read,
+    // a view chain), and a NON-DETERMINISTIC source could even disagree
+    // between the planned footprint and the written rows. The changeset
+    // is the write BATCH (bounded), never the table — caching it is
+    // O(batch): the merge-source materialization every lakehouse merge
+    // implementation performs for the same two reasons.
+    val csM = cs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val updDel = csM.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
+    val ins = csM.where(col("op") === Merge.OpInsert)
     val insKeys = ins.select(col(key))
     // Re-inserting a MERGE-on-read-deleted key forces a scoped CoW of the
     // masked row's file(s): the new row must land while the old physical
@@ -1262,6 +1467,10 @@ object SnapshotLog {
       case (None, Some(i))    => Some(i)
       case (None, None)       => None
     }
+    // write-time constraints: validate the rows this merge WRITES (the
+    // CoW footprint + admitted inserts — never the whole table) before
+    // any file is staged
+    newData.foreach(df => enforceConstraints(spark, tableDir, v, df, "MERGE"))
     val pcols = partitionCols(spark, tableDir, v)
     val newNames = newData match {
       case Some(df) => stageFiles(spark, table, df, key,
@@ -1278,10 +1487,12 @@ object SnapshotLog {
         rangeMeta(table, carried ++ newCow) ++ newTyped ++
         carriedStampLines(spark, tableDir, v, untouchedSet) ++
         (if (untouchedNames.isEmpty) Nil  // full rewrite retires evolution
-         else carriedEvolution(spark, tableDir, v)),
+         else carriedEvolution(spark, tableDir, v)) ++
+        carriedConstraints(spark, tableDir, v),
       newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
+    } finally csM.unpersist(blocking = false)
   }
 
   /** Full-replacement commit (REPLACE TABLE AS ... / INSERT OVERWRITE):
@@ -1298,11 +1509,13 @@ object SnapshotLog {
     val before = manifest(spark, tableDir, v)
     val pcols = partitionCols(spark, tableDir, v)
     val pb = partitionBucket(spark, tableDir, v)
+    enforceConstraints(spark, tableDir, v, df, "INSERT OVERWRITE")
     val names = stageFiles(spark, table, df, key, numFiles, pcols, pb)
     val (cow, typed) = newFileStamps(spark, table, names, key, df.schema)
     commit(spark, table, v + 1, names,
       ("op=overwrite" +: meta) ++ metaOf(key, df.schema, pcols, pb) ++
-        rangeMeta(table, cow) ++ typed)
+        rangeMeta(table, cow) ++ typed ++
+        carriedConstraints(spark, tableDir, v))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, names.size))
   }
@@ -1336,7 +1549,8 @@ object SnapshotLog {
         partitionBucket(spark, tableDir, v)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
         carriedStampLines(spark, tableDir, v, _ => true) ++
-        carriedEvolution(spark, tableDir, v)),
+        carriedEvolution(spark, tableDir, v) ++
+        carriedConstraints(spark, tableDir, v)),
       newDel)
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1359,7 +1573,8 @@ object SnapshotLog {
     val (cow, typed) = newFileStamps(spark, table, newNames, key, data.schema)
     commit(spark, table, v + 1, newNames,
       "op=optimize" +: (metaOf(key, data.schema, pcols, pb) ++
-        rangeMeta(table, cow) ++ typed))
+        rangeMeta(table, cow) ++ typed ++
+        carriedConstraints(spark, tableDir, v)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -1443,7 +1658,8 @@ object SnapshotLog {
         rangeMeta(table, carriedStats ++ newCow) ++ newTyped ++
         carriedStampLines(spark, tableDir, v, carriedSet) ++
         (if (carried.isEmpty) Nil  // full rewrite retires evolution
-         else carriedEvolution(spark, tableDir, v))),
+         else carriedEvolution(spark, tableDir, v)) ++
+        carriedConstraints(spark, tableDir, v)),
       dels)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, hit.size, carried.size, newNames.size))
@@ -1500,7 +1716,7 @@ object SnapshotLog {
         }
       sch1 match {
         case Some(s) if renames.nonEmpty || pmEnd.nonEmpty || pmStart.nonEmpty =>
-          s.fieldNames.toSeq.map { f =>
+          val composed = s.fieldNames.toSeq.map { f =>
             var name = f
             val prior = scala.collection.mutable.ArrayBuffer.empty[String]
             renames.reverse.foreach { case (from, to) =>
@@ -1509,6 +1725,23 @@ object SnapshotLog {
             f -> (pmEnd.getOrElse(f, Seq.empty) ++ prior ++
               pmStart.getOrElse(name, Seq.empty)).distinct.filterNot(_ == f)
           }.filter(_._2.nonEmpty).toMap
+          // a chain entry that is ALSO a live v1 column means the window
+          // spans a retire (full rewrite) and a re-ADD of the same name:
+          // the era read cannot tell old physical values of the chain
+          // apart from the re-added column's own — eraSchema would even
+          // duplicate the field. No silent filter (before-images would
+          // quietly read null); fail with the fix.
+          val live = s.fieldNames.toSet
+          composed.foreach { case (f, chain) =>
+            chain.find(live.contains).foreach(c =>
+              throw new IllegalStateException(
+                s"CDC window ($v0, $v1] of $tableDir spans the retirement " +
+                  s"and re-introduction of column name '$c' (live at $v1 " +
+                  s"but also a prior physical name of '$f') — the era " +
+                  "read cannot disambiguate the two meanings; narrow the " +
+                  "window to end before the re-ADD (or start after it)"))
+          }
+          composed
         case _ => pmEnd
       }
     }
@@ -1578,6 +1811,15 @@ object SnapshotLog {
     * per-file ranges.
     */
   def compactZ(spark: SparkSession, tableDir: String, a: String, b: String,
+      numFiles: Int): SnapshotCommit =
+    compactZ(spark, tableDir, Seq(a, b), numFiles)
+
+  /** [[compactZ]] over k >= 2 dimensions ([[ZOrder.writeClusteredN]]) —
+    * the per-dimension bit budget shrinks as `62 / k` (grid coarsens,
+    * locality and correctness hold); typed cstats stamps cover every
+    * dimension, so scans filtered on ANY of the k columns skip files.
+    */
+  def compactZ(spark: SparkSession, tableDir: String, cols: Seq[String],
       numFiles: Int): SnapshotCommit = {
     val table = new Path(tableDir)
     val v = latestVersion(spark, tableDir)
@@ -1592,7 +1834,7 @@ object SnapshotLog {
     val before = manifest(spark, tableDir, v)
     val data = read(spark, tableDir, v)
     val newNames = stageWith(spark, table)(out =>
-      ZOrder.writeClustered(data, a, b, numFiles, out))
+      ZOrder.writeClusteredN(data, cols, numFiles, out))
     // key ranges of z-ordered files are curve-segmented (wider but
     // bounded) — stamped from the same one-time footer read. The typed
     // cstats stamps cover EVERY supported column, BOTH Morton dimensions
@@ -1602,7 +1844,8 @@ object SnapshotLog {
     val (cow, typed) = newFileStamps(spark, table, newNames, key, data.schema)
     commit(spark, table, v + 1, newNames,
       "op=optimize-zorder" +: (metaOf(key, data.schema) ++
-        rangeMeta(table, cow) ++ typed))
+        rangeMeta(table, cow) ++ typed ++
+        carriedConstraints(spark, tableDir, v)))
     SnapshotCommit(v + 1,
       CowMergeReport(before.size, before.size, 0, newNames.size))
   }
@@ -1702,6 +1945,20 @@ object SnapshotLog {
     val key = tableKey(spark, tableDir, toVersion)
     val schema = tableSchema(spark, tableDir, toVersion)
       .getOrElse(read(spark, tableDir, toVersion).schema)
+    // the LIVE constraint set rides the restore (see the carry below) —
+    // which is only coherent if the restored schema still resolves every
+    // expr; a restore past a rename/drop that a constraint references
+    // must say so, not poison every later write with an analysis error
+    locally {
+      val resolver = spark.sessionState.conf.resolver
+      constraintsOf(spark, tableDir, latest).foreach { case (n, e) =>
+        constraintRefs(spark, e).foreach(c =>
+          require(schema.fieldNames.exists(resolver(_, c)),
+            s"cannot RESTORE $tableDir to version $toVersion: live " +
+              s"constraint $n CHECK ($e) references column $c, which " +
+              s"that version's schema lacks — DROP CONSTRAINT $n first"))
+      }
+    }
     val names = manifest(spark, tableDir, toVersion)
     commit(spark, table, latest + 1, names,
       s"op=restore from=$toVersion" +: (
@@ -1709,7 +1966,12 @@ object SnapshotLog {
           partitionBucket(spark, tableDir, toVersion)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, toVersion, key)) ++
         carriedStampLines(spark, tableDir, toVersion, _ => true) ++
-        carriedEvolution(spark, tableDir, toVersion)),
+        carriedEvolution(spark, tableDir, toVersion) ++
+        // constraints are the table's CONTRACT, not its state: a restore
+        // rewinds the rows but keeps the LIVE constraint set (without
+        // revalidating the restored rows — the documented Delta-style
+        // asymmetry; ADD CONSTRAINT is the only full-table validation)
+        carriedConstraints(spark, tableDir, latest)),
       deletes(spark, tableDir, toVersion))
     SnapshotCommit(latest + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1745,6 +2007,9 @@ object SnapshotLog {
         s"new column ${f.name} must be nullable: existing rows have no value for it")
       require(!cur.fieldNames.exists(resolver(_, f.name)),
         s"column ${f.name} already exists")
+      require(f.name != Merge.SetNullCol,
+        s"column name ${Merge.SetNullCol} is reserved for the UPDATE " +
+          "SET-NULL changeset sidecar")
     }
     val blocked = blockedNames(physMap(spark, tableDir, v),
       droppedNames(spark, tableDir, v))
@@ -1760,7 +2025,8 @@ object SnapshotLog {
         partitionBucket(spark, tableDir, v)) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
         carriedStampLines(spark, tableDir, v, _ => true) ++
-        carriedEvolution(spark, tableDir, v)),
+        carriedEvolution(spark, tableDir, v) ++
+        carriedConstraints(spark, tableDir, v)),
       deletes(spark, tableDir, v))
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1830,6 +2096,9 @@ object SnapshotLog {
         "layout is keyed on it")
     require(!to.contains(',') && !to.contains(':') && !to.contains('/'),
       s"new column name not stamp-safe: '$to'")
+    require(to != Merge.SetNullCol,
+      s"column name ${Merge.SetNullCol} is reserved for the UPDATE " +
+        "SET-NULL changeset sidecar")
     val pm = physMap(spark, tableDir, v)
     val dropped = droppedNames(spark, tableDir, v)
     require(!blockedNames(pm, dropped).exists(resolver(_, to)),
@@ -1841,13 +2110,28 @@ object SnapshotLog {
     val newPm = (pm - fromExact).updated(to, chain)
     val next = StructType(cur.fields.map(f =>
       if (resolver(f.name, from)) f.copy(name = to) else f))
+    // constraints follow the rename: exprs referencing the old name are
+    // re-parsed, the attribute substituted, and the stamp re-emitted in
+    // THIS commit — the table's contract survives its columns' renames
+    val renamedCons = constraintsOf(spark, tableDir, v).map { case (n0, e) =>
+      // a NOT NULL ban tracks its column by NAME (notnull_<col>) so
+      // DROP NOT NULL keeps finding it after the rename
+      val n = if (n0.equalsIgnoreCase(s"notnull_$fromExact")) s"notnull_$to"
+              else n0
+      if (!constraintRefs(spark, e).exists(resolver(_, fromExact))) (n, e)
+      else (n, spark.sessionState.sqlParser.parseExpression(e).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && resolver(a.nameParts.head, fromExact) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(to)
+      }.sql)
+    }
     val names = manifest(spark, tableDir, v)
     commit(spark, table, v + 1, names,
       s"op=rename-column $fromExact:$to" +: (metaOf(key, next, pcols, pb) ++
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
         carriedStampLines(spark, tableDir, v, _ => true)
           .map(remapStampCol(_, fromExact, to)) ++
-        evolutionMeta(newPm, dropped)),
+        evolutionMeta(newPm, dropped) ++ constraintMeta(renamedCons)),
       deletes(spark, tableDir, v))
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }
@@ -1881,6 +2165,11 @@ object SnapshotLog {
     val pm = physMap(spark, tableDir, v)
     val dropped = droppedNames(spark, tableDir, v)
     val nameExact = cur.fieldNames.find(resolver(_, name)).get
+    constraintsOf(spark, tableDir, v).foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).exists(resolver(_, nameExact)),
+        s"cannot drop column $nameExact: constraint $n CHECK ($e) " +
+          s"references it — DROP CONSTRAINT $n first")
+    }
     val chain = nameExact +: pm.getOrElse(nameExact, Seq.empty)
     val deadSet = chain.toSet
     val next = StructType(cur.fields.filterNot(f => resolver(f.name, name)))
@@ -1890,7 +2179,8 @@ object SnapshotLog {
         rangeMeta(table, keyRangesOfVersion(spark, tableDir, v, key)) ++
         carriedStampLines(spark, tableDir, v, _ => true)
           .filterNot(l => stampColOf(l).exists(deadSet)) ++
-        evolutionMeta(pm - nameExact, dropped ++ deadSet)),
+        evolutionMeta(pm - nameExact, dropped ++ deadSet) ++
+        carriedConstraints(spark, tableDir, v)),
       deletes(spark, tableDir, v))
     SnapshotCommit(v + 1, CowMergeReport(names.size, 0, names.size, 0))
   }

@@ -28,12 +28,25 @@ object ZOrder {
     * negative domains normalize first (rank, offset, or scale); with 21
     * bits each the result fits a positive long.
     */
-  def zvalue(a: Column, b: Column, bits: Int = 21): Column = {
-    require(bits >= 1 && bits <= 21, "bits must be in [1, 21] for a positive long z-value")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  def zvalue(a: Column, b: Column, bits: Int = 21): Column =
+    zvalueN(Seq(a, b), bits)
+
+  /** k-D Morton code: bit `i` of dimension `j` lands at interleaved
+    * position `i*k + j` (dimension 0 owns the LOW bit of each group, so
+    * the 2-D case reproduces [[zvalue]] exactly). The product `k * bits`
+    * must stay below 63 for a positive long — on wide fact tables a
+    * 3-column interleave at the default 16 bits is routine (48 result
+    * bits); 21/2, 16/3, 12/5, 8/7 all fit.
+    */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 2, s"z-order needs at least 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"$k columns at $bits bits = ${k * bits} result bits — must stay " +
+        "<= 62 for a positive long z-value (lower the bit budget)")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Normalize `c` into [0, 2^bits) by linear min/max scaling — the
@@ -64,19 +77,36 @@ object ZOrder {
     * the helper columns at the edge.
     */
   def writeClustered(df: DataFrame, a: String, b: String, numFiles: Int,
+      path: String, bits: Int = 16): Unit =
+    writeClusteredN(df, Seq(a, b), numFiles, path, bits)
+
+  /** [[writeClustered]] over k >= 2 dimensions — one bounds broadcast for
+    * all dims, one interleave, one range-clustering shuffle regardless of
+    * k. The per-dimension bit budget shrinks with k (`k * bits <= 62`):
+    * callers keeping the default get 16 bits through k=3 and should pass
+    * a smaller budget beyond (the curve keeps its locality, the grid just
+    * coarsens — file-skip granularity, not correctness).
+    */
+  def writeClusteredN(df: DataFrame, cols: Seq[String], numFiles: Int,
       path: String, bits: Int = 16): Unit = {
+    val k = cols.length
+    val b = math.min(bits, 62 / k)
     val bounds = df.agg(
-      min(col(a)).as("__alo"), max(col(a)).as("__ahi"),
-      min(col(b)).as("__blo"), max(col(b)).as("__bhi"))
+      min(col(cols.head)).as(s"__lo0"), (
+        max(col(cols.head)).as(s"__hi0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"__lo${i + 1}"), max(col(c)).as(s"__hi${i + 1}"))
+        }): _*)
       .withColumn("__j", lit(1))
     df.withColumn("__j", lit(1))
       .join(broadcast(bounds), Seq("__j"))
-      .withColumn("__z", zvalue(
-        scaled(col(a), col("__alo"), col("__ahi"), bits),
-        scaled(col(b), col("__blo"), col("__bhi"), bits), bits))
+      .withColumn("__z", zvalueN(
+        cols.zipWithIndex.map { case (c, i) =>
+          scaled(col(c), col(s"__lo$i"), col(s"__hi$i"), b) }, b))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__j", "__alo", "__ahi", "__blo", "__bhi")
+      .drop("__z" +: "__j" +: cols.indices.flatMap(i =>
+        Seq(s"__lo$i", s"__hi$i")): _*)
       .write.mode("overwrite").parquet(path)
   }
 }

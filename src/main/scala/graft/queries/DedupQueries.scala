@@ -612,12 +612,11 @@ object DedupQueries {
     * corpus's 3-gram vocabulary) even ONE collision anywhere is a coin
     * flip, and one that also crosses a df boundary vanishing.
     */
-  /** Conf gate for the BUCKETED-index variant of d06: write the exploded
-    * (doc_id, h) index ONCE as an h-bucketed table, so the df aggregate,
-    * the index semi-join and the self-join all consume the bucket layout
-    * with ZERO h-shuffles (EnsureRequirements sees HashPartitioning(h)
-    * from the scan — PlanShapeSpec pins both the parity and the
-    * no-h-exchange plan fact).
+  /** Conf gate for the BUCKETED-index variant of d06: write the (doc_id,
+    * h, sz, rnk) PREFIX index ONCE as an h-bucketed table, so the
+    * candidate self-join consumes the bucket layout with ZERO h-shuffles
+    * (EnsureRequirements sees HashPartitioning(h) from the scan —
+    * PlanShapeSpec pins both the parity and the no-h-exchange plan fact).
     *
     * MEASURED AND REJECTED as the default (r14, sf1 documents = 50k
     * docs, local[32], min of passes): shuffled 44.8 s, bucketed 71.8 s.
@@ -637,27 +636,60 @@ object DedupQueries {
   private[graft] def ngramPairsUnstaged(s: SparkSession, d: String): DataFrame = {
       GraftNative.ensure(s)
       val sh = shingleStage(s, d)
-      val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      val inv =
-        if (!s.conf.getOption(NgramBucketedKey).exists(_.toBoolean)) inv0
+      // (doc, hashed shingle, doc shingle-set size): sz rides the explode
+      // instead of a join-back — shingles are list_distinct'd, so the
+      // array length IS the set size both filters below reason about
+      val inv0 = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("h"))
+      val dft = inv0.groupBy("h").agg(count(lit(1)).as("df"))
+      // PPJoin-style prefix + positional filtering ON TOP of the df-cap
+      // (the r16 super-linearity fix — sf1 pair volume grows with corpus
+      // density under a fixed cap; see d28 for the exact-join cousin).
+      // rnk = the shingle's position in the doc's FULL (df asc, h asc)
+      // global order — computed BEFORE any filter, which is what makes
+      // the bounds below sound. Every filter is a pure candidate prune:
+      //  - output pairs share a rare shingle, and the global-order-MIN
+      //    shared shingle h* is itself rare (rare df sorts before common
+      //    df), so the pair is generated at h* if anywhere;
+      //  - prefix: J >= t forces |inter| >= ceil(t*sz) shared shingles
+      //    at positions >= rnk(h*), so rnk(h*) <= sz - ceil(t*sz) + 1 in
+      //    BOTH docs (the Bayardo completeness theorem);
+      //  - positional: every shared shingle sorts at or after h*, so
+      //    |inter| <= 1 + min(sz_a - rnk_a, sz_b - rnk_b), and J >= 1/2
+      //    needs 3*|inter| >= sz_a + sz_b;
+      //  - size: J >= 1/2 needs 2*min(sz) >= max(sz).
+      // A row failing any bound therefore belongs to a pair that either
+      // fails the Jaccard verify anyway or is also generated at an
+      // earlier shared rare shingle that passes — the emitted pair SET
+      // (and the d06/d12/d14/d31 oracle hashes) is unchanged.
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+      val idx0 = inv0.join(dft, Seq("h"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("df").between(2, NgramMaxDf) &&
+          col("rnk") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
+        .select("doc_id", "h", "sz", "rnk")
+      val idx =
+        if (!s.conf.getOption(NgramBucketedKey).exists(_.toBoolean)) idx0
         else {
           val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-          val tbl = s"d06_inv_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
-          val path = Stage.dirFor(s, s"d06_inv_b_$tbl")
+          val tbl = s"d06_idx_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+          val path = Stage.dirFor(s, s"d06_idx_b_$tbl")
           // ONE shuffle by the bucket expression (so each task owns one
           // bucket and writes one file), then the bucketed write — the
-          // layout every downstream h-consumer reads shuffle-free
+          // self-join below consumes the h-layout shuffle-free. The
+          // written artifact is the PREFIX index (post df-cap + prefix
+          // filters), the reusable cluster-regime asset — not the raw
+          // exploded set, which only the one-time write job ever holds.
           graft.operators.Bucketing.writeBucketed(
-            inv0.repartition(n, col("h")), tbl, path, Seq("h"), n)
+            idx0.repartition(n, col("h")), tbl, path, Seq("h"), n)
           graft.operators.Bucketing.readBucketed(s, tbl)
         }
-      val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df").between(2, NgramMaxDf))
-        .select("h")
-      val idx = inv.join(rare, Seq("h"))
       val cand = idx.as("a").join(idx.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz") &&
+            (lit(1) + least(col("a.sz") - col("a.rnk"),
+              col("b.sz") - col("b.rnk"))) * 3 >= col("a.sz") + col("b.sz"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand

@@ -928,6 +928,97 @@ object MigrationQueries {
       s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
               |       item_target, file_source, file_target
               |FROM graft.m27t ORDER BY id""".stripMargin)
+    },
+
+    // SQL CDC surface (m28): the change feed read back as a TABLE-VALUED
+    // FUNCTION — `SELECT ... FROM table_changes('m28_snap', 1, 2)`
+    // ([[graft.sql.TableChanges]], injected via
+    // `SparkSessionExtensions.injectTableFunction` so it composes inside
+    // arbitrary SQL). The lifecycle drives BOTH physical change routes:
+    // version 1 is the m09 changeset applied through `MERGE INTO`
+    // (copy-on-write file diff), version 2 a `DELETE ... WHERE` (merge-
+    // on-read delete vector — the CDC B-part), and the TVF attributes
+    // every row to its committing version. The oracle recomputes the
+    // same window relationally from the changeset moduli: a row
+    // mis-attributed, double-counted across the window, or a CoW-
+    // rewritten-but-unchanged row not cancelled breaks the hash.
+    Q("m28_table_changes", Merge0.tableChangesSql) { (s, d) =>
+      import graft.operators.{SnapshotLog, Stage}
+      import graft.sql.SnapshotDml
+      val dir = Stage.sharedDir(s, "m28_tvf", d) { out =>
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        SnapshotLog.init(s, out, shares, "id", numFiles = 8)
+        SnapshotDml.register(s, "m28_snap", out)
+        Merge0.changeset(shares).createOrReplaceTempView("m28_cs")
+        s.sql(
+          """MERGE INTO m28_snap t USING m28_cs c ON t.id = c.id
+            |WHEN MATCHED AND c.op = 'delete' THEN DELETE
+            |WHEN MATCHED AND c.op = 'update' THEN
+            |  UPDATE SET item_target = c.item_target, file_target = c.file_target
+            |WHEN NOT MATCHED AND c.op = 'insert' THEN INSERT *
+            |""".stripMargin).collect()
+        s.sql("DELETE FROM m28_snap WHERE id % 13 = 0").collect()
+        ()
+      }
+      // the staging body is memoized: re-point the registry at the
+      // (possibly cached) table unconditionally before the TVF resolves
+      SnapshotDml.register(s, "m28_snap", dir)
+      s.sql(
+        """SELECT id, share_type, uid_owner, item_type, item_source,
+          |       item_target, file_source, file_target,
+          |       _change_type, _commit_version
+          |FROM table_changes('m28_snap', 1, 2)
+          |ORDER BY _commit_version, id""".stripMargin)
+    },
+
+    // Write-time constraints (m29): the reference's defining sink
+    // behavior is a VALIDATED write (`main.go:232-238` asserts
+    // rows-affected after every upsert); CHECK + NOT NULL constraints
+    // are that theme generalized to the lakehouse surface. The lifecycle
+    // adds `CHECK (file_source >= 0)` and `uid_owner NOT NULL`, fires
+    // two VIOLATING updates (each must abort WITHOUT committing — the
+    // try/catch swallows the error, and if enforcement were broken the
+    // poisoned rows would land and break the oracle hash), then applies
+    // a passing update. The oracle recomputes only the PASSING update:
+    // the hash certifies both that valid writes go through and that
+    // invalid ones left no trace.
+    Q("m29_constraints",
+      s"""WITH ${SyntheticShares.sharesSql}
+         |SELECT id, share_type, uid_owner, item_type, item_source,
+         |       item_target, file_source,
+         |       CASE WHEN id % 23 = 0 THEN '/kept/' || CAST(id AS VARCHAR)
+         |            ELSE file_target END AS file_target
+         |FROM shares ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.Stage
+      val base = Stage.sharedDir(s, "m29_cons", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val shares = SyntheticShares.shares(Tables.orders(s, d))
+        shares.createOrReplaceTempView("m29_shares")
+        s.sql("CREATE TABLE graft.m29t TBLPROPERTIES ('key'='id') AS " +
+          "SELECT * FROM m29_shares")
+        s.sql("ALTER TABLE graft.m29t ADD CONSTRAINT fs_nonneg " +
+          "CHECK (file_source >= 0)").collect()
+        s.sql("ALTER TABLE graft.m29t ALTER COLUMN uid_owner SET NOT NULL")
+          .collect()
+        def mustReject(sql: String): Unit =
+          try { s.sql(sql).collect(); sys.error(s"constraint MISSED: $sql") }
+          catch { case e: IllegalStateException
+              if e.getMessage.contains("violates table constraint") => () }
+        mustReject("UPDATE graft.m29t SET file_source = -1 WHERE id % 23 = 0")
+        mustReject("UPDATE graft.m29t SET uid_owner = " +
+          "nullif(uid_owner, uid_owner) WHERE id % 31 = 0")
+        s.sql("UPDATE graft.m29t SET file_target = " +
+          "concat('/kept/', CAST(id AS STRING)) WHERE id % 23 = 0").collect()
+        ()
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sql.GraftTableCatalog].getName)
+      s.conf.set("spark.graft.catalog.location", base)
+      s.sql("""SELECT id, share_type, uid_owner, item_type, item_source,
+              |       item_target, file_source, file_target
+              |FROM graft.m29t ORDER BY id""".stripMargin)
     }
   )
 
@@ -1106,5 +1197,45 @@ object MigrationQueries {
          |       id, '/n' || CAST(id AS VARCHAR) || '.dat'
          |FROM shares WHERE id % 11 = 0
          |ORDER BY id""".stripMargin
+
+    /** The m28 oracle: the `table_changes('m28_snap', 1, 2)` window
+      * recomputed relationally — version 1's rows are
+      * [[snapshotCdcSql]]'s three changeset branches, version 2's the
+      * `%13` MoR delete evaluated against the POST-merge table (so a
+      * version-1 delete or an offset insert shifts its membership), each
+      * stamped with its committing version.
+      */
+    def tableChangesSql: String =
+      s"""WITH $keyedMergeCtes
+         |SELECT * FROM (
+         |  SELECT id, CAST(NULL AS INTEGER) AS share_type,
+         |         CAST(NULL AS VARCHAR) AS uid_owner,
+         |         CAST(NULL AS VARCHAR) AS item_type,
+         |         CAST(NULL AS VARCHAR) AS item_source,
+         |         CAST(NULL AS VARCHAR) AS item_target,
+         |         CAST(NULL AS BIGINT) AS file_source,
+         |         CAST(NULL AS VARCHAR) AS file_target,
+         |         'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+         |  FROM shares WHERE id % 9 = 0
+         |  UNION ALL
+         |  SELECT id, share_type, uid_owner, item_type, item_source,
+         |         '/moved/' || CAST(id AS VARCHAR), file_source,
+         |         '/merged/' || CAST(id AS VARCHAR),
+         |         'update', CAST(1 AS BIGINT)
+         |  FROM shares WHERE id % 9 <> 0 AND id % 5 = 0
+         |  UNION ALL
+         |  SELECT id + $InsertIdOffset, CAST(3 AS INTEGER), 'merge_user',
+         |         'file', CAST(id AS VARCHAR), '/new/' || CAST(id AS VARCHAR),
+         |         id, '/n' || CAST(id AS VARCHAR) || '.dat',
+         |         'insert', CAST(1 AS BIGINT)
+         |  FROM shares WHERE id % 11 = 0
+         |  UNION ALL
+         |  SELECT id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS VARCHAR), 'delete', CAST(2 AS BIGINT)
+         |  FROM merged WHERE id % 13 = 0
+         |)
+         |ORDER BY _commit_version, id""".stripMargin
   }
 }

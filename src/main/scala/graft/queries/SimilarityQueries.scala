@@ -1097,6 +1097,88 @@ object SimilarityQueries {
         col("bucket") === col("p_bucket")))
     },
 
+    // STREAMING ANN ingest by table NAME (v18): v10's incremental-index
+    // semantics driven through the by-name snapshot surface — the vector
+    // family's composition of the streaming write protocol, the way d31
+    // composed it with the dedup admission. The LSH index lives as a
+    // catalog table identity-PARTITIONED BY its `bucket` column
+    // (`graft.v18idx`, CTAS'd from the corpus), two probe waves arrive
+    // as separate micro-batches, and each epoch probes the COMMITTED
+    // index pruned to its own cells (partition-tree pruning — per-epoch
+    // cost is the matching `pt_bucket=` directories, never the index),
+    // writes ranked matches deterministically, then commits its rows
+    // under the txn-stamp protocol
+    // ([[graft.streaming.AnnStreams.ingestByName]]). The oracle
+    // recomputes both waves relationally — wave 1 scored against the
+    // corpus alone, wave 2 against corpus PLUS wave 1 — so a wave that
+    // failed to see an earlier wave's vectors (index not growing), saw
+    // its own (replay leak), or scored against uncommitted rows breaks
+    // the hash. Replay/restart semantics are AnnStreamsSpec's.
+    Q("v18_stream_ann_ingest",
+      s"""WITH ${DedupQueries.dupEmbSql},
+         |qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM dupemb
+         |),
+         |n AS (SELECT vec_id, q,
+         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+         |b AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM n),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         $cosineSql AS cosine
+         |  FROM b p JOIN b c ON c.bucket = p.bucket
+         |  WHERE p.vec_id >= ${DedupQueries.BatchIdOffset}
+         |    AND p.n2 > 0 AND c.n2 > 0
+         |    AND (c.vec_id < ${DedupQueries.BatchIdOffset}
+         |         OR (p.vec_id % 100 = 50 AND c.vec_id % 100 = 0))
+         |),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= $K ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val base = Stage.sharedDir(s, "v18_ingest", d) { out =>
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sql.GraftTableCatalog].getName)
+        s.conf.set("spark.graft.catalog.location", out)
+        val dup = DedupQueries.dupEmb(s, d)
+        graft.streaming.AnnStreams.indexRows(
+          dup.where(col("vec_id") < DedupQueries.BatchIdOffset))
+          .createOrReplaceTempView("v18_corpus")
+        s.sql("CREATE TABLE graft.v18idx PARTITIONED BY (bucket) " +
+          "TBLPROPERTIES ('key'='vec_id') AS SELECT * FROM v18_corpus")
+        val batch = dup.where(col("vec_id") >= DedupQueries.BatchIdOffset)
+          .select("vec_id", "embedding")
+        batch.where(col("vec_id") % 100 === 0)
+          .coalesce(1).write.parquet(s"$out/feed/w1")
+        batch.where(col("vec_id") % 100 === 50)
+          .coalesce(1).write.parquet(s"$out/feed/w2")
+        val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val q = graft.streaming.AnnStreams.ingestByName(
+          s.readStream.schema(feedSchema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(s"$out/feed"),
+          "graft.v18idx", "v18-ingest", s"$out/matches")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ()
+      }
+      s.read.parquet(s"$base/matches/epoch=*")
+        .select("probe_id", "neighbor_id", "rnk", "cosine")
+        .orderBy("probe_id", "rnk")
+    },
+
     // LSH-bucketed: search only the probe's random-hyperplane bucket.
     Q("v04_knn_lsh",
       s"""WITH $qvSql,

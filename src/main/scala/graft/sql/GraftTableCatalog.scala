@@ -460,6 +460,28 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
         "a time-travel pin is one version, a stream is the version feed")
     val skipChanges = options.getBoolean("skipChangeCommits", false)
     val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+    // "subscribe from here" instead of the full-snapshot bootstrap — at
+    // 100 TB a new consumer rarely wants the whole table replayed. A
+    // timestamp resolves FORWARD to the earliest commit at or after it
+    // (the streaming direction; time travel resolves backward), then
+    // rides the same version offset.
+    val startVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val startTs = Option(options.get("startingTimestamp")).map { ts =>
+      val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.TimestampType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      val micros = cast.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      require(micros != null, s"cannot parse startingTimestamp '$ts'")
+      SnapshotLog.versionAtOrAfter(SparkSession.active, dir,
+        micros.asInstanceOf[Long] / 1000L)
+    }
+    require(startVersion.isEmpty || startTs.isEmpty,
+      "startingVersion and startingTimestamp cannot combine — they are " +
+        "two spellings of the same start offset")
+    val starting = startVersion.orElse(startTs)
     val frozenSchema = schema
     val tableKey = key
     () => new org.apache.spark.sql.connector.read.Scan {
@@ -468,7 +490,8 @@ final case class GraftSnapshotTable(catalogName: String, ident: Identifier,
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
         new graft.streaming.SnapshotMicroBatchStream(dir, tableKey,
-          frozenSchema, checkpointLocation, skipChanges, maxVersions)
+          frozenSchema, checkpointLocation, skipChanges, maxVersions,
+          starting)
     }
   }
 

@@ -234,6 +234,51 @@ object SnapshotDml {
             m.notMatchedActions, m.notMatchedBySourceActions,
             m.withSchemaEvolution)))
       }.getOrElse(m)
+    // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): Spark's own
+    // grammar (4.1 constraints SPIP) parses it; for snapshot targets the
+    // node becomes the metadata-only [[SnapshotLog.addConstraint]]
+    // commit (with its one-time full-table validation). The parsed
+    // CheckConstraint carries the ORIGINAL condition SQL — that text is
+    // what gets stamped and later re-parsed at enforcement.
+    case a: AddCheckConstraint =>
+      a.child.collectFirst { case u: UnresolvedRelation =>
+        u.multipartIdentifier }
+        .flatMap(resolveTarget(session, _))
+        .map(t => SnapshotAddConstraintCommand(t, a.checkConstraint.name,
+          a.checkConstraint.condition))
+        .getOrElse(a)
+    case d: DropConstraint =>
+      (d.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          resolveTarget(session, u.multipartIdentifier)
+        case _ => None
+      }).map { t =>
+        if (d.cascade) fail("DROP CONSTRAINT ... CASCADE is not supported " +
+          "on snapshot tables (constraints have no dependents)")
+        SnapshotDropConstraintCommand(t, d.name, d.ifExists)
+      }.getOrElse(d)
+    // ALTER COLUMN c SET/DROP NOT NULL: rides the constraint machinery
+    // as `c IS NOT NULL` under the reserved name `notnull_<c>` — CHECK
+    // violation semantics make that exact (NULL IS NOT NULL is FALSE).
+    // Any other column alteration keeps the existing loud rejection
+    // (type changes would misread old physical values).
+    case ac: AlterColumns =>
+      (ac.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          resolveTarget(session, u.multipartIdentifier)
+        case _ => None
+      }).map { t =>
+        val nullability = ac.specs.map { sp =>
+          if (sp.newDataType.nonEmpty || sp.newComment.nonEmpty ||
+              sp.newPosition.nonEmpty || sp.newDefaultExpression.nonEmpty)
+            fail("ALTER COLUMN on snapshot tables supports only SET/DROP " +
+              "NOT NULL: type changes would misread old physical columns")
+          val nn = sp.newNullability.getOrElse(
+            fail("ALTER COLUMN without SET/DROP NOT NULL is a no-op"))
+          (sp.column.name.mkString("."), !nn)
+        }
+        SnapshotNotNullCommand(t, nullability)
+      }.getOrElse(ac)
     case p => p
     }
   }
@@ -308,7 +353,7 @@ object SnapshotDml {
 
   private val Name = """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"""
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+($Name)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*(?:WHERE\\s+(.*?))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Name)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*(?:WHERE\\s+(.*?))?\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+($Name)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
@@ -329,8 +374,8 @@ object SnapshotDml {
     def t(name: String): Option[Target] =
       resolveTarget(session, name.split('.').toSeq)
     sqlText match {
-      case OptimizeRe(name, a, b, where) =>
-        if (a != null && where != null)
+      case OptimizeRe(name, zlist, where) =>
+        if (zlist != null && where != null)
           fail("OPTIMIZE: ZORDER BY and WHERE cannot combine — a partial " +
             "rewrite of a Morton layout would leave mixed clustering; " +
             "z-order the footprint's table fully, or drop the predicate")
@@ -339,8 +384,18 @@ object SnapshotDml {
         // turn a typo into a table-sized rewrite
         if (where != null && where.trim.isEmpty)
           fail("OPTIMIZE ... WHERE needs a predicate (empty WHERE clause)")
-        t(name).map(SnapshotOptimizeCommand(_, Option(a).map(x => (x, b)),
-          Option(where)))
+        // n-column interleave: every name must be a plain identifier and
+        // there must be at least two (one column is a sort, not a curve)
+        val zcols = Option(zlist).map { l =>
+          val cols = l.split(',').map(_.trim).toSeq
+          cols.foreach(c => if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+            fail(s"OPTIMIZE ... ZORDER BY: bad column name '$c'"))
+          if (cols.length < 2)
+            fail("ZORDER BY needs at least 2 columns (one column is a " +
+              "plain sort — OPTIMIZE already key-clusters)")
+          cols
+        }
+        t(name).map(SnapshotOptimizeCommand(_, zcols, Option(where)))
       case VacuumRe(name, k) =>
         t(name).map(SnapshotVacuumCommand(_, k.toInt))
       case HistoryRe(name) =>
@@ -385,7 +440,7 @@ object SnapshotDml {
     * files_before, files_after).
     */
   final case class SnapshotOptimizeCommand(target: Target,
-      zorder: Option[(String, String)],
+      zorder: Option[Seq[String]],
       where: Option[String] = None) extends LeafRunnableCommand {
     override def output: Seq[AttributeReference] = Seq(
       AttributeReference("version", LongType, nullable = false)(),
@@ -409,8 +464,8 @@ object SnapshotDml {
           }.sum
           val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
           zorder match {
-            case Some((a, b)) => SnapshotLog.compactZ(s, dir, a, b, numFiles)
-            case None         => SnapshotLog.compact(s, dir, numFiles)
+            case Some(cols) => SnapshotLog.compactZ(s, dir, cols, numFiles)
+            case None       => SnapshotLog.compact(s, dir, numFiles)
           }
       }
       if (target.registered) refreshView(s, target.display)
@@ -483,7 +538,9 @@ object SnapshotDml {
       // drop tombstones ("renamed:b<-a;dropped:x"), null = none pending
       // (records retire at the next full rewrite)
       AttributeReference("layout", org.apache.spark.sql.types.StringType)(),
-      AttributeReference("evolution", org.apache.spark.sql.types.StringType)())
+      AttributeReference("evolution", org.apache.spark.sql.types.StringType)(),
+      // "name CHECK (expr); ..." in add order, null = unconstrained
+      AttributeReference("constraints", org.apache.spark.sql.types.StringType)())
     override def run(s: SparkSession): Seq[Row] = {
       val dir = target.dir
       val v = SnapshotLog.latestVersion(s, dir)
@@ -531,7 +588,59 @@ object SnapshotDml {
         lag.map(_._1).map(Long.box).orNull,
         lag.map(_._2).map(Long.box).orNull,
         lag.map(_._3).map(Long.box).orNull,
-        layout, evolution))
+        layout, evolution, {
+          val cons = SnapshotLog.constraintsOf(s, dir, v)
+          if (cons.isEmpty) null
+          else cons.map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+        }))
+    }
+  }
+
+  /** `ALTER TABLE name ADD CONSTRAINT c CHECK (expr)` —
+    * [[SnapshotLog.addConstraint]]: one full-table validation at add
+    * time, then metadata-only commit; every later write enforces the
+    * check on its written rows and aborts with the violation count.
+    */
+  final case class SnapshotAddConstraintCommand(target: Target,
+      cname: String, condition: String) extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = VersionOutput
+    override def run(s: SparkSession): Seq[Row] =
+      finish(s, target,
+        SnapshotLog.addConstraint(s, target.dir, cname, condition))
+  }
+
+  /** `ALTER TABLE name DROP CONSTRAINT [IF EXISTS] c`. */
+  final case class SnapshotDropConstraintCommand(target: Target,
+      cname: String, ifExists: Boolean) extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = VersionOutput
+    override def run(s: SparkSession): Seq[Row] = {
+      val v = SnapshotLog.latestVersion(s, target.dir)
+      if (ifExists && !SnapshotLog.constraintsOf(s, target.dir, v)
+          .exists(_._1.equalsIgnoreCase(cname)))
+        Seq(Row(v)) // nothing to drop, no empty commit
+      else finish(s, target,
+        SnapshotLog.dropConstraint(s, target.dir, cname))
+    }
+  }
+
+  /** `ALTER TABLE name ALTER COLUMN c SET NOT NULL` (and DROP NOT NULL):
+    * each column's nullability ban is the constraint
+    * `notnull_<c>: c IS NOT NULL` — added (with the add-time full
+    * validation) or dropped per spec, one commit per column.
+    */
+  final case class SnapshotNotNullCommand(target: Target,
+      cols: Seq[(String, Boolean)]) extends LeafRunnableCommand {
+    override def output: Seq[AttributeReference] = VersionOutput
+    override def run(s: SparkSession): Seq[Row] = {
+      require(cols.forall(!_._1.contains('.')),
+        "nested column NOT NULL is not supported")
+      val last = cols.map { case (c, setNotNull) =>
+        if (setNotNull)
+          SnapshotLog.addConstraint(s, target.dir, s"notnull_$c",
+            s"$c IS NOT NULL")
+        else SnapshotLog.dropConstraint(s, target.dir, s"notnull_$c")
+      }.last
+      finish(s, target, last)
     }
   }
 

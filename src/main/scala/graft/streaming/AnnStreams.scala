@@ -67,4 +67,62 @@ object AnnStreams {
         sink(probe(rows, spark.read.parquet(indexDir)), batchId)
         rows.write.mode("append").parquet(indexDir)
       }
+
+  /** Streaming ANN ingest against a catalog-NAMED index table — the
+    * composition of [[incrementalAnn]] with the by-name snapshot surface,
+    * the way [[CurationStreams.admitByName]] composed the dedup admission
+    * (d31). The index lives as a snapshot table identity-PARTITIONED BY
+    * its LSH `bucket` column, keyed on `vec_id`; each micro-batch of
+    * (vec_id, embedding):
+    *
+    *  1. quantizes + buckets its vectors ([[indexRows]] — the SAME
+    *     expressions as the batch v-family, so streamed and CTAS-built
+    *     index rows are interchangeable);
+    *  2. probes the COMMITTED index pruned to the batch's OWN cells —
+    *     the `bucket IN (...)` predicate hits the identity partition
+    *     tree at planning, so the per-epoch probe opens the matching
+    *     `pt_bucket=` directories, never the index (the d14/d29
+    *     admission-control asymmetry, in the vector family);
+    *  3. writes the ranked matches deterministically per epoch
+    *     (`matchesDir/epoch=N`, overwrite — crash-replay rewrites
+    *     byte-identical output);
+    *  4. commits the batch's rows insert-if-absent under the manifest
+    *     txn-stamp protocol ([[SnapshotStreams.applyEpoch]] — a replayed
+    *     epoch skips the commit).
+    *
+    * REPLAY STABILITY is why step 2 excludes index rows keyed by the
+    * batch's own vec_ids: on crash-replay the epoch's rows are already
+    * committed, and without the exclusion the replayed probe would see
+    * them (self-matches the live run never saw) and write different
+    * matches than the run it is replaying. With it, the probe's view is
+    * "every row committed by EARLIER epochs" on both paths.
+    */
+  def ingestByName(vecs: DataFrame, indexTable: String, streamId: String,
+      matchesDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Merge, SnapshotLog}
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val s = batch.sparkSession
+        val dir = CurationStreams.tableDirOf(s, indexTable)
+        val rows = indexRows(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cells = rows.select("bucket").distinct()
+            .collect().map(_.getString(0)).toSeq
+          val v = SnapshotLog.latestVersion(s, dir)
+          val idx = SnapshotLog.read(s, dir, v)
+            .where(col("bucket").isin(cells: _*))
+            .join(rows.select("vec_id"), Seq("vec_id"), "left_anti")
+          probe(rows, idx)
+            .write.mode("overwrite").parquet(s"$matchesDir/epoch=$epochId")
+          val cs = rows.select(lit(Merge.OpInsert).as("op"), col("vec_id"),
+            col("q"), col("n2"), col("bucket"))
+          SnapshotLog.commitWithRetry() {
+            SnapshotStreams.applyEpoch(s, dir, cs, epochId, streamId, "vec_id")
+          }
+          ()
+        } finally { rows.unpersist(blocking = false); () }
+      }
+  }
 }

@@ -120,7 +120,7 @@ object CurationStreams {
   /** Resolve a `graft.ns.t` identifier to its snapshot-table directory
     * through the registered catalog — admission by NAME, not by path.
     */
-  private def tableDirOf(spark: SparkSession, table: String): String = {
+  private[streaming] def tableDirOf(spark: SparkSession, table: String): String = {
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
     val catalog = spark.sessionState.catalogManager.catalog(parts.head)
     require(catalog.isInstanceOf[graft.sql.GraftTableCatalog],

@@ -66,14 +66,32 @@ object VersionOffset {
   */
 final class SnapshotMicroBatchStream(dir: String, key: String,
     streamSchema: StructType, checkpointLocation: String,
-    skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int] = None)
+    skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(k =>
     require(k >= 1, s"maxVersionsPerTrigger must be >= 1, got $k"))
+  startingVersion.foreach(v =>
+    require(v >= 0, s"startingVersion must be >= 0, got $v"))
 
   private def spark = SparkSession.active
   private val scratchRoot = new Path(checkpointLocation, "graft-delta")
+
+  /** The earliest surviving version, resolved ONCE per run: it is only
+    * consulted for the initial batch's bootstrap (every later batch
+    * starts from a committed offset), and it only ever moves on vacuum —
+    * re-listing the whole `_log` on every trigger would put an
+    * O(#commits) directory walk in the steady-state path for a value the
+    * steady state never reads.
+    */
+  private lazy val earliestSurviving: Long = {
+    val vs = SnapshotLog.versions(spark, dir)
+    if (vs.isEmpty) throw new IllegalStateException(
+      s"$dir has no committed versions — initialize the table before " +
+        "streaming it")
+    vs.head
+  }
 
   /** Trigger.AvailableNow bound: versions committed after the query
     * started are left for the next run.
@@ -85,7 +103,15 @@ final class SnapshotMicroBatchStream(dir: String, key: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): Offset = VersionOffset(-1L)
+  /** The stream's first offset. Default: -1, the "bootstrap with the
+    * earliest surviving snapshot" sentinel. With `startingVersion=v` the
+    * stream starts at offset v-1 instead — the first batch delivers the
+    * inserts of version v onward and NO snapshot bootstrap ("subscribe
+    * from v"); v=0 keeps the sentinel but pins the bootstrap to version
+    * 0 exactly (a vacuumed v0 fails instead of falling forward).
+    */
+  override def initialOffset(): Offset =
+    VersionOffset(startingVersion.fold(-1L)(_ - 1L))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -102,15 +128,19 @@ final class SnapshotMicroBatchStream(dir: String, key: String,
     val live = SnapshotLog.latestVersion(spark, dir)
     val bound = availableNowBound.fold(live)(math.min(live, _))
     val from = start.asInstanceOf[VersionOffset].version
-    VersionOffset(maxVersionsPerTrigger.fold(bound) { k =>
+    val paced = maxVersionsPerTrigger.fold(bound) { k =>
       // the initial batch's bootstrap (the earliest SURVIVING version)
       // counts as one version — stepping from -1 blindly would hand a
       // vacuumed-prefix table an offset below its earliest survivor
       val stepped =
-        if (from < 0L) SnapshotLog.versions(spark, dir).head + (k - 1L)
+        if (from < 0L) earliestSurviving + (k - 1L)
         else from + k
       math.min(bound, stepped)
-    })
+    }
+    // never step backwards: a startingVersion ahead of the live log (or
+    // an AvailableNow bound behind a restored checkpoint) means "no new
+    // data", not a negative batch
+    VersionOffset(math.max(paced, from))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -143,15 +173,25 @@ final class SnapshotMicroBatchStream(dir: String, key: String,
         if (from < 0L) {
           // initial batch: bootstrap from the earliest SURVIVING version
           // (a table whose early versions were vacuumed before the stream
-          // ever started has nothing older to owe it)
-          val lowest = SnapshotLog.versions(s, dir).head
+          // ever started has nothing older to owe it) — unless the
+          // consumer pinned startingVersion=0, where falling forward
+          // would silently misrepresent "every change since the table
+          // was born"
+          val lowest = earliestSurviving
+          if (startingVersion.contains(0L) && lowest != 0L)
+            throw new IllegalStateException(
+              s"startingVersion=0 of $dir was vacuumed (earliest " +
+                s"surviving version is $lowest) — start from a retained " +
+                "version, or omit the option to bootstrap from the " +
+                "earliest survivor")
           val boot = SnapshotLog.read(s, dir, lowest)
           if (to > lowest) boot.unionByName(inserts(lowest)) else boot
         } else {
           require(SnapshotLog.versions(s, dir).contains(from),
             s"version $from of $dir was vacuumed while this stream still " +
-              "needed it — pin vacuum retention above every streaming " +
-              "consumer (SnapshotLog.vacuum's reader contract)")
+              "needed it (a startingVersion needs its predecessor's " +
+              "manifest retained too) — pin vacuum retention above every " +
+              "streaming consumer (SnapshotLog.vacuum's reader contract)")
           inserts(from)
         }
       df.select(frozen: _*).write.mode("overwrite").parquet(stage.toString)

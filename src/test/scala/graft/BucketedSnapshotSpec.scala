@@ -109,6 +109,31 @@ class BucketedSnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.readLatest(spark, dir).count() == 400)
   }
 
+  test("merge bucket scope hashes the TABLE's stamped key type: an " +
+    "INT-typed changeset key against a BIGINT-keyed layout still finds " +
+    "its files (updates land, re-inserts are deduped)") {
+    val dir = freshDir("inttype")
+    SnapshotLog.init(spark, dir,
+      spark.range(0, 400).selectExpr("id", "id AS x"), "id", numFiles = 8,
+      bucketBy = Some(("id", 8)))
+    // xxhash64(7: INT) != xxhash64(7: LONG) — an uncast INT source key
+    // must not compute wrong buckets and silently drop the update
+    val cs = spark.range(7, 8)
+      .selectExpr("'update' AS op", "CAST(id AS INT) AS id", "id * 100 AS x")
+      .unionByName(spark.range(9, 10)
+        .selectExpr("'insert' AS op", "CAST(id AS INT) AS id", "id * 100 AS x"))
+    SnapshotLog.merge(spark, dir, cs, "id")
+    val t = SnapshotLog.readLatest(spark, dir)
+    assert(t.where(col("id") === 7L).head().getLong(1) == 700L,
+      "INT-keyed update was dropped by wrong bucket scoping")
+    // insert of an existing key: insCheck must SEE the key (same hash
+    // hazard) and dedupe it
+    assert(t.where(col("id") === 9L).count() == 1)
+    assert(t.where(col("id") === 9L).head().getLong(1) == 9L,
+      "existing key was duplicated/overwritten by a missed insCheck")
+    assert(t.count() == 400)
+  }
+
   test("catalog SQL surface: CREATE PARTITIONED BY (bucket(N, col)), " +
     "partitioning() reports it, maintenance guards hold") {
     val w = Files.createTempDirectory("bucket_cat").toString

@@ -44,6 +44,22 @@ class MergeSpec extends SparkTestBase {
     assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
   }
 
+  test("'__set_null' is a reserved name: a base table owning it is " +
+    "rejected (by merge and at table birth)") {
+    val poisoned = base.withColumn(Merge.SetNullCol,
+      array(lit("name")))
+    val e = intercept[IllegalArgumentException] {
+      Merge(poisoned, cs.withColumn(Merge.SetNullCol,
+        lit(null).cast("array<string>")), "id")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val dir = java.nio.file.Files.createTempDirectory("setnull").toString + "/t"
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.init(spark, dir, poisoned, "id", numFiles = 1)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("changeset lacking payload columns fails loudly") {
     val bad = Seq((Merge.OpUpdate, 2L, "x")).toDF("op", "id", "name")
     val e = intercept[IllegalArgumentException](Merge(base, bad, "id"))

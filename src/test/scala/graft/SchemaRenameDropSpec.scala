@@ -207,6 +207,38 @@ class SchemaRenameDropSpec extends SparkTestBase {
       s"restore must carry the physmap: $restored")
   }
 
+  test("CDC over a window spanning retire-then-readd of a column name " +
+    "fails loudly; windows on either side of the re-ADD still read") {
+    val w = freshWarehouse()
+    spark.range(0, 10).selectExpr("id", "id * 2 AS a")
+      .createOrReplaceTempView("rc7_in")
+    spark.sql("CREATE TABLE graft.rc7 TBLPROPERTIES ('key'='id') AS " +
+      "SELECT * FROM rc7_in")
+    val dir = s"$w/rc7"
+    val vCtas = SnapshotLog.latestVersion(spark, dir)
+    spark.sql("ALTER TABLE graft.rc7 RENAME COLUMN a TO b")
+    spark.sql("OPTIMIZE graft.rc7").collect() // full rewrite retires the chain
+    spark.sql("ALTER TABLE graft.rc7 ADD COLUMNS (a BIGINT)") // legal re-ADD
+    val vReadd = SnapshotLog.latestVersion(spark, dir)
+    spark.sql("UPDATE graft.rc7 SET a = 1 WHERE id = 4").collect()
+    val vUpd = SnapshotLog.latestVersion(spark, dir)
+
+    // spanning window: 'a' is live at the end AND a prior physical name
+    // of 'b' inside the window — the era read cannot disambiguate; the
+    // old behavior built a duplicate-column schema or surfaced old 'a'
+    // bytes under the re-added column
+    val ex = intercept[IllegalStateException] {
+      SnapshotLog.cdc(spark, dir, vCtas, vUpd, "id").collect()
+    }
+    assert(ex.getMessage.contains("re-introduction"), ex.getMessage)
+
+    // a window that starts after the re-ADD composes no colliding chain
+    val rows = SnapshotLog.cdc(spark, dir, vReadd, vUpd, "id")
+      .select("op", "id", "a", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("update", 4L, 1L, 8L)), s"post-readd window: $rows")
+  }
+
   test("OPTIMIZE WHERE on a renamed column prunes with the remapped " +
     "stamps and rewrites only the matching footprint") {
     val w = freshWarehouse()

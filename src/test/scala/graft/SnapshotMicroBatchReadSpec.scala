@@ -239,6 +239,132 @@ class SnapshotMicroBatchReadSpec extends SparkTestBase {
       .map(_.getLong(0)).toSeq == (0L until 40L), "bucketed table stream")
   }
 
+  test("startingVersion subscribes from a version: no snapshot " +
+    "bootstrap, restart resumes, vacuumed start fails loudly") {
+    val w = freshWarehouse("mbr")
+    spark.sql("CREATE TABLE graft.mbr8 (id BIGINT) TBLPROPERTIES ('key'='id')")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.mbr8 VALUES ($i)").collect())
+    // versions: 0 (empty init), 1..4 (one insert each)
+
+    val ckpt = Files.createTempDirectory("mbr-ckpt").toString
+    val out1 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr8", out1, ckpt, Map("startingVersion" -> "3"))
+    val first = collected(out1).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(first == Seq(2L, 3L),
+      s"startingVersion=3 must deliver versions 3..4 only: $first")
+
+    // restart on the same checkpoint: only NEW versions arrive (the
+    // option no longer matters once an offset is committed)
+    spark.sql("INSERT INTO graft.mbr8 VALUES (9)").collect() // v5
+    val out2 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr8", out2, ckpt, Map("startingVersion" -> "3"))
+    assert(collected(out2).collect().map(_.getLong(0)).toSeq == Seq(9L))
+
+    // startingVersion=0 is exact "from the beginning": full v0 content
+    // (empty) + all inserts
+    val out0 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr8", out0,
+      Files.createTempDirectory("mbr-ckpt").toString,
+      Map("startingVersion" -> "0"))
+    assert(collected(out0).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 9L))
+
+    // vacuum v0..v2: startingVersion=3 now lacks its predecessor's
+    // manifest (the delta (2, 3] cannot be diffed) — loud failure, and
+    // startingVersion=0 is an explicit vacuumed-start failure
+    SnapshotLog.vacuum(spark, s"$w/mbr8", retainFrom = 3L, graceMs = 0L)
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    val eMid = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToDir("graft.mbr8",
+        Files.createTempDirectory("mbr-out").toString + "/acc",
+        Files.createTempDirectory("mbr-ckpt").toString,
+        Map("startingVersion" -> "3"))
+    }
+    assert(rootMessages(eMid).exists(_.contains("vacuumed")),
+      s"wrong failure: ${rootMessages(eMid)}")
+    val eZero = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToDir("graft.mbr8",
+        Files.createTempDirectory("mbr-out").toString + "/acc",
+        Files.createTempDirectory("mbr-ckpt").toString,
+        Map("startingVersion" -> "0"))
+    }
+    assert(rootMessages(eZero).exists(_.contains("startingVersion=0")),
+      s"wrong failure: ${rootMessages(eZero)}")
+
+    // the earliest still-diffable start works: predecessor v3 survives
+    val out4 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr8", out4,
+      Files.createTempDirectory("mbr-ckpt").toString,
+      Map("startingVersion" -> "4"))
+    assert(collected(out4).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 9L))
+  }
+
+  test("startingTimestamp resolves FORWARD to the earliest commit at or " +
+    "after it; combining both start options is rejected") {
+    val w = freshWarehouse("mbr")
+    spark.sql("CREATE TABLE graft.mbr9 (id BIGINT) TBLPROPERTIES ('key'='id')")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.mbr9 VALUES ($i)").collect())
+    val tsV2 = SnapshotLog.commitTimeMs(spark, s"$w/mbr9", 2L).get
+    val tz = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val tsText = java.time.Instant.ofEpochMilli(tsV2).atZone(tz)
+      .toLocalDateTime.toString
+    val out = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr9", out,
+      Files.createTempDirectory("mbr-ckpt").toString,
+      Map("startingTimestamp" -> tsText))
+    val rows = collected(out).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L),
+      s"startingTimestamp at v2's stamp must deliver versions 2..3: $rows")
+
+    val e = intercept[Exception] {
+      runToDir("graft.mbr9",
+        Files.createTempDirectory("mbr-out").toString + "/acc",
+        Files.createTempDirectory("mbr-ckpt").toString,
+        Map("startingVersion" -> "1", "startingTimestamp" -> tsText))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("cannot combine")), s"${msgs(e)}")
+  }
+
+  test("a startingVersion ahead of the log delivers nothing until new " +
+    "commits land; an uninitialized directory fails with a clear error") {
+    freshWarehouse("mbr")
+    spark.sql("CREATE TABLE graft.mbr10 (id BIGINT) TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO graft.mbr10 VALUES (1)").collect() // v1
+    val ckpt = Files.createTempDirectory("mbr-ckpt").toString
+    val out1 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr10", out1, ckpt, Map("startingVersion" -> "3"))
+    assert(collected(out1, "id").isEmpty,
+      "a future startingVersion must deliver nothing, not fail")
+    spark.sql("INSERT INTO graft.mbr10 VALUES (2)").collect() // v2
+    spark.sql("INSERT INTO graft.mbr10 VALUES (3)").collect() // v3
+    val out2 = Files.createTempDirectory("mbr-out").toString + "/acc"
+    runToDir("graft.mbr10", out2, ckpt, Map("startingVersion" -> "3"))
+    assert(collected(out2).collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "the stream must pick up from the future start once it exists")
+
+    // raw stream over an uninitialized dir: loud, named error — not a
+    // NoSuchElementException from an empty version listing
+    val empty = Files.createTempDirectory("mbr-empty").toString
+    val st = new graft.streaming.SnapshotMicroBatchStream(empty, "id",
+      new org.apache.spark.sql.types.StructType().add("id", "long"),
+      Files.createTempDirectory("mbr-ckpt").toString,
+      skipChangeCommits = false, maxVersionsPerTrigger = Some(1))
+    val eEmpty = intercept[Exception] {
+      st.latestOffset(graft.streaming.VersionOffset(-1L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(eEmpty.getMessage.contains("no committed versions"))
+  }
+
   test("batch commit cleanup: committed ranges' staged deltas are reclaimed") {
     freshWarehouse("mbr")
     spark.sql("CREATE TABLE graft.mbr5 (id BIGINT) TBLPROPERTIES ('key'='id')")

@@ -439,4 +439,120 @@ class SqlDmlSpec extends SparkTestBase {
     // ordinary SQL is untouched by the injected parser
     assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
   }
+
+  test("CHECK constraints: add validates existing rows, every write path " +
+      "enforces on its written rows and aborts with the count") {
+    val dir = freshTable("dml_cons")
+    SnapshotDml.register(spark, "dml_cons", dir)
+    assert(spark.sql("ALTER TABLE dml_cons ADD CONSTRAINT x_pos CHECK (x > 0)")
+      .head().getLong(0) == 1L)
+    // add-time validation: existing rows violating → no commit
+    val eAdd = intercept[IllegalStateException] {
+      spark.sql("ALTER TABLE dml_cons ADD CONSTRAINT x_small CHECK (x < 100)")
+        .collect()
+    }
+    assert(eAdd.getMessage.contains("existing row(s) violate"))
+    assert(SnapshotLog.latestVersion(spark, dir) == 1L)
+
+    def rejected(sql: String, frag: String): Unit = {
+      val before = SnapshotLog.latestVersion(spark, dir)
+      val m = intercept[IllegalStateException](spark.sql(sql).collect())
+        .getMessage
+      assert(m.contains("x_pos CHECK (x > 0)") && m.contains(frag),
+        s"wanted x_pos + '$frag' in: $m")
+      assert(SnapshotLog.latestVersion(spark, dir) == before,
+        "a rejected write must not commit")
+    }
+    // UPDATE (CoW merge path)
+    rejected("UPDATE dml_cons SET x = -5 WHERE id = 3", "1 row(s)")
+    // MERGE insert + MERGE update, each with its own count
+    import spark.implicits._
+    Seq((100L, -1L), (101L, -2L)).toDF("id", "x")
+      .createOrReplaceTempView("dml_cons_bad")
+    rejected(
+      """MERGE INTO dml_cons t USING dml_cons_bad c ON t.id = c.id
+        |WHEN NOT MATCHED THEN INSERT (id, x) VALUES (c.id, c.x)""".stripMargin,
+      "2 row(s)")
+    // a PASSING write commits normally
+    spark.sql("UPDATE dml_cons SET x = x + 1 WHERE id = 3").collect()
+    assert(SnapshotLog.latestVersion(spark, dir) == 2L)
+    // INSERT OVERWRITE path enforces too
+    val eOw = intercept[IllegalStateException] {
+      SnapshotLog.overwrite(spark, dir,
+        snap(dir).withColumn("x", col("x") - 10000L), "id", 2)
+    }
+    assert(eOw.getMessage.contains("INSERT OVERWRITE"))
+    // DROP CONSTRAINT lifts enforcement; IF EXISTS of a missing one no-ops
+    spark.sql("ALTER TABLE dml_cons DROP CONSTRAINT x_pos").collect()
+    spark.sql("ALTER TABLE dml_cons DROP CONSTRAINT IF EXISTS nope").collect()
+    spark.sql("UPDATE dml_cons SET x = -5 WHERE id = 3").collect()
+    assert(snap(dir).where(col("id") === 3).head().getAs[Long]("x") == -5L)
+  }
+
+  test("NOT NULL rides the constraint machinery; constraints survive " +
+      "RENAME COLUMN and block DROP COLUMN") {
+    val dir = freshTable("dml_nn")
+    SnapshotDml.register(spark, "dml_nn", dir)
+    spark.sql("ALTER TABLE dml_nn ALTER COLUMN owner SET NOT NULL").collect()
+    val eNn = intercept[IllegalStateException] {
+      spark.sql("UPDATE dml_nn SET owner = nullif(owner, owner) WHERE id = 2")
+        .collect()
+    }
+    assert(eNn.getMessage.contains("notnull_owner CHECK (owner IS NOT NULL)"))
+    spark.sql("ALTER TABLE dml_nn ALTER COLUMN owner DROP NOT NULL").collect()
+    spark.sql("UPDATE dml_nn SET owner = nullif(owner, owner) WHERE id = 2")
+      .collect()
+    assert(snap(dir).where(col("id") === 2).head().isNullAt(1))
+
+    // rename: the expr follows the column (and notnull_<c> tracks its
+    // name); enforcement keeps working under the new name
+    spark.sql("ALTER TABLE dml_nn ADD CONSTRAINT x_pos CHECK (x > 0)").collect()
+    spark.sql("ALTER TABLE dml_nn ALTER COLUMN x SET NOT NULL").collect()
+    SnapshotLog.renameColumn(spark, dir, "x", "amount")
+    val v = SnapshotLog.latestVersion(spark, dir)
+    val cons = SnapshotLog.constraintsOf(spark, dir, v).toMap
+    assert(cons("x_pos") == "(amount > 0)" || cons("x_pos") == "amount > 0",
+      s"expr must follow the rename, got ${cons("x_pos")}")
+    assert(cons.contains("notnull_amount") && !cons.contains("notnull_x"))
+    val eRn = intercept[IllegalStateException] {
+      spark.sql("UPDATE dml_nn SET amount = -1 WHERE id = 4").collect()
+    }
+    assert(eRn.getMessage.contains("x_pos"))
+    // DROP COLUMN of a referenced column is rejected with the fix
+    val eDc = intercept[IllegalArgumentException] {
+      SnapshotLog.dropColumn(spark, dir, "amount")
+    }
+    assert(eDc.getMessage.contains("DROP CONSTRAINT"))
+    // a RESTORE whose target schema predates the rename cannot keep the
+    // live contract (its exprs reference a column the restored schema
+    // lacks): rejected loudly, with the fix
+    val eRs = intercept[IllegalArgumentException] {
+      SnapshotLog.restore(spark, dir, 1L)
+    }
+    assert(eRs.getMessage.contains("x_pos") &&
+      eRs.getMessage.contains("DROP CONSTRAINT"))
+    // DESCRIBE DETAIL surfaces the live set
+    val detail = spark.sql("DESCRIBE DETAIL dml_nn")
+      .select("constraints").head().getString(0)
+    assert(detail.contains("x_pos CHECK"))
+  }
+
+  test("constraints survive RESTORE and OPTIMIZE when the schema still " +
+      "resolves them (the contract, not the state)") {
+    val dir = freshTable("dml_cons_rs")
+    SnapshotDml.register(spark, "dml_cons_rs", dir)
+    spark.sql("UPDATE dml_cons_rs SET x = x + 1 WHERE id = 7").collect() // v1
+    spark.sql("ALTER TABLE dml_cons_rs ADD CONSTRAINT x_pos CHECK (x > 0)")
+      .collect() // v2
+    SnapshotLog.restore(spark, dir, 1L) // v3: old rows, live contract
+    val v = SnapshotLog.latestVersion(spark, dir)
+    assert(SnapshotLog.constraintsOf(spark, dir, v).toMap.contains("x_pos"))
+    SnapshotLog.compact(spark, dir, numFiles = 1)
+    assert(SnapshotLog.constraintsOf(spark, dir,
+      SnapshotLog.latestVersion(spark, dir)).toMap.contains("x_pos"))
+    val e = intercept[IllegalStateException] {
+      spark.sql("UPDATE dml_cons_rs SET x = -1 WHERE id = 7").collect()
+    }
+    assert(e.getMessage.contains("x_pos"))
+  }
 }

@@ -27,6 +27,50 @@ class ZOrderSpec extends SparkTestBase {
     assert(math.abs(z1 - z2) < 4)
   }
 
+  test("zvalueN: 3-D interleave (known points), 2-D case reproduces zvalue, bit-budget guard") {
+    // k=3, bits=2: dim j owns positions i*3 + j. a=0b11 -> 0b001001 = 9;
+    // b=0b11 -> 0b010010 = 18; c=0b11 -> 0b100100 = 36; all -> 63
+    val r = sel(
+      ZOrder.zvalueN(Seq(lit(3L), lit(0L), lit(0L)), 2),
+      ZOrder.zvalueN(Seq(lit(0L), lit(3L), lit(0L)), 2),
+      ZOrder.zvalueN(Seq(lit(0L), lit(0L), lit(3L)), 2),
+      ZOrder.zvalueN(Seq(lit(3L), lit(3L), lit(3L)), 2))
+    assert(r.getLong(0) == 9L && r.getLong(1) == 18L &&
+      r.getLong(2) == 36L && r.getLong(3) == 63L)
+    // the k=2 path IS zvalue (same bit placement)
+    val two = sel(ZOrder.zvalue(lit(10L), lit(20L), 5),
+      ZOrder.zvalueN(Seq(lit(10L), lit(20L)), 5))
+    assert(two.getLong(0) == two.getLong(1))
+    // 62-bit positivity guard
+    intercept[IllegalArgumentException] {
+      ZOrder.zvalueN(Seq(lit(1L), lit(1L), lit(1L)), 21)
+    }
+    intercept[IllegalArgumentException] { ZOrder.zvalueN(Seq(lit(1L)), 4) }
+  }
+
+  test("3-column z-layout: per-file ranges narrow in ALL THREE dims") {
+    import spark.implicits._
+    // three mutually-scrambled dims over a 4096-point domain
+    val rows = (0L until 4096L).map(i =>
+      (i, (i * 37L) % 4096L, (i * 101L) % 4096L)).toDF("a", "b", "c")
+    val zDir = Files.createTempDirectory("graft_z3").toString + "/z"
+    ZOrder.writeClusteredN(rows, Seq("a", "b", "c"), 16, zDir)
+    val spans = spark.read.parquet(zDir)
+      .groupBy(input_file_name())
+      .agg(min("a"), max("a"), min("b"), max("b"), min("c"), max("c"))
+      .collect()
+    assert(spans.length == 16)
+    def avgFrac(lo: Int, hi: Int): Double =
+      spans.map(r => (r.getLong(hi) - r.getLong(lo)) / 4096.0).sum / spans.length
+    // a single-column sort leaves two trailing dims at ~1.0 each; the
+    // 3-D curve must keep the average per-file span well below that in
+    // EVERY dim (16 files over a 2^12 grid at 3 dims: expect ~0.5)
+    Seq(avgFrac(1, 2), avgFrac(3, 4), avgFrac(5, 6)).zip(Seq("a", "b", "c"))
+      .foreach { case (f, d) =>
+        assert(f < 0.8, s"dim $d average per-file span fraction $f not narrowed")
+      }
+  }
+
   test("z-clustered files have narrow min/max in both dims; sorted layout only in one") {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
     val zDir = Files.createTempDirectory("graft_zorder").toString + "/z"
