@@ -1337,6 +1337,18 @@ object SnapshotLog {
     SnapshotCommit(0L, CowMergeReport(0, 0, 0, names.size))
   }
 
+  /** The merge-source materialization decision (see the comment at the
+    * use site): conf override wins; otherwise persist exactly when the
+    * changeset plan carries a non-deterministic expression.
+    */
+  private[graft] def shouldMaterialize(spark: SparkSession,
+      cs: DataFrame): Boolean =
+    spark.conf.getOption("spark.graft.mergeMaterialize") match {
+      case Some(v) => v.toBoolean
+      case None => cs.queryExecution.analyzed.exists(
+        _.expressions.exists(e => e.find(!_.deterministic).nonEmpty))
+    }
+
   /** Apply changeset `cs` ([[Merge.apply]]'s contract) to the latest
     * version, copy-on-write, committing the result as the next version.
     * Planning and rewrite are [[CowMerge.execute]]'s (footer pruning,
@@ -1401,16 +1413,26 @@ object SnapshotLog {
         case _ => candidates
       }
 
-    // MATERIALIZE the changeset once: footprint planning, the masked-key
-    // probe, the admission check and the final write each evaluate it —
-    // unmaterialized, the source plan re-executes per action (4-6 jobs
-    // re-reading whatever feeds the merge: a JDBC scan, a parquet read,
-    // a view chain), and a NON-DETERMINISTIC source could even disagree
-    // between the planned footprint and the written rows. The changeset
-    // is the write BATCH (bounded), never the table — caching it is
-    // O(batch): the merge-source materialization every lakehouse merge
-    // implementation performs for the same two reasons.
-    val csM = cs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MERGE-SOURCE MATERIALIZATION: footprint planning, the masked-key
+    // probe, the admission check and the final write each evaluate the
+    // changeset — 4-6 evaluations — and a NON-DETERMINISTIC source
+    // (rand() sampling, a non-idempotent UDF, an unstable limit) could
+    // disagree between the planned footprint and the written rows:
+    // silently wrong CoW. So a changeset whose plan carries any
+    // non-deterministic expression is ALWAYS persisted first (the same
+    // reason Delta materializes its merge source). A deterministic
+    // changeset is NOT persisted by default: it is the write BATCH
+    // (bounded) and usually derives from page-cached columnar input, so
+    // recomputation is cheaper than the cache's serialize-into-block-
+    // store pass — MEASURED at sf0.1: always-persist cost +20-25% across
+    // the merge-lifecycle suite (m12/m17/m23/m24/d31 A-B, r16). Callers
+    // with expensive deterministic sources (a JDBC scan, a long view
+    // chain) opt in via spark.graft.mergeMaterialize=true; =false forces
+    // off (accepting the non-deterministic hazard).
+    val doMat = shouldMaterialize(spark, cs)
+    val csM =
+      if (doMat) cs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cs
     try {
     val updDel = csM.where(col("op").isin(Merge.OpUpdate, Merge.OpDelete))
     val ins = csM.where(col("op") === Merge.OpInsert)
@@ -1492,7 +1514,7 @@ object SnapshotLog {
       newDelNames)
     SnapshotCommit(v + 1,
       CowMergeReport(names.size, affected.size, untouchedNames.size, newNames.size))
-    } finally csM.unpersist(blocking = false)
+    } finally { if (doMat) csM.unpersist(blocking = false); () }
   }
 
   /** Full-replacement commit (REPLACE TABLE AS ... / INSERT OVERWRITE):

@@ -452,4 +452,35 @@ class SnapshotLogSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "x"), (2L, "b"), (20L, "y")))
   }
+
+  test("merge-source materialization: non-deterministic changesets persist, " +
+      "deterministic ones don't, conf overrides both ways") {
+    import spark.implicits._
+    val det = Seq(("insert", 1L, "a")).toDF("op", "id", "x")
+    val nondet = det.withColumn("x",
+      concat(lit("r"), (rand() * 10).cast("long").cast("string")))
+    assert(!SnapshotLog.shouldMaterialize(spark, det),
+      "a deterministic changeset must not pay the cache pass")
+    assert(SnapshotLog.shouldMaterialize(spark, nondet),
+      "a non-deterministic changeset MUST materialize: the planned " +
+        "footprint and the written rows would otherwise draw independently")
+    try {
+      spark.conf.set("spark.graft.mergeMaterialize", "true")
+      assert(SnapshotLog.shouldMaterialize(spark, det))
+      spark.conf.set("spark.graft.mergeMaterialize", "false")
+      assert(!SnapshotLog.shouldMaterialize(spark, nondet))
+    } finally spark.conf.unset("spark.graft.mergeMaterialize")
+    // end-to-end: a rand()-routed changeset merges into a consistent
+    // table (row count conserved, every key present exactly once)
+    val dir = java.nio.file.Files.createTempDirectory("mat").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "x")
+    SnapshotLog.init(spark, dir, base, "id", numFiles = 4)
+    val cs = base.where(rand() < 0.5)
+      .select(lit("update").as("op"), col("id"),
+        concat(lit("u"), col("id").cast("string")).as("x"))
+    SnapshotLog.merge(spark, dir, cs, "id")
+    val after = SnapshotLog.readLatest(spark, dir)
+    assert(after.count() == 100L)
+    assert(after.select("id").distinct().count() == 100L)
+  }
 }
