@@ -28,6 +28,14 @@ final class LruCache[K, V](capacity: Int) {
 
   def size: Int = map.synchronized(map.size())
 
+  /** Drop every entry whose key satisfies `p` (vacuum/drop-table
+    * invalidation).
+    */
+  def invalidateIf(p: K => Boolean): Unit = map.synchronized {
+    val it = map.keySet.iterator
+    while (it.hasNext) if (p(it.next())) it.remove()
+  }
+
   /** True iff `k` is cached; does NOT refresh its recency (test hook). */
   def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
 }

@@ -185,14 +185,35 @@ object SnapshotLog {
       if (st.isDirectory) listDataFiles(hfs, st.getPath) else Seq(st)
     }
 
+  /** Read-through cache over manifest TEXT: a manifest is IMMUTABLE once
+    * committed (commit = exclusive create, never rewrite), so its lines
+    * are process-lifetime cacheable — and every planning step reads them
+    * (schema, key, physmap, partition spec, stamps, constraints: 10+
+    * [[manifestLines]] calls per DML operation). On local disk that is
+    * milliseconds; against an object store each re-read is a 20-100 ms
+    * round trip, so an uncached log walk dominates planning latency at
+    * cluster scale. Invalidation: [[vacuum]] drops expired versions and
+    * [[init]] / the catalog's DROP/RENAME TABLE drop the directory's
+    * entries (a re-created table at the same path must never see its
+    * predecessor's lines). A FOREIGN process's vacuum cannot invalidate
+    * this JVM's cache — a stale hit then fails at the data-file scan
+    * instead of the manifest open, the same terminal outcome the
+    * retention contract already assigns to reading an expired version.
+    */
+  private val manifestLineCache = new LruCache[(String, Long), Seq[String]](512)
+
+  private[graft] def invalidateManifestCache(tableDir: String): Unit =
+    manifestLineCache.invalidateIf(_._1 == tableDir)
+
   private def manifestLines(spark: SparkSession, tableDir: String,
-      v: Long): Seq[String] = {
-    val table = new Path(tableDir)
-    val in = fs(spark, table).open(manifestPath(table, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
-  }
+      v: Long): Seq[String] =
+    manifestLineCache.getOrLoad((tableDir, v)) {
+      val table = new Path(tableDir)
+      val in = fs(spark, table).open(manifestPath(table, v))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
 
   /** DATA file names (relative to `data/`) of version `v`, as committed
     * (sorted — manifest content is deterministic). Line grammar:
@@ -1308,6 +1329,9 @@ object SnapshotLog {
       bucketBy: Option[(String, Int)] = None): SnapshotCommit = {
     val table = new Path(tableDir)
     require(versions(spark, tableDir).isEmpty, s"$tableDir already initialized")
+    // a table re-created at a dropped table's path must never read its
+    // predecessor's cached manifest lines
+    invalidateManifestCache(tableDir)
     require(partitionBy.isEmpty || bucketBy.isEmpty,
       "identity PARTITIONED BY and bucket(N, col) cannot combine")
     // '__set_null' is the UPDATE SET-NULL changeset sidecar, recognized
@@ -2228,6 +2252,8 @@ object SnapshotLog {
     val hfs = fs(spark, table)
     val (expired, retained) = versions(spark, tableDir).partition(_ < retainFrom)
     require(retained.nonEmpty, s"vacuum would delete every version of $tableDir")
+    manifestLineCache.invalidateIf { case (d, ver) =>
+      d == tableDir && ver < retainFrom }
     val live = retained
       .flatMap(v => manifest(spark, tableDir, v) ++ deletes(spark, tableDir, v) ++
         bloomSidecars(spark, tableDir, v))

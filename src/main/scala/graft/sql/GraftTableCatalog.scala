@@ -241,6 +241,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!exists(dir)) return false
+    SnapshotLog.invalidateManifestCache(dir)
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
@@ -250,6 +251,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     if (!exists(from)) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
     if (exists(to)) throw new TableAlreadyExistsException(newIdent)
+    SnapshotLog.invalidateManifestCache(from)
     val hfs = new Path(from).getFileSystem(spark.sparkContext.hadoopConfiguration)
     hfs.mkdirs(new Path(to).getParent)
     require(hfs.rename(new Path(from), new Path(to)),
