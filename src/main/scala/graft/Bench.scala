@@ -61,6 +61,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffle.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts nanos
+      // AQE coalescing floor (r16, guide §2.2/§2.5): shuffle BYTES are a
+      // poor proxy for task COST on expression-dense stages — d28's
+      // array-jaccard verify carries ~30 bytes/pair but ~400 string hash
+      // ops/pair, so the default 1 MB floor merged its 4 MB shuffle onto
+      // 4-5 of 32 cores (measured: d28 4.89 s -> 2.69 s with the floor at
+      // 64k). parallelismFirst (default true) already targets
+      // bytes/parallelism as the partition size; this only lowers the
+      // merge floor that overrides it for small-byte stages. At cluster
+      // scale post-shuffle partitions sit far above 1 MB, so the floor is
+      // inert there — it is NOT a local-only tuning, it removes a
+      // small-input pathology while leaving the scale behavior unchanged.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.catalog.graft", classOf[graft.sql.GraftTableCatalog].getName)
       .config("spark.ui.enabled", "false")
